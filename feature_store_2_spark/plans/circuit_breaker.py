@@ -1,0 +1,65 @@
+"""Sliding-window access metrics + denial-rate circuit breaker (batch analog).
+
+Reference parity: UserFeatureService keeps a per-feature deque of
+(timestamp, user_id, success) with trailing 10-minute eviction and
+distinct total/denied user sets (services/user_feature.py:26-30,57-73);
+every 15 s the breaker opens when denial_rate > 5%
+(services/user_feature.py:98-126). The reference's eviction drops a user
+when their *oldest* entry leaves the window even if newer entries remain
+(the A16 bug); event-time windows below are correct by construction.
+
+Batch shape: the access log is the events stream itself; a "denial" is
+modeled per-row by a configurable predicate. `F.window(ts, size, slide)`
+assigns each row to its sliding windows (an explode-style projection, no
+shuffle), then ONE groupBy((window, key)) computes distinct totals —
+exact `countDistinct` here where the oracle must match; swap in
+`approx_count_distinct` (HLL++) at 100 TB where a 2% error is fine and
+the distinct-shuffle would dominate.
+
+Streaming gets the same semantics from withWatermark + the identical
+window aggregate (streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DENIAL_RATE_THRESHOLD = 0.05  # services/user_feature.py:118-121
+
+
+def windowed_denial_rate(
+    access_log: DataFrame,
+    denied: Column,
+    window_size: str = "10 minutes",
+    slide: str | None = None,
+    key: str = "event_type",
+    threshold: float = DENIAL_RATE_THRESHOLD,
+) -> DataFrame:
+    """Per-(window, key) distinct-user denial rate and circuit state.
+
+    Returns window_start, <key>, total_users, denied_users, denial_rate,
+    circuit_open. denial_rate = |distinct denied users| / |distinct
+    users| exactly as services/user_feature.py:106-121 computes it.
+    """
+    win = F.window("ts", window_size, slide) if slide else F.window("ts", window_size)
+    return (
+        access_log.withColumn("__denied", denied)
+        .groupBy(win.alias("w"), F.col(key))
+        .agg(
+            F.countDistinct("user_id").alias("total_users"),
+            F.countDistinct(F.when(F.col("__denied"), F.col("user_id"))).alias(
+                "denied_users"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key,
+            "total_users",
+            "denied_users",
+            (F.col("denied_users") / F.col("total_users")).alias("denial_rate"),
+            (F.col("denied_users") / F.col("total_users") > F.lit(threshold)).alias(
+                "circuit_open"
+            ),
+        )
+    )

@@ -1,0 +1,320 @@
+"""Relational operator surface over the TPC-H-ish tables (SURVEY.md §2
+Part B): scans, filters, joins of every flavor, aggregation variants.
+
+Plan-quality notes are inline: which side broadcasts, what pushes down,
+where the shuffles are. DECIMAL accumulation (exact, order-independent)
+is used for every SUM over doubles so results hash-match the oracle
+bit-for-bit; see queries/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+
+def dec(col: str, prec: str = "decimal(12,2)") -> F.Column:
+    """Exact 2-decimal reading of a money/quantity double."""
+    return F.col(col).cast(prec)
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+                * (1 - CAST(l_discount AS DECIMAL(10,2)))
+                * (1 + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2003-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 analog: scan -> pushed filter -> hash agg (partial+final)",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    # Filter + 2-column grouping: predicate and column pruning reach the
+    # parquet scan; one shuffle (partial agg map-side).
+    return (
+        li.filter(F.col("l_shipdate") <= "2003-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice", "decimal(10,2)")
+                * (F.lit(1) - dec("l_discount", "decimal(10,2)"))
+                * (F.lit(1) + dec("l_tax", "decimal(10,2)"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'HOUSEHOLD'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 analog: selective dim filter, two joins, agg, top-k",
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "HOUSEHOLD"
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    # customer is the small filtered side -> broadcast it into orders,
+    # then the orders->lineitem join shuffles on orderkey once. Top-k is
+    # TakeOrderedAndProject (no global sort).
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 analog: 6-way join, dims broadcast, one fact shuffle chain",
+)
+def q5_region_revenue(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    # region/nation/supplier are broadcast dims; lineitem-orders is the
+    # one big shuffle join (AQE picks broadcast automatically for the
+    # small sides, hints make it explicit).
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "join_broadcast_customer_geo",
+    """
+SELECT r_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="fact x broadcast-dim snowflake rollup (zero fact shuffles pre-agg)",
+)
+def join_broadcast_customer_geo(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_semi_customers_with_open_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+""",
+    doc="left-semi join (EXISTS) — no row multiplication, early out",
+)
+def join_semi_customers_with_open_orders(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_pending",
+    """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+""",
+    doc="left-anti join (NOT EXISTS)",
+)
+def join_anti_customers_without_pending(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "P")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_cross_region_nation",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    doc="explicit cartesian product (tiny dims only)",
+)
+def join_cross_region_nation(spark, sf_dir):
+    return (
+        load_table(spark, "region", sf_dir)
+        .crossJoin(load_table(spark, "nation", sf_dir))
+        .select("r_name", "n_name")
+    )
+
+
+@register(
+    "join_range_event_pairs",
+    """
+SELECT e1.user_id,
+       e1.event_id AS first_id,
+       e2.event_id AS next_id,
+       CAST(floor(epoch(e2.ts)) - floor(epoch(e1.ts)) AS BIGINT) AS gap_s
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+""",
+    doc="non-equi range self-join: pairs of events within 5 minutes per user",
+)
+def join_range_event_pairs(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    # Equi key on user_id keeps this a hash/sort-merge join (the range
+    # predicate is a post-join filter), never a cartesian: scales as
+    # sum(per-user pairs), and AQE splits skewed users.
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            F.col("e1.user_id").alias("user_id"),
+            F.col("e1.event_id").alias("first_id"),
+            F.col("e2.event_id").alias("next_id"),
+            (
+                F.floor(F.col("e2.ts").cast("double"))
+                - F.floor(F.col("e1.ts").cast("double"))
+            )
+            .cast("long")
+            .alias("gap_s"),
+        )
+    )
+
+
+@register(
+    "join_asof_purchase_last_signup",
+    """
+SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS last_signup_id,
+       s.ts AS last_signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    doc="as-of join: latest signup state at each purchase (union-sort impl)",
+)
+def join_asof_purchase_last_signup(spark, sf_dir):
+    """As-of backward join, Spark-first: instead of a range-exploded join,
+    union the state stream (signups) and query stream (purchases), sort
+    within user by event time, and carry the last state forward with
+    last_value(ignorenulls) — one shuffle, no row explosion, the classic
+    scalable as-of pattern (reference analog: grant state at lookup time,
+    services/user_feature.py:46-55)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("state_id"), F.lit(None).cast("long").alias("query_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("state_id"), F.col("event_id").alias("query_id")
+    )
+    # state rows sort before query rows at identical ts (is_q tie-break),
+    # matching ASOF's p.ts >= s.ts inclusivity.
+    unioned = signups.unionByName(purchases).withColumn(
+        "is_q", F.col("query_id").isNotNull().cast("int")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_q", F.coalesce("state_id", "query_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.withColumn("last_signup_id", F.last("state_id", ignorenulls=True).over(w))
+        .withColumn("last_signup_ts", F.last(F.when(F.col("state_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w))
+        .filter(F.col("is_q") == 1)
+        .select(
+            F.col("query_id").alias("purchase_id"),
+            "user_id",
+            "last_signup_id",
+            "last_signup_ts",
+        )
+    )
