@@ -1,0 +1,218 @@
+"""Scalar function families (SURVEY.md §2 Part B): string, date/time,
+math, array, JSON, null-handling and conditional expressions.
+
+All built-in pyspark.sql.functions — JVM-side, whole-stage-codegen'd;
+no Python in the row path. Libm-dependent functions (ln/exp/pow) are
+avoided in oracle-matched outputs because their last-ulp behavior is
+engine-specific; sqrt is IEEE-exact and safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.queries.relational import dec
+from feature_store_2_spark.sources.tables import load_table
+
+
+@register(
+    "func_string_part",
+    """
+SELECT p_partkey,
+       lower(p_name) AS lname,
+       upper(p_brand) AS ubrand,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       substring(p_name, 1, 5) AS prefix5,
+       CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS BIGINT) AS brand_num,
+       concat(p_brand, '-', p_type) AS brand_type,
+       string_split(p_name, ' ')[1] AS first_word,
+       replace(p_name, ' ', '_') AS snake_name,
+       p_type LIKE '%ECONOMY%' AS is_econ,
+       p_name SIMILAR TO '.*(ring|widget).*' AS is_rw
+FROM part
+""",
+    doc="string family: case, length, substring, regex extract/match, split, concat (A15's regex validation shape)",
+)
+def func_string_part(spark, sf_dir):
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).cast("long").alias("brand_num"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.col("p_type").like("%ECONOMY%").alias("is_econ"),
+        F.col("p_name").rlike("(ring|widget)").alias("is_rw"),
+    )
+
+
+@register(
+    "func_date_orders",
+    """
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+       CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS o_day,
+       date_trunc('month', o_orderdate) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+           AS days_since_95
+FROM orders
+""",
+    doc="date/time family: extract, trunc, interval arithmetic, datediff (A16's window math)",
+)
+def func_date_orders(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+
+
+@register(
+    "func_math_lineitem",
+    """
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 1000) AS absdev,
+       floor(l_quantity) AS fq,
+       ceil(l_quantity) AS cq,
+       round(l_extendedprice, 0) AS rp,
+       sqrt(l_quantity) AS sq,
+       l_quantity * l_quantity AS qty_sq,
+       CAST(l_partkey % 7 AS BIGINT) AS pm,
+       greatest(l_discount, l_tax) AS gmax,
+       least(l_discount, l_tax) AS lmin
+FROM lineitem
+""",
+    doc="math family: abs/floor/ceil/round/sqrt/mod/greatest/least (A10's ratio math)",
+)
+def func_math_lineitem(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000).alias("absdev"),
+        F.floor("l_quantity").alias("fq"),
+        F.ceil("l_quantity").alias("cq"),
+        F.round("l_extendedprice", 0).alias("rp"),
+        F.sqrt("l_quantity").alias("sq"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.pmod("l_partkey", F.lit(7)).cast("long").alias("pm"),
+        F.greatest("l_discount", "l_tax").alias("gmax"),
+        F.least("l_discount", "l_tax").alias("lmin"),
+    )
+
+
+@register(
+    "func_array_embeddings",
+    """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       embedding[1] AS first_elem,
+       embedding[-1] AS last_elem,
+       list_min(embedding) AS amin,
+       list_max(embedding) AS amax
+FROM embeddings
+""",
+    doc="array family: size, element_at (incl. negative index), array min/max",
+)
+def func_array_embeddings(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.element_at("embedding", -1).alias("last_elem"),
+        F.array_min("embedding").alias("amin"),
+        F.array_max("embedding").alias("amax"),
+    )
+
+
+@register(
+    "func_json_events",
+    """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_mod,
+       json_extract_string(props, '$.k') IS NOT NULL AS has_k
+FROM events
+""",
+    doc="JSON family: path extraction + typing (A2's semi-structured parse)",
+)
+def func_json_events(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.pmod(k, F.lit(10)).cast("long").alias("k_mod"),
+        k.isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "func_case_bucket_customers",
+    """
+SELECT c_mktsegment,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 1000 THEN 'low'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY 1, 2
+""",
+    doc="CASE WHEN bucketing + grouped agg (A10's conditional expressions)",
+)
+def func_case_bucket_customers(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir)
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.withColumn("bucket", bucket)
+        .groupBy("c_mktsegment", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "func_null_handling",
+    """
+SELECT l_orderkey, l_linenumber,
+       nullif(l_discount, 0.0) AS disc_or_null,
+       coalesce(nullif(l_discount, 0.0), -1.0) AS disc_filled,
+       nullif(l_discount, 0.0) IS NULL AS no_discount
+FROM lineitem
+""",
+    doc="null predicates: nullif/coalesce/isNull (A8's missing-field semantics)",
+)
+def func_null_handling(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_null.alias("disc_or_null"),
+        F.coalesce(disc_null, F.lit(-1.0)).alias("disc_filled"),
+        disc_null.isNull().alias("no_discount"),
+    )

@@ -1,0 +1,374 @@
+"""Window functions, set operations, grouping analytics (SURVEY.md §2
+Part B: ranking, lag/lead, running + range frames, ntile/percent_rank,
+union/intersect/except, rollup/cube/grouping sets, pivot, conditional &
+distinct aggregation, per-group first/last, top-k).
+
+Determinism: every window ORDER BY carries a total tie-break key
+(event_id / custkey / orderkey) so ranks are engine-independent; running
+sums accumulate DECIMAL. Computed ints are cast to BIGINT on the Spark
+side to match DuckDB's default integer width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.queries.relational import dec
+from feature_store_2_spark.sources.tables import load_table
+
+
+@register(
+    "window_rank_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders)
+WHERE rn <= 3
+""",
+    doc="per-group top-k via ranking window (one shuffle on the partition key)",
+)
+def window_rank_orders_per_customer(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_lag_value_delta",
+    """
+SELECT event_id, user_id, value,
+       value - lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS delta
+FROM events
+""",
+    doc="lag/lead analytics: per-user event value delta (grant-change shape, A18)",
+)
+def window_lag_value_delta(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "window_running_spend",
+    """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(12,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS cum_spend
+FROM events
+WHERE event_type = 'purchase'
+""",
+    doc="running cumulative aggregate (A7 batch analog), exact decimal frame",
+)
+def window_running_spend(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "purchase")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+@register(
+    "window_trailing_10min_count",
+    """
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+           AS n_last_10min
+FROM events
+""",
+    doc="range frame: trailing 10-minute per-user activity (A16 batch analog)",
+)
+def window_trailing_10min_count(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count("*").over(w).alias("n_last_10min")
+    )
+
+
+@register(
+    "window_ntile_percentrank",
+    """
+SELECT c_custkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+    doc="ntile + percent_rank over a global order (single-partition window)",
+)
+def window_ntile_percentrank(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+_HOUSEHOLD = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'HOUSEHOLD'"
+_RICH = "SELECT c_custkey FROM customer WHERE c_acctbal > 4000"
+
+
+@register(
+    "setop_union",
+    f"{_HOUSEHOLD} UNION {_RICH}",
+    doc="UNION (distinct) of two key sets",
+)
+def setop_union(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    a = cust.filter(F.col("c_mktsegment") == "HOUSEHOLD").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 4000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_intersect",
+    f"{_HOUSEHOLD} INTERSECT {_RICH}",
+    doc="INTERSECT of two key sets",
+)
+def setop_intersect(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    a = cust.filter(F.col("c_mktsegment") == "HOUSEHOLD").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 4000).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "setop_except",
+    f"{_HOUSEHOLD} EXCEPT {_RICH}",
+    doc="EXCEPT of two key sets",
+)
+def setop_except(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    a = cust.filter(F.col("c_mktsegment") == "HOUSEHOLD").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 4000).select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "distinct_user_event_types",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="dedup on a column subset (A5's set semantics)",
+)
+def distinct_user_event_types(spark, sf_dir):
+    return load_table(spark, "events", sf_dir).select("user_id", "event_type").distinct()
+
+
+@register(
+    "agg_first_last_per_user",
+    """
+SELECT user_id,
+       min(event_id) FILTER (WHERE rn_asc = 1)  AS first_event_id,
+       min(event_id) FILTER (WHERE rn_desc = 1) AS last_event_id,
+       min(value)    FILTER (WHERE rn_asc = 1)  AS first_value,
+       min(value)    FILTER (WHERE rn_desc = 1) AS last_value
+FROM (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_asc,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+    FROM events)
+GROUP BY user_id
+""",
+    doc="first/last per group via min_by/max_by on a (ts,event_id) total order",
+)
+def agg_first_last_per_user(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    # min/max over a (ts, event_id) struct = deterministic arg-min/arg-max
+    # in ONE aggregation pass (no window, no second shuffle).
+    key = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", key).alias("first_event_id"),
+        F.max_by("event_id", key).alias("last_event_id"),
+        F.min_by("value", key).alias("first_value"),
+        F.max_by("value", key).alias("last_value"),
+    )
+
+
+@register(
+    "agg_rollup_lineitem",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP hierarchy totals with GROUPING indicators",
+)
+def agg_rollup_lineitem(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count("*").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube_orders",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over two dimensions",
+)
+def agg_cube_orders(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="explicit GROUPING SETS (SQL form through Catalyst)",
+)
+def agg_grouping_sets(spark, sf_dir):
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_conditional_stats",
+    """
+SELECT event_type,
+       count(*) AS n_total,
+       count(CASE WHEN value > 10 THEN 1 END) AS n_high,
+       CAST(sum(CASE WHEN value > 10 THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_high,
+       count(CASE WHEN value > 10 THEN 1 END) / count(*) AS share_high
+FROM events
+GROUP BY event_type
+""",
+    doc="conditional aggregation (A17's denied-user counting shape)",
+)
+def agg_conditional_stats(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    high = F.when(F.col("value") > 10, F.lit(1))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count(high).alias("n_high"),
+        F.sum(F.when(F.col("value") > 10, dec("value"))).cast("double").alias("sum_high"),
+        (F.count(high) / F.count("*")).alias("share_high"),
+    )
+
+
+@register(
+    "agg_distinct_exact",
+    """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CASE WHEN value > 10 THEN user_id END) AS n_high_users
+FROM events
+GROUP BY event_type
+""",
+    doc="exact distinct counts, incl. conditional distinct (A6/A16)",
+)
+def agg_distinct_exact(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("value") > 10, F.col("user_id"))).alias(
+            "n_high_users"
+        ),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    None,  # HLL++ sketches differ across engines — rows-only check
+    doc="approx_count_distinct (HLL++): the 100 TB scale path for A16",
+)
+def agg_approx_distinct(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
+    "pivot_event_type_counts",
+    """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events
+GROUP BY user_id
+""",
+    doc="pivot with a fixed value list (no extra pass to discover values)",
+)
+def pivot_event_type_counts(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    # Fixed pivot values skip Spark's distinct-discovery job.
+    wide = ev.groupBy("user_id").pivot("event_type", types).count()
+    return wide.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "topk_orders_global",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+    doc="global top-k -> TakeOrderedAndProject (no full sort/exchange)",
+)
+def topk_orders_global(spark, sf_dir):
+    return (
+        load_table(spark, "orders", sf_dir)
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
