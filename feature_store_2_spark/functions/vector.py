@@ -1,0 +1,51 @@
+"""Vector math over array<float> embedding columns — built-in expressions
+only (zip_with / aggregate / transform), no UDFs, fully codegen'd and
+row-local (no shuffle, no explode).
+
+Determinism design: IEEE float summation is order-dependent and
+float->DECIMAL casts are engine-specific (DuckDB converts FLOAT through
+its shortest decimal representation), so cross-engine float folds can
+never hash-match. Instead we quantize each component to 24-bit fixed
+point: ``floor(x * 2^24)`` is a pure exponent shift — exact in float32,
+float64, and any engine — and every downstream dot/norm is exact BIGINT
+arithmetic (|x|<16 keeps 64-sum products under 2^63). Cosine then comes
+out of sqrt/divide on identical integers -> bit-identical doubles
+everywhere, while staying within ~6e-8 of the true float cosine. The
+same trick is how you'd bucket/shard vectors reproducibly across a
+1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1 << 24
+
+
+def quantize(arr: Column | str, scale: int = QUANT_SCALE) -> Column:
+    """array<float> -> array<bigint> fixed-point; exact in any engine."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(arr, lambda x: F.floor(x * F.lit(scale)))
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def qnorm2(a: Column) -> Column:
+    """Exact integer squared L2 norm of a quantized vector."""
+    return qdot(a, a)
+
+
+def cosine_from_parts(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
+    """cosine = dot / (|a|*|b|) — single sqrt/mul/div chain on exact
+    integers, so the double result is engine-independent."""
+    return dot.cast("double") / (
+        F.sqrt(norm2_a.cast("double")) * F.sqrt(norm2_b.cast("double"))
+    )

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns.
+
+Two strategies (north-star extension, SURVEY.md §2 Part B "LLM-data"):
+  * brute-force top-k — broadcast the (small) query set against the
+    candidate corpus, cosine per pair, per-query rank. Exact; the right
+    baseline whenever |queries| x |corpus| per executor stays bounded.
+  * LSH-bucketed ANN — deterministic signed-random-projection signature
+    (hyperplane signs derived from crc32, engine-internal), candidates
+    only within matching buckets. The 100 TB path: bucket join instead
+    of cross join; recall tunable by bits/tables.
+
+Both use the exact quantized-integer vector math from
+functions/vector.py — no UDFs, no Python row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.functions.vector import (
+    cosine_from_parts,
+    qdot,
+    qnorm2,
+    quantize,
+)
+
+
+def _prepare(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    q = quantize(F.col(vec_col))
+    return emb.select(
+        F.col(id_col), q.alias("qvec"), qnorm2(q).alias("qn2")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Queries are broadcast (small side); candidates stream through — one
+    narrow pass over the corpus plus a per-query top-k window. At scale
+    the window shuffle is on query_id (tiny), so the heavy side never
+    reshuffles.
+    """
+    cand = _prepare(emb, id_col, vec_col)
+    qry = _prepare(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qn2").alias("q_qn2"),
+    )
+    pairs = cand.join(F.broadcast(qry), F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_from_parts(
+            qdot(F.col("q_qvec"), F.col("qvec")), F.col("q_qn2"), F.col("qn2")
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _srp_signature(qvec: Column, n_bits: int, dim: int) -> Column:
+    """Deterministic signed-random-projection signature: hyperplane
+    component (b, d) has sign +1 iff crc32("b:d") is even. Integer-exact
+    on quantized vectors, so bucket assignment is reproducible across
+    engines, retries, and cluster layouts."""
+    bits = []
+    for b in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(
+                qvec,
+                F.array(
+                    *[
+                        F.when(
+                            F.crc32(F.lit(f"{b}:{d}").cast("binary")) % 2 == 0,
+                            F.lit(1),
+                        )
+                        .otherwise(F.lit(-1))
+                        .cast("long")
+                        for d in range(dim)
+                    ]
+                ),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for bit in bits[1:]:
+        sig = sig * 2 + bit
+    return sig.cast("long")
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP
+    bucket, then exact cosine re-rank. Bucket join replaces the cross
+    join — per-bucket work is |corpus|/2^n_bits on average, the
+    standard ANN trade at 100 TB."""
+    cand = _prepare(emb, id_col, vec_col).withColumn(
+        "bucket", _srp_signature(F.col("qvec"), n_bits, dim)
+    )
+    qry = (
+        _prepare(queries, id_col, vec_col)
+        .withColumn("bucket", _srp_signature(F.col("qvec"), n_bits, dim))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("qn2").alias("q_qn2"),
+            "bucket",
+        )
+    )
+    pairs = cand.join(F.broadcast(qry), on="bucket").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_from_parts(
+            qdot(F.col("q_qvec"), F.col("qvec")), F.col("q_qn2"), F.col("qn2")
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def nearest_centroid_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """One k-means assignment step: per-label centroids, then each
+    vector -> nearest centroid by squared L2 (exact integer form).
+
+    Centroid components are floor(sum/cnt) in quantized units (sum <
+    2^53 so the double division is exact), making dist^2 pure BIGINT
+    arithmetic — deterministic assignments, overflow-safe at any group
+    size. Shape: one agg (tiny k x dim result), broadcast back, one
+    narrow pass over the corpus."""
+    q = _prepare(emb.select(id_col, vec_col, label_col), id_col, vec_col)
+    qlab = emb.select(id_col, label_col).join(q, id_col)
+    sums = qlab.groupBy(label_col).agg(
+        F.array(
+            *[
+                F.sum(F.element_at("qvec", d + 1)).alias(f"s{d}")
+                for d in range(dim)
+            ]
+        ).alias("csum"),
+        F.count("*").alias("cnt"),
+    )
+    centroids = sums.select(
+        F.col(label_col).alias("c_label"),
+        F.transform(
+            "csum", lambda s: F.floor(s.cast("double") / F.col("cnt")).cast("long")
+        ).alias("centroid"),
+    )
+    joined = qlab.crossJoin(F.broadcast(centroids))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy(id_col).orderBy("dist2_q", "c_label")
+    return (
+        joined.select(
+            F.col(id_col), F.col(label_col), F.col("c_label"), dist2.alias("dist2_q")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col(label_col).alias("true_label"),
+            F.col("c_label").alias("assigned_label"),
+            "dist2_q",
+        )
+    )

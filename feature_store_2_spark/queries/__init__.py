@@ -48,7 +48,14 @@ def _load_all() -> None:
         relational,
     )
 
-    for mod in ("windows_setops", "scalar_funcs", "llm_text", "llm_similarity"):
+    for mod in (
+        "windows_setops",
+        "scalar_funcs",
+        "llm_text",
+        "llm_similarity",
+        "multimodal",
+        "streaming_queries",
+    ):
         try:
             __import__(f"feature_store_2_spark.queries.{mod}")
         except ImportError:

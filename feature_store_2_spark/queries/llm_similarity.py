@@ -1,0 +1,117 @@
+"""Embedding similarity-search query family over `embeddings`
+(SURVEY.md Part B extensions): norms, brute-force cosine top-k, LSH
+ANN, nearest-centroid assignment.
+
+All vector math is 24-bit fixed-point (functions/vector.py) so dot
+products are exact BIGINT sums and cosines are bit-identical across
+engines — the DuckDB oracles quantize identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.functions.vector import QUANT_SCALE, qnorm2, quantize
+from feature_store_2_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+    nearest_centroid_assign,
+)
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+DIM = 64
+_QV = f"list_transform(embedding, x -> CAST(floor(x * {QUANT_SCALE}.0) AS BIGINT))"
+
+
+@register(
+    "emb_norms",
+    f"""
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+n AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2_q
+      FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id)
+SELECT vec_id, n2_q, sqrt(CAST(n2_q AS DOUBLE)) / {QUANT_SCALE} AS l2_norm
+FROM n
+""",
+    doc="exact quantized squared-norm + L2 norm per embedding",
+)
+def emb_norms(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    q = quantize("embedding")
+    n2 = qnorm2(q)
+    return e.select(
+        "vec_id",
+        n2.alias("n2_q"),
+        (F.sqrt(n2.cast("double")) / F.lit(QUANT_SCALE)).alias("l2_norm"),
+    )
+
+
+@register(
+    "emb_cosine_topk",
+    f"""
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
+          FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(sum(q.v[i.i] * c.v[i.i]) AS BIGINT) AS dot
+    FROM qv q
+    JOIN qv c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY 1, 2),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+    FROM pairs
+    JOIN norms nq ON pairs.query_id = nq.vec_id
+    JOIN norms nc ON pairs.neighbor_id = nc.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored)
+WHERE rank <= 5
+""",
+    doc="brute-force cosine top-5 for query vectors (vec_id < 10)",
+)
+def emb_cosine_topk(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "emb_lsh_ann_topk",
+    None,  # SRP bucketing uses crc32-seeded hyperplanes (engine-internal)
+    doc="LSH-bucketed approximate top-k (the 100 TB ANN path)",
+)
+def emb_lsh_ann_topk(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    return lsh_ann_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_bits=4)
+
+
+@register(
+    "emb_centroid_assign",
+    f"""
+WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+sums AS (
+    SELECT label AS c_label, i.i AS d,
+           CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
+    FROM qv CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY 1, 2),
+cent AS (SELECT c_label, d,
+                CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) AS c
+         FROM sums),
+dists AS (
+    SELECT q.vec_id, q.label AS true_label, cent.c_label,
+           CAST(sum((q.v[cent.d] - cent.c) * (q.v[cent.d] - cent.c)) AS BIGINT) AS dist2_q
+    FROM qv q CROSS JOIN cent
+    GROUP BY 1, 2, 3)
+SELECT vec_id, true_label, c_label AS assigned_label, dist2_q FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2_q, c_label) AS rn
+    FROM dists)
+WHERE rn = 1
+""",
+    doc="k-means assignment step: nearest per-label centroid, exact integer L2",
+)
+def emb_centroid_assign(spark, sf_dir):
+    return nearest_centroid_assign(load_table(spark, "embeddings", sf_dir))

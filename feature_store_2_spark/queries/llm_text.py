@@ -1,0 +1,295 @@
+"""LLM-data text-analysis + dedup query family over `documents`
+(SURVEY.md Part B extensions): stats, tokens, language-ID, quality,
+fingerprints, exact dedup, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The DuckDB oracles mirror the md5-derived hashing exactly (hex strings
+and digit-folds are engine-portable), so even MinHash signatures and
+SimHash bits hash-match the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.operators.dedup import (
+    N_BANDS,
+    N_MINHASHES,
+    SIMHASH_BITS,
+    exact_dedup_groups,
+    minhash_lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from feature_store_2_spark.operators.text import (
+    LANG_MARKERS,
+    TOKEN_REGEX,
+    avg_word_len,
+    bpe_ish_token_count,
+    lang_guess,
+    marker_hits,
+    n_distinct_words,
+    n_words,
+    normalized_fingerprint,
+    quality_score,
+)
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+
+@register(
+    "doc_text_stats",
+    """
+SELECT doc_id, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars_chk,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_word_len
+FROM documents
+""",
+    doc="text stats: char/word/distinct-word counts, avg word length",
+)
+def doc_text_stats(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars_chk"),
+        n_words("text").alias("n_words"),
+        n_distinct_words("text").alias("n_distinct_words"),
+        avg_word_len("text").alias("avg_word_len"),
+    )
+
+
+@register(
+    "doc_token_counts",
+    f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS DOUBLE)
+           / len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS chars_per_token
+FROM documents
+""",
+    doc="token counting: whitespace + regex (BPE-ish) tokenizers",
+)
+def doc_token_counts(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    bpe = bpe_ish_token_count("text")
+    return d.select(
+        "doc_id",
+        n_words("text").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (F.length("text").cast("double") / bpe).alias("chars_per_token"),
+    )
+
+
+def _lang_oracle() -> str:
+    hit = {
+        lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    top = f"greatest({', '.join(hit.values())})"
+    case = " ".join(
+        f"WHEN {hit[lang]} = {top} THEN '{lang}'" for lang in sorted(hit)
+    )
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {top} = 0 THEN 'und' ELSE (CASE {case} END) END AS guessed_lang,
+       CAST({hit['en']} AS BIGINT) AS en_hits,
+       CASE WHEN {top} = 0 THEN 'und' ELSE (CASE {case} END) END = lang AS agrees
+FROM documents
+"""
+
+
+@register(
+    "doc_lang_guess",
+    _lang_oracle(),
+    doc="language-ID heuristic: marker-token argmax vs the labeled lang",
+)
+def doc_lang_guess(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    guess = lang_guess("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        guess.alias("guessed_lang"),
+        marker_hits("text", LANG_MARKERS["en"]).alias("en_hits"),
+        (guess == F.col("lang")).alias("agrees"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    """
+SELECT doc_id,
+       CASE WHEN length(text) BETWEEN 100 AND 500
+            THEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' '))
+            ELSE (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' '))) / 2 END AS quality,
+       CASE WHEN length(text) BETWEEN 100 AND 500
+            THEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' '))
+            ELSE (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' '))) / 2 END > 0.4 AS is_quality
+FROM documents
+""",
+    doc="quality scoring: lexical diversity with a length window",
+)
+def doc_quality_score(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    q = quality_score("text")
+    return d.select("doc_id", q.alias("quality"), (q > 0.4).alias("is_quality"))
+
+
+@register(
+    "doc_fingerprint_normalized",
+    """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       substring(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8) AS prefix8
+FROM documents
+""",
+    doc="normalization fingerprint (md5 of collapsed lowercase text)",
+)
+def doc_fingerprint_normalized(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    fp = normalized_fingerprint("text")
+    return d.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("prefix8")
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    """
+SELECT md5(text) AS fingerprint, count(*) AS n_dupes, min(doc_id) AS canonical_id
+FROM documents GROUP BY 1
+""",
+    doc="exact dedup: hash-groupBy on md5(text)",
+)
+def dedup_exact_groups(spark, sf_dir):
+    return exact_dedup_groups(load_table(spark, "documents", sf_dir))
+
+
+_SHINGLE_CTE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+    FROM tok)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+SELECT doc1, doc2,
+       CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes s1 ON doc1 = s1.doc_id
+JOIN sizes s2 ON doc2 = s2.doc_id
+WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5
+""",
+    doc="exact word-3-gram Jaccard near-dup pairs (>= 0.5)",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"min(md5('{seed}|' || shingle)) AS h{seed}" for seed in range(N_MINHASHES)
+    )
+    rows = N_MINHASHES // N_BANDS
+    band_exprs = ", ".join(
+        "h" + " || h".join(str(b * rows + r) for r in range(rows))
+        for b in range(N_BANDS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || ".join(f"h{b * rows + r}" for r in range(rows))
+        + " AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+, sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc=f"MinHash ({N_MINHASHES} hashes) + LSH banding ({N_BANDS} bands) candidate pairs",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_candidate_pairs(load_table(spark, "documents", sf_dir))
+
+
+def _hex_fold(expr: str) -> str:
+    """DuckDB expression: first 8 hex chars of md5(expr) -> 32-bit int."""
+    v = "0"
+    for k in range(1, 9):
+        digit = f"(strpos('0123456789abcdef', substring(md5({expr}), {k}, 1)) - 1)"
+        v = f"(({v}) * 16 + {digit})"
+    return v
+
+
+def _simhash_oracle_core() -> str:
+    v = _hex_fold("tok")
+    sums = ", ".join(
+        f"sum(((({v}) >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+bit_sums AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bit_sums)
+"""
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle_core() + "SELECT doc_id, simhash FROM sig",
+    doc="32-bit frequency-weighted SimHash signature per document",
+)
+def dedup_simhash(spark, sf_dir):
+    return simhash(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_simhash_pairs",
+    _simhash_oracle_core()
+    + """
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+    doc="SimHash near-dup pairs (hamming <= 1 of 32 bits; radius tuned to "
+    "the shared-vocab corpus where background pairs sit at hamming >= 2)",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    return simhash_near_pairs(load_table(spark, "documents", sf_dir), max_hamming=1)

@@ -1,0 +1,92 @@
+"""Unit tests for dedup / similarity / text operators on tiny in-memory
+DataFrames (SURVEY.md §5 strategy: per-operator tests + driver oracle)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from feature_store_2_spark.operators.similarity import (
+    brute_force_topk,
+    nearest_centroid_assign,
+)
+from feature_store_2_spark.operators.text import lang_guess, quality_score
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("theta", "thetax")  # one token changed
+    other = "one two three four five six seven eight nine ten " * 4
+    return spark.createDataFrame(
+        [(0, base.strip()), (1, near.strip()), (2, other.strip()), (3, base.strip())],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_finds_identical_docs(spark, docs):
+    groups = {r["canonical_id"]: r["n_dupes"] for r in exact_dedup_groups(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 3 identical
+    assert groups[1] == 1 and groups[2] == 1
+
+
+def test_ngram_jaccard_separates_near_and_far(spark, docs):
+    pairs = {(r["doc1"], r["doc2"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, 0.3).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert 0.3 <= pairs[(0, 1)] < 1.0  # near-dup
+    assert (0, 2) not in pairs  # unrelated
+
+def test_minhash_lsh_recovers_near_dups(spark, docs):
+    pairs = {(r["doc1"], r["doc2"]) for r in minhash_lsh_candidate_pairs(docs).collect()}
+    assert (0, 3) in pairs and (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = {(r["doc1"], r["doc2"]): r["hamming"] for r in simhash_near_pairs(docs, 6).collect()}
+    assert pairs[(0, 3)] == 0
+    assert (0, 2) not in pairs
+
+
+def test_brute_force_topk_ranks_identical_vector_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near-identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    by_id = {r["neighbor_id"]: r["cosine"] for r in out}
+    assert by_id[1] > 0.99 and abs(by_id[2]) < 1e-6 and by_id[3] < -0.99
+
+
+def test_nearest_centroid_assigns_clusters(spark):
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0),
+        (2, [0.0, 1.0], 1), (3, [0.1, 0.9], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r["assigned_label"] for r in nearest_centroid_assign(emb, dim=2).collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_lang_guess_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat of the house saw a mouse"),
+            (1, "der hund und die katze und das haus"),
+            (2, "xyzzy plugh quux"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["g"] for r in df.select("doc_id", lang_guess("text").alias("g")).collect()}
+    assert got == {0: "en", 1: "de", 2: "und"}
+    q = {r["doc_id"]: r["q"] for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert 0 < q[0] <= 1.0
