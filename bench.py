@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly
+one JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a ``noop``-format write (full
+computation on executors, zero driver collect), which is the honest
+cluster-shaped measurement: it exercises scan, shuffle, and codegen
+without driver-side materialization bias.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from feature_store_2_spark.queries import CATALOG  # noqa: E402
+from feature_store_2_spark.session import get_spark  # noqa: E402
+
+# Headline set: spans scan/agg (q1), join+topk (q3), multi-join (q5),
+# the reference's full feature dataflow, window frames, dedup (exact +
+# MinHash-LSH), similarity top-k, and rollup analytics.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "fs_purchase_allowlist",
+    "fs_windowed_denial_rate",
+    "window_running_spend",
+    "window_rank_orders_per_customer",
+    "agg_rollup_lineitem",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "emb_cosine_topk",
+    "doc_token_counts",
+]
+
+
+def force(df) -> int:
+    """Execute the full plan on executors without collecting rows."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("feature_store_2_spark-bench")
+    by_name = {q.name: q for q in CATALOG}
+    # Warm the JVM/codegen once on the cheapest query so per-query times
+    # measure the plan, not first-call JIT.
+    force(by_name["q1_pricing_summary"].fn(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = by_name[name]
+        t0 = time.perf_counter()
+        force(q.fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = None
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        pass
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
