@@ -141,16 +141,16 @@ def rule_columns(config: EngineConfig = DEFAULT_CONFIG) -> dict[str, Column]:
     return cols
 
 
-def feature_grants_wide(
-    events: DataFrame, config: EngineConfig = DEFAULT_CONFIG
+def grants_wide_from_aggregates(
+    aggs: DataFrame, config: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """user_id + one boolean column per feature (grant <=> all rules abide).
+    """Rules + feature conjunctions over an already-built per-user
+    aggregate table (one row per user_id, one column per aggregate).
 
-    Declarative semantics of services/event_processer.py:50-63 — the
-    reference's unreachable re-grant branch makes its revocations sticky;
-    we implement the conjunction it declares (SURVEY.md §2 A14).
-    """
-    aggs = user_aggregates(events, config)
+    Shared by the batch pipeline below and the streaming path
+    (streaming/pipeline.py), which maintains the aggregate table
+    incrementally — same Column expressions, so batch and streaming
+    grants are equivalent by construction."""
     rules = rule_columns(config)
     out = aggs
     for name, col in rules.items():
@@ -163,6 +163,18 @@ def feature_grants_wide(
     return out
 
 
+def feature_grants_wide(
+    events: DataFrame, config: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """user_id + one boolean column per feature (grant <=> all rules abide).
+
+    Declarative semantics of services/event_processer.py:50-63 — the
+    reference's unreachable re-grant branch makes its revocations sticky;
+    we implement the conjunction it declares (SURVEY.md §2 A14).
+    """
+    return grants_wide_from_aggregates(user_aggregates(events, config), config)
+
+
 def feature_grants_long(
     events: DataFrame, config: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -171,7 +183,11 @@ def feature_grants_long(
     (services/user_feature.py:22,75-79). Point lookups (A15) are
     filters on this table; at scale it lives in Delta, clustered by
     user_id, MERGE-updated by the streaming path."""
-    wide = feature_grants_wide(events, config)
+    return melt_grants(feature_grants_wide(events, config), config)
+
+
+def melt_grants(wide: DataFrame, config: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Wide per-feature boolean columns -> long (user_id, feature, has_grant)."""
     pairs = ", ".join(f"'{f.name}', {f.name}_grant" for f in config.features)
     return wide.select(
         "user_id",

@@ -1,0 +1,40 @@
+"""Structured Streaming path — the reference's true shape (SURVEY.md §7 Phase 3).
+
+The reference is an event-driven service: HTTP ingest -> asyncio queue ->
+consumer tasks updating per-user state -> rule/feature evaluation ->
+grant upserts + notifications, plus a 15-second circuit-breaker loop
+(/root/reference/app_builder.py:134-187). Here that whole lifecycle is
+three Structured Streaming constructs:
+
+  * ``read_event_stream``  — file-source readStream (the queue, A1/A3)
+  * ``streaming_user_aggregates`` + ``run_grants_pipeline`` — per-user
+    stateful aggregation (applyInPandasWithState) feeding a foreachBatch
+    sink that upserts the grants store and emits grant-change
+    notifications (A5-A14, A18)
+  * ``streaming_denial_rate``  — watermarked sliding-window denial-rate /
+    circuit-breaker aggregation (A16/A17)
+"""
+
+from feature_store_2_spark.streaming.pipeline import (
+    read_event_stream,
+    run_grants_pipeline,
+    streaming_user_aggregates,
+)
+from feature_store_2_spark.streaming.breaker import streaming_denial_rate
+from feature_store_2_spark.streaming.grants_store import (
+    has_grant,
+    read_grants,
+    read_notifications,
+    upsert_grants,
+)
+
+__all__ = [
+    "read_event_stream",
+    "streaming_user_aggregates",
+    "run_grants_pipeline",
+    "streaming_denial_rate",
+    "read_grants",
+    "read_notifications",
+    "upsert_grants",
+    "has_grant",
+]

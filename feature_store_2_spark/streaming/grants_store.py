@@ -1,0 +1,144 @@
+"""Grants store: keyed upsert table + change notifications + point lookup.
+
+Reference parity: ``UserFeatureService._grants`` is an in-heap
+``user_id -> {feature: bool}`` map with default grant True
+(/root/reference/services/user_feature.py:22,75-79); flips emit
+``access_granted``/``access_revoked`` notifications
+(services/user_feature.py:81-96, services/notifications.py:11-25); the
+serving path is a point lookup with circuit fail-open
+(app.py:63-79, services/user_feature.py:46-55).
+
+Storage here is a versioned parquet directory (``v0``, ``v1``, ... plus a
+``_LATEST`` pointer written last, so readers never see a half-written
+version). This container has no Delta Lake; on a real deployment this
+module is one ``MERGE INTO grants`` on a Delta/Iceberg table clustered by
+user_id — the upsert below is the same left-anti + union plan Delta's
+MERGE lowers to, minus the transaction log. Point lookups at serving
+scale come off this table via key clustering (Z-order) or an exported KV
+snapshot; the filter below pushes ``user_id == x`` into the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GRANT_KEYS = ("user_id", "feature")
+
+
+def _latest_path(path: str) -> str:
+    return os.path.join(path, "_LATEST")
+
+
+def _version_dir(path: str, version: int) -> str:
+    return os.path.join(path, f"v{version}")
+
+
+def current_version(path: str) -> int | None:
+    try:
+        with open(_latest_path(path)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def read_grants(spark: SparkSession, path: str) -> DataFrame | None:
+    """Latest committed grants snapshot (user_id, feature, has_grant)."""
+    version = current_version(path)
+    if version is None:
+        return None
+    return spark.read.parquet(_version_dir(path, version))
+
+
+def upsert_grants(new: DataFrame, path: str) -> None:
+    """MERGE-style upsert: rows matching on (user_id, feature) are
+    replaced, everything else is carried forward. Writes a new version
+    dir and commits by swapping the ``_LATEST`` pointer (atomic on a
+    local FS; Delta MERGE in production)."""
+    spark = new.sparkSession
+    old = read_grants(spark, path)
+    merged = (
+        new
+        if old is None
+        else old.join(new, list(GRANT_KEYS), "left_anti").unionByName(new)
+    )
+    cur = current_version(path)  # NB: may be 0, which is falsy
+    version = (cur if cur is not None else -1) + 1
+    target = _version_dir(path, version)
+    merged.write.mode("overwrite").parquet(target)
+    tmp = _latest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _latest_path(path))
+    # Retire superseded versions (keep the previous one for readers
+    # mid-scan; a real deployment VACUUMs by retention window).
+    for stale in range(version - 1):
+        shutil.rmtree(_version_dir(path, stale), ignore_errors=True)
+
+
+def grant_changes(new: DataFrame, old: DataFrame | None) -> DataFrame:
+    """Notification rows for grant flips (user_id, feature, notification).
+
+    Default grant is True (services/user_feature.py:75-79), so a user's
+    first-ever ``has_grant = False`` row is a revocation and an initial
+    True row is NOT a grant notification — exactly the reference's flip
+    detection at services/user_feature.py:32-44.
+    """
+    if old is None:
+        changed = new.filter(~F.col("has_grant"))
+    else:
+        prev = old.select(
+            "user_id", "feature", F.col("has_grant").alias("prev_grant")
+        )
+        changed = (
+            new.join(prev, list(GRANT_KEYS), "left")
+            .filter(F.col("has_grant") != F.coalesce(F.col("prev_grant"), F.lit(True)))
+            .select("user_id", "feature", "has_grant")
+        )
+    return changed.select(
+        "user_id",
+        "feature",
+        F.when(F.col("has_grant"), F.lit("access_granted"))
+        .otherwise(F.lit("access_revoked"))
+        .alias("notification"),
+    )
+
+
+def append_notifications(notifications: DataFrame, path: str) -> None:
+    """Fan-out sink (stubbed-HTTP in the reference,
+    services/notifications.py:16-25) -> append-only parquet log; a real
+    deployment points this at Kafka/webhooks via the same foreachBatch."""
+    notifications.write.mode("append").parquet(path)
+
+
+def read_notifications(spark: SparkSession, path: str) -> DataFrame | None:
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def has_grant(
+    spark: SparkSession,
+    grants_path: str,
+    user_id: int,
+    feature: str,
+    circuit_open: bool = False,
+) -> bool:
+    """Point lookup (A15, app.py:63-79). Open circuit => fail-open allow
+    (services/user_feature.py:49-52); unknown user => default True
+    (services/user_feature.py:75-79)."""
+    if circuit_open:
+        return True
+    grants = read_grants(spark, grants_path)
+    if grants is None:
+        return True
+    row = (
+        grants.filter((F.col("user_id") == user_id) & (F.col("feature") == feature))
+        .select("has_grant")
+        .limit(1)
+        .collect()
+    )
+    return bool(row[0][0]) if row else True

@@ -1,0 +1,215 @@
+"""Streaming ingest -> per-user stateful aggregates -> grants foreachBatch.
+
+Reference parity: this is the consumer side of the reference — events
+pulled off the queue by EventConsumer.consume
+(/root/reference/services/event_processer.py:79-90), applied to per-user
+accumulators (models/aggregate.py:41-83), then rules/features evaluated
+and grants flipped (services/event_processer.py:25-66,
+services/user_feature.py:32-44). The asyncio queue becomes a file-source
+readStream; the three consumer tasks become Spark's per-partition
+parallelism; the in-heap accumulator dicts become keyed state in
+``applyInPandasWithState``; the grant flips + notifications become a
+``foreachBatch`` sink over the grants store.
+
+Why applyInPandasWithState and not a plain watermarked streaming agg:
+the reference's aggregates need per-user *distinct* accumulation
+(uuid-dedup COUNT/SUM, DISTINCT_COUNT(field) — models/aggregate.py:53-68)
+and ``countDistinct`` is not supported inside streaming aggregations, so
+the per-user distinct sets live in keyed state exactly as the reference
+keeps them in heap dicts. State is Arrow-batched per key group — the
+Python boundary processes whole pandas frames, never row-at-a-time.
+
+Scale notes (100 TB / 1000 executors): state is partitioned by user_id
+hash across executors and checkpointed (RocksDB state store in prod
+config); per-user state is bounded by that user's activity, exactly the
+reference's memory model minus the single-process ceiling. The uuid set
+per user is the dominant term — at extreme per-user volumes swap the
+exact set for ``dropDuplicatesWithinWatermark`` upstream (bounded by the
+watermark) plus plain counters in state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from feature_store_2_spark.config import DEFAULT_CONFIG, AggregateType, EngineConfig
+from feature_store_2_spark.plans.feature_pipeline import (
+    _field_col,
+    grants_wide_from_aggregates,
+    melt_grants,
+)
+from feature_store_2_spark.schemas import EVENT_ENVELOPE
+from feature_store_2_spark.streaming.grants_store import (
+    append_notifications,
+    grant_changes,
+    read_grants,
+    upsert_grants,
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source event stream (the reference's queue, A1/A3). New
+    parquet files dropped into ``path`` are discovered per micro-batch;
+    in production this is the same code with ``format("kafka")``."""
+    return spark.readStream.schema(EVENT_ENVELOPE).parquet(path)
+
+
+def _state_fields(config: EngineConfig) -> list[tuple[str, T.DataType]]:
+    """Keyed-state layout: the per-user accumulators of
+    models/aggregate.py:41-83. seen_ids mirrors the per-user uuid set;
+    SUM accumulates exact integer cents so streaming totals are
+    bit-identical to the batch pipeline's decimal accumulation."""
+    fields: list[tuple[str, T.DataType]] = [("seen_ids", T.ArrayType(T.LongType()))]
+    for spec in config.aggregates:
+        if spec.type is AggregateType.COUNT:
+            fields.append((spec.name, T.LongType()))
+        elif spec.type is AggregateType.DISTINCT_COUNT:
+            fields.append((spec.name, T.ArrayType(T.StringType())))
+        else:  # SUM, integer cents
+            fields.append((spec.name, T.LongType()))
+    return fields
+
+
+def _output_schema(config: EngineConfig) -> T.StructType:
+    """Matches batch ``user_aggregates`` output exactly (same names,
+    same types) so the downstream rule/feature Columns are shared."""
+    fields = [T.StructField("user_id", T.LongType())]
+    for spec in config.aggregates:
+        dtype = (
+            T.DoubleType() if spec.type is AggregateType.SUM else T.LongType()
+        )
+        fields.append(T.StructField(spec.name, dtype))
+    return T.StructType(fields)
+
+
+def streaming_user_aggregates(
+    events: DataFrame, config: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Streaming per-user aggregate table: emits one updated row per
+    user per micro-batch (update semantics), same schema as the batch
+    ``user_aggregates``."""
+    field_names: dict[str, str] = {}
+    for spec in config.aggregates:
+        if spec.field and spec.field not in field_names:
+            field_names[spec.field] = f"__f{len(field_names)}"
+
+    projected = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        *[_field_col(f).cast("double").alias(n) for f, n in field_names.items()],
+    )
+
+    state_fields = _state_fields(config)
+    state_schema = T.StructType(
+        [T.StructField(n, t) for n, t in state_fields]
+    )
+    out_schema = _output_schema(config)
+    specs = config.aggregates
+    fnames = dict(field_names)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stored = state.get
+            seen = set(stored[0] or [])
+            accs = list(stored[1:])
+        else:
+            seen = set()
+            accs = [
+                0 if s.type is not AggregateType.DISTINCT_COUNT else []
+                for s in specs
+            ]
+        distinct_sets = [
+            set(a or []) if s.type is AggregateType.DISTINCT_COUNT else None
+            for s, a in zip(specs, accs)
+        ]
+        for pdf in pdfs:
+            # Exactly-once per uuid (models/aggregate.py:53-57): drop
+            # already-seen event ids, then within-batch duplicates.
+            pdf = pdf[~pdf["event_id"].isin(seen)]
+            pdf = pdf.drop_duplicates(subset=["event_id"])
+            if pdf.empty:
+                continue
+            seen.update(int(x) for x in pdf["event_id"])
+            for i, spec in enumerate(specs):
+                rows = pdf[pdf["event_type"] == spec.event_name]
+                if rows.empty:
+                    continue
+                if spec.type is AggregateType.COUNT:
+                    accs[i] += len(rows)
+                elif spec.type is AggregateType.DISTINCT_COUNT:
+                    vals = rows[fnames[spec.field]].dropna()
+                    distinct_sets[i].update(str(v) for v in vals)
+                else:  # SUM in exact integer cents
+                    vals = rows[fnames[spec.field]].dropna()
+                    accs[i] += int(round(float(vals.sum()) * 100))
+        new_state = [sorted(seen)]
+        for i, spec in enumerate(specs):
+            if spec.type is AggregateType.DISTINCT_COUNT:
+                new_state.append(sorted(distinct_sets[i]))
+            else:
+                new_state.append(accs[i])
+        state.update(tuple(new_state))
+        row: dict[str, object] = {"user_id": key[0]}
+        for i, spec in enumerate(specs):
+            if spec.type is AggregateType.COUNT:
+                row[spec.name] = accs[i]
+            elif spec.type is AggregateType.DISTINCT_COUNT:
+                row[spec.name] = len(distinct_sets[i])
+            else:
+                row[spec.name] = accs[i] / 100.0
+        yield pd.DataFrame([row])
+
+    return projected.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_grants_pipeline(
+    spark: SparkSession,
+    events_path: str,
+    grants_path: str,
+    notifications_path: str,
+    checkpoint_path: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> None:
+    """End-to-end streaming run: ingest all currently-available event
+    files (``availableNow`` trigger — incremental, resumes from the
+    checkpoint), update per-user state, upsert grants, append
+    grant-change notifications. Calling it again after new files land
+    processes only the new data — the reference's always-on consumer
+    loop, here as repeatable catch-up batches."""
+    aggs = streaming_user_aggregates(read_event_stream(spark, events_path), config)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            new = melt_grants(
+                grants_wide_from_aggregates(batch_df, config), config
+            ).persist()
+            old = read_grants(batch_df.sparkSession, grants_path)
+            append_notifications(grant_changes(new, old), notifications_path)
+            upsert_grants(new, grants_path)
+        finally:
+            batch_df.unpersist()
+
+    query = (
+        aggs.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

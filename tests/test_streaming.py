@@ -1,0 +1,147 @@
+"""Streaming-path tests (SURVEY.md §5 strategy #4): file-source stream,
+availableNow trigger, fixed event-time columns instead of freezegun.
+
+The headline assertion is batch/streaming equivalence: the streaming
+pipeline over the sf0.001 events parquet must produce exactly the grants
+the batch pipeline computes — the two share the rule/feature Columns, so
+this pins the stateful-aggregation layer (dedup, distinct sets, exact
+cent-sums) to the batch semantics the DuckDB oracle already checks.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.sources.tables import load_table
+
+from feature_store_2_spark.config import (
+    DEFAULT_CONFIG,
+    AggregateSpec,
+    AggregateType,
+    EngineConfig,
+    FeatureSpec,
+    RuleCondition,
+    RuleOperation,
+    RuleSpec,
+)
+from feature_store_2_spark.plans.feature_pipeline import feature_grants_long
+from feature_store_2_spark.streaming import (
+    has_grant,
+    read_grants,
+    read_notifications,
+    run_grants_pipeline,
+    streaming_denial_rate,
+)
+
+
+def _paths(tmp_path):
+    return (
+        str(tmp_path / "events"),
+        str(tmp_path / "grants"),
+        str(tmp_path / "notifications"),
+        str(tmp_path / "checkpoint"),
+    )
+
+
+def test_streaming_grants_match_batch(spark, sf_dir, tmp_path):
+    events_dir, grants_dir, notes_dir, ckpt = _paths(tmp_path)
+    # Stage the driver's events through the same nanos->micros ts
+    # normalization the batch source applies (sources/tables.py).
+    events = load_table(spark, "events", sf_dir)
+    events.write.parquet(events_dir)
+
+    run_grants_pipeline(spark, events_dir, grants_dir, notes_dir, ckpt)
+
+    streamed = read_grants(spark, grants_dir).orderBy("user_id", "feature")
+    expected = feature_grants_long(events).orderBy("user_id", "feature")
+    assert streamed.count() == expected.count() > 0
+    assert [tuple(r) for r in streamed.collect()] == [
+        tuple(r) for r in expected.collect()
+    ]
+
+
+TEST_CONFIG = EngineConfig(
+    aggregates=(
+        AggregateSpec("errors", "error", AggregateType.COUNT),
+        AggregateSpec("spend", "purchase", AggregateType.SUM, "value"),
+    ),
+    rules=(
+        RuleSpec("few_errors", ("errors",), RuleOperation.VALUE, RuleCondition.LESS_THAN, 2),
+    ),
+    features=(FeatureSpec("message", ("few_errors",)),),
+)
+
+
+def _write_events(spark, path, rows, mode="append"):
+    ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(eid, ts, uid, etype, val, None) for eid, uid, etype, val in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def test_incremental_batches_dedup_and_notifications(spark, tmp_path):
+    """Two catch-up runs: duplicate uuids ignored across batches, state
+    persists via the checkpoint, grant flip emits access_revoked."""
+    events_dir, grants_dir, notes_dir, ckpt = _paths(tmp_path)
+
+    # Batch 1: user 1 has one error -> grant holds (1 < 2).
+    _write_events(spark, events_dir, [(100, 1, "error", None), (101, 1, "purchase", 5.0)])
+    run_grants_pipeline(spark, events_dir, grants_dir, notes_dir, ckpt, TEST_CONFIG)
+    assert has_grant(spark, grants_dir, 1, "message") is True
+    assert read_notifications(spark, notes_dir).count() == 0
+
+    # Batch 2: duplicate event 100 (ignored) + new error 102 -> 2 errors,
+    # rule fails, feature revoked, notification emitted.
+    _write_events(spark, events_dir, [(100, 1, "error", None), (102, 1, "error", None)])
+    run_grants_pipeline(spark, events_dir, grants_dir, notes_dir, ckpt, TEST_CONFIG)
+    assert has_grant(spark, grants_dir, 1, "message") is False
+    notes = read_notifications(spark, notes_dir).collect()
+    assert [(r.user_id, r.feature, r.notification) for r in notes] == [
+        (1, "message", "access_revoked")
+    ]
+
+    # Batch 3: no new events for user 1 -> nothing changes; and a fresh
+    # user's first all-True grant row emits no notification.
+    _write_events(spark, events_dir, [(200, 2, "purchase", 1.0)])
+    run_grants_pipeline(spark, events_dir, grants_dir, notes_dir, ckpt, TEST_CONFIG)
+    assert read_notifications(spark, notes_dir).count() == 1
+    assert has_grant(spark, grants_dir, 1, "message") is False  # sticky until regrant
+    assert has_grant(spark, grants_dir, 2, "message") is True
+
+    # Point-lookup semantics (A15): unknown user defaults True; open
+    # circuit fails open even for a revoked user.
+    assert has_grant(spark, grants_dir, 999, "message") is True
+    assert has_grant(spark, grants_dir, 1, "message", circuit_open=True) is True
+
+
+def test_streaming_denial_rate_window(spark, tmp_path):
+    """Sliding-window breaker over a memory sink: 1 denied of 10 users
+    in-window -> 10% > 5% threshold -> circuit opens."""
+    events_dir = str(tmp_path / "events")
+    rows = [(i, i, "purchase", 100.0 if i == 0 else 1.0) for i in range(10)]
+    _write_events(spark, events_dir, rows)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(events_dir)
+    rates = streaming_denial_rate(
+        stream, denied=F.col("value") > 50.0, slide="5 minutes", key="event_type"
+    )
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("breaker_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        "select * from breaker_test where total_users = 10"
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.denied_users == 1
+        assert abs(r.denial_rate - 0.1) < 1e-9
+        assert r.circuit_open is True
