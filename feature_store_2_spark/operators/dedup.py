@@ -55,7 +55,15 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def shingle_exploded(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    return docs.select(
+    # Repartition by doc id BEFORE the explode: a compact documents
+    # parquet often scans as few partitions, which would serialize the
+    # shingle/hash work onto a handful of cores; hashing the narrow doc
+    # rows across the cluster first is one cheap shuffle. The explicit
+    # partition count matters: compressed docs look tiny to AQE, which
+    # would coalesce a bare repartition(col) back to ~1 partition even
+    # though the post-explode CPU work is large.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
 
@@ -70,7 +78,9 @@ def ngram_jaccard_pairs(
     """Exact pairwise Jaccard over word n-gram shingle sets, keeping
     pairs >= threshold. Jaccard = |∩| / (|A|+|B|-|∩|) — one integer
     division, engine-exact."""
-    sh = shingle_exploded(docs, text_col, id_col, n)
+    # Persisted: the shingle table feeds the pair self-join twice plus
+    # the per-doc size aggregate (three scans of one explode).
+    sh = shingle_exploded(docs, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -127,12 +137,17 @@ def minhash_lsh_candidate_pairs(
     >=1 LSH band. The equi-join on (band_idx, band_key) is the scale
     path — no quadratic shingle join."""
     sig = minhash_signatures(docs, text_col, id_col)
+    # Persist the banded signature table: the candidate self-join reads
+    # it twice (broadcast + streamed side), and without this each side
+    # re-runs the whole shingle+minhash pipeline — 2x the dominant cost.
+    # At 100 TB this materialization is a real signature table written
+    # to storage once and joined thereafter (4 narrow rows per doc).
     bands = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
             "band_idx", "band_key"
         ),
-    )
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -161,7 +176,12 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """Frequency-weighted 32-bit SimHash per document: explode tokens,
     one grouped agg summing +/-1 per bit, recombine. Bit b of the
     signature is 1 iff Σ_tokens (2*bit_b(h)-1) > 0."""
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    # Same pre-explode spread as shingle_exploded (explicit count so AQE
+    # doesn't coalesce the small compressed input back to one partition).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     h = _token_hash32(F.col("tok"))
     bit_sums = tok.groupBy(id_col).agg(
         *[
@@ -190,7 +210,8 @@ def simhash_near_pairs(
     Gate-scale uses the direct pairwise form; at 100 TB, pre-bucket by
     signature bytes (each <=k-hamming pair shares >=1 exact byte for
     k<8) and join within buckets."""
-    sig = simhash(docs, text_col, id_col)
+    # Persisted: both sides of the pairwise join read the signatures.
+    sig = simhash(docs, text_col, id_col).persist()
     a, b = sig.alias("a"), sig.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
