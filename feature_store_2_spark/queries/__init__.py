@@ -49,6 +49,7 @@ def _load_all() -> None:
     )
 
     for mod in (
+        "relational2",
         "windows_setops",
         "scalar_funcs",
         "llm_text",

@@ -1,0 +1,414 @@
+"""Second relational query family: harder TPC-H-style multi-joins,
+subquery shapes, full-outer joins, ordered/statistical aggregates,
+sessionization, word explode, portable hash functions, embedding
+near-dup pairs (SURVEY.md §2 Part B widening).
+
+Determinism: every double aggregate accumulates in DECIMAL; quantile
+outputs are rounded identically on both engines; array-ish results are
+folded to strings (sorted, comma-joined) so hashes are representation-
+independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.functions.vector import (
+    QUANT_SCALE,
+    cosine_from_parts,
+    qdot,
+    qnorm2,
+    quantize,
+)
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.queries.relational import dec
+from feature_store_2_spark.sources.tables import load_table
+
+
+@register(
+    "q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 analog: EXISTS decorrelated to a left-semi join + agg",
+)
+def q4_order_priority(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    # EXISTS == left-semi join; the correlated predicate rides in the
+    # join condition, so Catalyst plans one shuffle on orderkey and
+    # never materializes the duplicated lineitem side.
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q7_nation_volume",
+    """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name < sn.n_name
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q7 analog: 5-way join, two broadcast dims, nation-pair volume",
+)
+def q7_nation_volume(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cn = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    # Fact-fact joins shuffle on their keys; every dim (customer,
+    # supplier, nation x2) broadcasts. The asymmetric nation-pair filter
+    # halves the pair space before the agg.
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 analog: returned-item revenue per customer, top 20",
+)
+def q10_returned_revenue(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "join_full_outer_nation_counts",
+    """
+WITH cc AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+            FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+ss AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+       FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+SELECT coalesce(cc.nk, ss.nk) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+""",
+    doc="full-outer join with null-fill: high-balance customer vs supplier counts",
+)
+def join_full_outer_nation_counts(spark, sf_dir):
+    cc = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    ss = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cc.join(ss, cc.cnk == ss.snk, "full_outer").select(
+        F.coalesce("cnk", "snk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "subquery_in_bulk_parts",
+    """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+""",
+    doc="IN-subquery shape: decorrelated to a left-semi join on partkey",
+)
+def subquery_in_bulk_parts(spark, sf_dir):
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") >= 49)
+    return part.join(
+        li, part.p_partkey == li.l_partkey, "left_semi"
+    ).select("p_partkey", "p_brand", "p_retailprice")
+
+
+@register(
+    "agg_median_quantiles",
+    """
+SELECT l_returnflag,
+       round(median(l_quantity), 6) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+       round(quantile_cont(l_discount, 0.25), 6) AS p25_discount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="exact statistical aggregates: median + interpolated quantiles",
+)
+def agg_median_quantiles(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    # Exact (non-approx) percentile: both engines use linear
+    # interpolation at p*(n-1); rounding to 6 decimals absorbs the
+    # last-ulp difference of the interpolation arithmetic.
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+        F.round(F.percentile("l_discount", F.lit(0.25)), 6).alias("p25_discount"),
+    )
+
+
+@register(
+    "agg_collect_event_types",
+    """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+       count(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+""",
+    doc="collect_set materialized portably: sorted distinct set -> csv string",
+)
+def agg_collect_event_types(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "event_types"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "agg_bool_user_flags",
+    """
+SELECT user_id,
+       bool_and(value > 0.5) AS all_above_half,
+       bool_or(event_type = 'error') AS any_error,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+    doc="boolean aggregates (A12's every/some over per-user rows)",
+)
+def agg_bool_user_flags(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.bool_and(F.col("value") > 0.5).alias("all_above_half"),
+        F.bool_or(F.col("event_type") == "error").alias("any_error"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                THEN 0 ELSE 1 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start_epoch,
+       CAST(epoch_us(max(ts)) // 1000000 AS BIGINT) AS session_end_epoch
+FROM sessions
+GROUP BY 1, 2
+""",
+    doc="batch sessionization (30-min gap): the session_window analog via lag+cumsum",
+)
+def sessionize_events(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    # Both windows carry event_id as total tie-break (ties on ts exist),
+    # and the gap test runs on microseconds — second-truncated arithmetic
+    # would move events across the 30-minute boundary vs the oracle.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wcum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.min("ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("session_start_epoch"),
+        (F.unix_micros(F.max("ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("session_end_epoch"),
+    )
+
+
+@register(
+    "explode_top_words",
+    """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+""",
+    doc="explode/unnest + global top-k: most common words across documents",
+)
+def explode_top_words(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    n_parts = spark.sparkContext.defaultParallelism
+    # Same pre-explode spread as the dedup operators, then one partial-
+    # aggregated shuffle on word and TakeOrderedAndProject for the top-k.
+    return (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+    )
+
+
+@register(
+    "func_hash_family",
+    """
+SELECT event_id,
+       md5(props) AS props_md5,
+       sha256(props) AS props_sha256,
+       md5(CAST(event_id AS VARCHAR) || '|' || event_type) AS row_key
+FROM events
+WHERE props IS NOT NULL
+""",
+    doc="portable hash family: md5 / sha-256 content hashes + composite row key",
+)
+def func_hash_family(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).filter(F.col("props").isNotNull())
+    return ev.select(
+        "event_id",
+        F.md5(F.col("props").cast("binary")).alias("props_md5"),
+        F.sha2(F.col("props").cast("binary"), 256).alias("props_sha256"),
+        F.md5(
+            F.concat(
+                F.col("event_id").cast("string"), F.lit("|"), F.col("event_type")
+            ).cast("binary")
+        ).alias("row_key"),
+    )
+
+
+_QV = f"list_transform(embedding, x -> CAST(floor(x * {QUANT_SCALE}.0) AS BIGINT))"
+_EMB_DIM = 64
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings WHERE vec_id < 200),
+norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
+          FROM qv CROSS JOIN generate_series(1, {_EMB_DIM}) i(i) GROUP BY vec_id),
+pairs AS (
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+           CAST(sum(a.v[i.i] * b.v[i.i]) AS BIGINT) AS dot
+    FROM qv a JOIN qv b ON a.vec_id < b.vec_id
+    CROSS JOIN generate_series(1, {_EMB_DIM}) i(i)
+    GROUP BY 1, 2)
+SELECT vec1, vec2,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM pairs
+JOIN norms na ON vec1 = na.vec_id
+JOIN norms nb ON vec2 = nb.vec_id
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.35
+""",
+    doc="embedding-cosine near-dup pairs (exact quantized cosine >= 0.35)",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", quantize("embedding").alias("v"))
+        .withColumn("n2", qnorm2(F.col("v")))
+        .persist()  # both sides of the pair join read it
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec1"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec2"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    cos = cosine_from_parts(
+        qdot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+    )
+    # Bounded candidate set here; the unbounded-scale path is the SRP/LSH
+    # bucketing in operators/similarity.py (emb_lsh_ann_topk).
+    return (
+        a.join(b, F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
