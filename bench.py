@@ -31,6 +31,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
+    "q7_nation_volume",
+    "sessionize_events",
     "fs_purchase_allowlist",
     "fs_windowed_denial_rate",
     "window_running_spend",

