@@ -50,6 +50,7 @@ def _load_all() -> None:
 
     for mod in (
         "relational2",
+        "setops_misc",
         "windows_setops",
         "scalar_funcs",
         "llm_text",

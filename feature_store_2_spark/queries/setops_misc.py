@@ -1,0 +1,202 @@
+"""Coverage widening: bag-semantics set ops, unpivot/melt, positional
+explode, join-strategy hints, union-by-name with missing columns,
+numeric range frames, arg-max per group (SURVEY.md §2 Part B gaps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+
+@register(
+    "setop_intersect_all_segments",
+    """
+SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+INTERSECT ALL
+SELECT c_mktsegment FROM customer WHERE c_acctbal < 5000
+""",
+    doc="INTERSECT ALL (bag semantics: min of per-side multiplicities)",
+)
+def setop_intersect_all_segments(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir)
+    hi = c.filter(F.col("c_acctbal") > 5000).select("c_mktsegment")
+    lo = c.filter(F.col("c_acctbal") < 5000).select("c_mktsegment")
+    return hi.intersectAll(lo)
+
+
+@register(
+    "setop_except_all_types",
+    """
+SELECT event_type FROM events WHERE value > 0.5
+EXCEPT ALL
+SELECT event_type FROM events WHERE value > 0.9
+""",
+    doc="EXCEPT ALL (bag difference of multiplicities)",
+)
+def setop_except_all_types(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    a = ev.filter(F.col("value") > 0.5).select("event_type")
+    b = ev.filter(F.col("value") > 0.9).select("event_type")
+    return a.exceptAll(b)
+
+
+@register(
+    "unpivot_customer_balances",
+    """
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS amount FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS amount
+FROM customer
+""",
+    doc="unpivot/melt wide columns to (key, metric, amount) rows",
+)
+def unpivot_customer_balances(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir)
+    # unpivot == stack(): one narrow generate per row, no shuffle.
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+            " AS (metric, amount)"
+        ),
+    )
+
+
+@register(
+    "posexplode_doc_leading_words",
+    """
+SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, words[i.i] AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+CROSS JOIN generate_series(1, 5) i(i)
+WHERE i.i <= len(words)
+""",
+    doc="positional explode: first five words of each document with index",
+)
+def posexplode_doc_leading_words(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "word"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+
+
+@register(
+    "join_shuffle_hash_orders",
+    """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="explicit shuffle-hash join strategy (skips SMJ sort, no broadcast)",
+)
+def join_shuffle_hash_orders(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    # The hint forces hash instead of sort-merge: right choice when one
+    # side's per-partition hash table fits in memory but the table is too
+    # big to broadcast — saves both sort passes at 100 TB.
+    return (
+        orders.join(
+            cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "union_by_name_event_sources",
+    """
+SELECT user_id, event_type, value, NULL AS doc_id FROM events WHERE event_type = 'purchase'
+UNION ALL BY NAME
+SELECT doc_id, user_id, lang AS event_type FROM (
+    SELECT doc_id, CAST(doc_id % 150 AS BIGINT) AS user_id, lang FROM documents
+)
+""",
+    doc="unionByName(allowMissingColumns): schema-aligned multi-source merge",
+)
+def union_by_name_event_sources(spark, sf_dir):
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_type", "value")
+    )
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 150).cast("long").alias("user_id"),
+        F.col("lang").alias("event_type"),
+    )
+    return ev.unionByName(docs, allowMissingColumns=True)
+
+
+@register(
+    "window_numeric_range_frame",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1000,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                  RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS sum_within_1000
+FROM orders
+""",
+    doc="numeric RANGE frame: trailing $1000 window over order price per customer",
+)
+def window_numeric_range_frame(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_1000"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_within_1000"),
+    )
+
+
+@register(
+    "argmax_latest_event_per_user",
+    """
+SELECT user_id, event_id AS latest_event_id, event_type AS latest_type,
+       CAST(epoch_us(ts) AS BIGINT) AS latest_ts_us
+FROM (
+    SELECT user_id, event_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+    doc="arg-max per group: each user's latest event (deterministic tie-break)",
+)
+def argmax_latest_event_per_user(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+            F.unix_micros("ts").alias("latest_ts_us"),
+        )
+    )
