@@ -71,9 +71,12 @@ def user_aggregates(events: DataFrame, config: EngineConfig = DEFAULT_CONFIG) ->
                (models/aggregate.py:55-57,67-68 — dedupe by uuid, NOT by
                value, so this is dropDuplicates + SUM, never sum_distinct)
     """
-    # Exactly-once per uuid: dedupe before aggregating. groupBy keeps the
-    # dedup as a partial-aggregatable first() so large inputs combine
-    # map-side before the shuffle.
+    # Exactly-once per (user, uuid): dedupe before aggregating. groupBy
+    # keeps the dedup partial-aggregatable so large inputs combine
+    # map-side before the shuffle. min() (not first()) per column: if
+    # corrupt input ever carries CONFLICTING payloads under one uuid, the
+    # survivor is still partition/order-independent — retries and
+    # re-partitionings reproduce identical results.
     field_names: dict[str, str] = {}
     for spec in config.aggregates:
         if spec.field and spec.field not in field_names:
@@ -87,8 +90,8 @@ def user_aggregates(events: DataFrame, config: EngineConfig = DEFAULT_CONFIG) ->
         )
         .groupBy("user_id", "event_id")
         .agg(
-            F.first("event_type").alias("event_type"),
-            *[F.first(n).alias(n) for n in field_names.values()],
+            F.min("event_type").alias("event_type"),
+            *[F.min(n).alias(n) for n in field_names.values()],
         )
     )
 
