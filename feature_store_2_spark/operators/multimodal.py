@@ -78,3 +78,60 @@ def decode_features(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         batches, DECODED_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("out_width", T.LongType(), False),
+        T.StructField("out_height", T.LongType(), False),
+        T.StructField("scale_num", T.LongType(), True),
+    ]
+)
+
+
+def resize_features(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """'Resize' planning over decoded metadata: target dims that fit
+    ``max_side`` preserving aspect ratio (integer arithmetic so the
+    oracle reproduces it). The pixel resample itself belongs in the same
+    stubbed codec hook as decode; the Spark-side contract — schema,
+    Arrow batching, pure per-row math — is the real plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w = pdf["width"].clip(lower=1)
+            h = pdf["height"].clip(lower=1)
+            side = pd.concat([w, h], axis=1).max(axis=1)
+            # fixed-point scale: max_side/side in 1/1024ths, floor
+            num = (max_side * 1024) // side
+            num = num.clip(upper=1024)  # never upscale
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_width": (w * num) // 1024,
+                    "out_height": (h * num) // 1024,
+                    "scale_num": num,
+                }
+            )
+
+    return decoded.select("doc_id", "width", "height").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
+
+
+def frame_sample(decoded: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling plan: one row per sampled frame index (0, every,
+    2*every, ...) per clip — built-in sequence+explode, no Python. At
+    scale the exploded (doc_id, frame_idx) set drives the per-frame
+    decode fan-out, partitioned by doc so a clip's frames co-locate."""
+    return decoded.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
+        ).alias("frame_idx"),
+    )

@@ -5,7 +5,12 @@ it and the gate checks the full mapInPandas path end-to-end."""
 
 from __future__ import annotations
 
-from feature_store_2_spark.operators.multimodal import decode_features, with_payload
+from feature_store_2_spark.operators.multimodal import (
+    decode_features,
+    frame_sample,
+    resize_features,
+    with_payload,
+)
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
@@ -44,3 +49,48 @@ FROM documents
 )
 def mm_decode_features(spark, sf_dir):
     return decode_features(with_payload(load_table(spark, "documents", sf_dir)))
+
+
+@register(
+    "mm_resize_plan",
+    """
+WITH decoded AS (
+    SELECT doc_id,
+           CAST(greatest(strlen(text) % 640, 1) AS BIGINT) AS w,
+           CAST(greatest((strlen(text) * 7) % 480, 1) AS BIGINT) AS h,
+           CAST(strlen(text) % 640 AS BIGINT) AS width,
+           CAST((strlen(text) * 7) % 480 AS BIGINT) AS height
+    FROM documents
+),
+scaled AS (
+    SELECT doc_id, width, height, w, h,
+           least(256 * 1024 // greatest(w, h), 1024) AS scale_num
+    FROM decoded
+)
+SELECT doc_id, width, height,
+       w * scale_num // 1024 AS out_width,
+       h * scale_num // 1024 AS out_height,
+       scale_num
+FROM scaled
+""",
+    doc="aspect-preserving resize plan (fit 256, integer fixed-point scale)",
+)
+def mm_resize_plan(spark, sf_dir):
+    decoded = decode_features(with_payload(load_table(spark, "documents", sf_dir)))
+    return resize_features(decoded, max_side=256)
+
+
+@register(
+    "mm_frame_sample",
+    """
+SELECT doc_id, n_frames, CAST(f.f AS BIGINT) AS frame_idx
+FROM (SELECT doc_id, CAST(strlen(text) % 24 + 1 AS BIGINT) AS n_frames
+      FROM documents)
+CROSS JOIN generate_series(0, 24, 4) f(f)
+WHERE f.f < n_frames
+""",
+    doc="frame sampling fan-out: every-4th frame index per clip",
+)
+def mm_frame_sample(spark, sf_dir):
+    decoded = decode_features(with_payload(load_table(spark, "documents", sf_dir)))
+    return frame_sample(decoded, every=4)
