@@ -51,6 +51,7 @@ def _load_all() -> None:
     for mod in (
         "relational2",
         "setops_misc",
+        "sketches",
         "windows_setops",
         "scalar_funcs",
         "llm_text",

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from feature_store_2_spark.functions.vector import QUANT_SCALE, qnorm2, quantize
 from feature_store_2_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_ann_topk,
     nearest_centroid_assign,
 )
@@ -86,6 +87,17 @@ def emb_cosine_topk(spark, sf_dir):
 def emb_lsh_ann_topk(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
     return lsh_ann_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_bits=4)
+
+
+@register(
+    "emb_ivf_topk",
+    None,  # IVF probe set is engine-internal; recall is pytest-checked
+    doc="IVF ANN: centroid cells + nprobe-cell search + exact re-rank "
+    "(the other 100 TB ANN path besides SRP-LSH)",
+)
+def emb_ivf_topk(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, nprobe=2)
 
 
 @register(
