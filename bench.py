@@ -42,6 +42,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "emb_cosine_topk",
     "doc_token_counts",
+    # The reference's true workload end-to-end: streaming ingest ->
+    # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;
+    # wall seconds here are ~events/sec throughput vs BASELINE's 2k req/s.
+    "stream_feature_grants",
 ]
 
 

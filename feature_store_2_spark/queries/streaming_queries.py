@@ -74,6 +74,38 @@ def stream_feature_grants(spark, sf_dir):
 
 
 @register(
+    "stream_dedup_events",
+    """
+SELECT user_id, event_id, min(event_type) AS event_type
+FROM events
+GROUP BY user_id, event_id
+""",
+    doc="streaming uuid-dedup via dropDuplicatesWithinWatermark (state "
+    "bounded by the watermark — the scale path for A5/A7's exact sets)",
+)
+def stream_dedup_events(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(os.path.join(root, "events"))
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_id"]
+    )
+    name = "fs2_stream_dedup"
+    q = (
+        deduped.select("user_id", "event_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "stream_denial_rate",
     None,  # approx_count_distinct => no exact oracle; rows-only check
     doc="watermarked 10-min/5-min sliding-window denial rate over the "
