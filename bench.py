@@ -60,15 +60,30 @@ def main() -> None:
     spark = get_spark("feature_store_2_spark-bench")
     by_name = {q.name: q for q in CATALOG}
     # Warm the JVM/codegen once on the cheapest query so per-query times
-    # measure the plan, not first-call JIT.
+    # measure the plan, not first-call JIT. The streaming entry gets its
+    # own warm-up at the smallest SF: state-store + Arrow state serde
+    # paths JIT separately from the batch engine (measured ~12s of
+    # first-streaming-query overhead otherwise).
     force(by_name["q1_pricing_summary"].fn(spark, sf_dir))
+    tiny_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if "stream_feature_grants" in HEADLINE and os.path.isdir(tiny_sf):
+        force(by_name["stream_feature_grants"].fn(spark, tiny_sf))
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = by_name[name]
-        t0 = time.perf_counter()
-        force(q.fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        # Best of 2: single-shot numbers on a busy single box are
+        # dominated by JIT/GC noise (observed 0.6s..45s for the same
+        # plan); the min measures the engine. Cache cleared per attempt
+        # so operator-internal persists never carry across runs.
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            force(q.fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        times[name] = round(best, 3)
 
     sf = None
     try:

@@ -107,26 +107,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_cols() -> list[Column]:
-    """min over md5('<seed>|'||shingle) per seed — a portable MinHash
-    (lexicographic min of hex strings)."""
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")).cast("binary"))).alias(
-            f"h{seed}"
-        )
-        for seed in range(N_MINHASHES)
-    ]
+# 2^61 - 1 (Mersenne): modulus for the double-hashing permutation family.
+MERSENNE_61 = (1 << 61) - 1
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One row per doc: id, h0..h{15}, band0..band3 (band = concat of 4
-    consecutive minhashes). Single explode + single agg."""
+    """One row per doc: id, h0..h{15}, band0..band3 (band = '_'-joined
+    group of 4 consecutive minhashes). Single explode + single agg.
+
+    Hashing: ONE md5 per shingle, split into two 56-bit halves (h1, h2);
+    permutation i is (h1 + i*h2) mod (2^61-1) — Kirsch-Mitzenmacher
+    double hashing, the published standard for simulating k independent
+    hash functions from two. 16x less hash work than k independent
+    digests, integer (not 32-char string) min-aggregation, and every
+    step is engine-portable so the DuckDB oracle reproduces it exactly.
+    h1 + 15*h2 < 2^60, so the arithmetic never overflows a BIGINT.
+    """
     sh = shingle_exploded(docs, text_col, id_col)
-    sig = sh.groupBy(id_col).agg(*_minhash_cols())
+    m = F.md5(F.col("shingle").cast("binary"))
+    halves = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(m, 1, 14), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 15, 14), 16, 10).cast("long").alias("h2"),
+    )
+    sig = halves.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(F.col("h1") + F.lit(seed) * F.col("h2"), F.lit(MERSENNE_61))
+            ).alias(f"h{seed}")
+            for seed in range(N_MINHASHES)
+        ]
+    )
     rows_per_band = N_MINHASHES // N_BANDS
     for band in range(N_BANDS):
         parts = [f"h{band * rows_per_band + r}" for r in range(rows_per_band)]
-        sig = sig.withColumn(f"band{band}", F.concat_ws("", *parts))
+        sig = sig.withColumn(f"band{band}", F.concat_ws("_", *parts))
     return sig
 
 

@@ -208,25 +208,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
 
 
+def _fold14(start: int) -> str:
+    """DuckDB: 14 hex chars of md5(shingle) from ``start`` -> 56-bit int
+    (mirrors Spark's conv(substring(md5, start, 14), 16, 10))."""
+    v = "0"
+    for k in range(start, start + 14):
+        digit = f"(strpos('0123456789abcdef', substring(md5(shingle), {k}, 1)) - 1)"
+        v = f"(({v}) * 16 + {digit})"
+    return v
+
+
 def _minhash_oracle() -> str:
+    p = (1 << 61) - 1
     mins = ", ".join(
-        f"min(md5('{seed}|' || shingle)) AS h{seed}" for seed in range(N_MINHASHES)
+        f"min((h1 + {seed} * h2) % {p}) AS h{seed}" for seed in range(N_MINHASHES)
     )
     rows = N_MINHASHES // N_BANDS
-    band_exprs = ", ".join(
-        "h" + " || h".join(str(b * rows + r) for r in range(rows))
-        for b in range(N_BANDS)
-    )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
-        + " || ".join(f"h{b * rows + r}" for r in range(rows))
+        + " || '_' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
         + " AS band_key FROM sig"
         for b in range(N_BANDS)
     )
     return (
         _SHINGLE_CTE
         + f"""
-, sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+, halves AS (SELECT doc_id, {_fold14(1)} AS h1, {_fold14(15)} AS h2 FROM sh),
+sig AS (SELECT doc_id, {mins} FROM halves GROUP BY doc_id),
 bands AS ({band_selects})
 SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared_bands
 FROM bands a

@@ -20,11 +20,15 @@ from feature_store_2_spark.operators.text import lang_guess, quality_score
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
-    near = base.replace("theta", "thetax")  # one token changed
-    other = "one two three four five six seven eight nine ten " * 4
+    # 60 unique tokens; the near-dup changes exactly one token, so
+    # shingle Jaccard is 55/61 ≈ 0.90 — squarely in "near duplicate"
+    # territory where banded MinHash must fire (the old 10-token corpus
+    # left J ≈ 0.5, where a band collision is a coin flip by design).
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "tokX")
+    other = " ".join(f"zzz{i}" for i in range(60))
     return spark.createDataFrame(
-        [(0, base.strip()), (1, near.strip()), (2, other.strip()), (3, base.strip())],
+        [(0, base), (1, near), (2, other), (3, base)],
         "doc_id long, text string",
     )
 
