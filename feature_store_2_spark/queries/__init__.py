@@ -57,6 +57,7 @@ def _load_all() -> None:
         "llm_text",
         "llm_similarity",
         "multimodal",
+        "storage",
         "streaming_queries",
     ):
         try:

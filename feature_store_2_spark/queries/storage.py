@@ -1,0 +1,110 @@
+"""Storage-layer query entries: bucketed co-located joins and the
+grants-store serving round-trip.
+
+These exercise the parts of the engine that live BELOW the query layer —
+how tables are laid out so recurring joins/lookups don't pay a shuffle
+or a full scan:
+
+* ``join_bucketed_colocated`` — both sides written hash-bucketed on the
+  join key (sources/bucketed.py): the join AND the per-key aggregation
+  run with zero Exchange. At 100 TB this is the difference between one
+  write-time shuffle amortized forever and re-shuffling the fact table
+  on every query. `tests/test_bucketed_join.py` asserts the plan is
+  exchange-free.
+* ``fs_point_lookup`` — the reference's serving path (GET /can{feature},
+  /root/reference/app.py:63-79): batch grants -> versioned grants store
+  (streaming/grants_store.py) -> point lookup with the user_id predicate
+  pushed into the parquet scan. At serving scale the same table is
+  key-clustered (the `sortBy` of the bucketed writer) so a lookup reads
+  one bucket's one row group, not the table.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.config import DEFAULT_CONFIG
+from feature_store_2_spark.plans.feature_pipeline import feature_grants_long
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.queries.feature_store import _AGG_CTE
+from feature_store_2_spark.sources.bucketed import bucketed_pair
+from feature_store_2_spark.sources.tables import load_table
+from feature_store_2_spark.streaming.grants_store import read_grants, upsert_grants
+
+LOOKUP_USERS = (1, 2, 3, 5, 8)
+
+
+@register(
+    "join_bucketed_colocated",
+    """
+SELECT c.c_custkey, min(c.c_mktsegment) AS segment,
+       count(o.o_orderkey) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""",
+    doc="co-located bucketed join + same-key agg: zero-Exchange plan "
+    "(write-time shuffle amortized over every downstream query)",
+)
+def join_bucketed_colocated(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="fs2_bucketed_")
+    cust, orders = bucketed_pair(
+        spark,
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        "fs2_b_customer",
+        "fs2_b_orders",
+        root,
+        "c_custkey",
+        "o_custkey",
+        n_buckets=8,
+    )
+    # merge hint: without it the tiny test-scale dim broadcasts (its own
+    # BroadcastExchange); bucketed SMJ is the zero-exchange plan and the
+    # one a fact-fact join takes at 100 TB regardless of hints.
+    return (
+        cust.hint("merge").join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.min("c_mktsegment").alias("segment"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "fs_point_lookup",
+    _AGG_CTE
+    + f"""
+, wide AS (
+    SELECT user_id,
+           too_many_distinct_ks AND click_to_purchase_ratio AS purchase_grant,
+           cannot_error_message AS message_grant
+    FROM rules
+), long AS (
+    SELECT user_id, 'purchase' AS feature, purchase_grant AS has_grant FROM wide
+    UNION ALL
+    SELECT user_id, 'message' AS feature, message_grant AS has_grant FROM wide
+)
+SELECT user_id, feature, has_grant FROM long
+WHERE user_id IN {LOOKUP_USERS}
+""",
+    doc="serving path A14+A15: grants -> versioned store -> point lookup "
+    "with user_id pushed into the store's parquet scan",
+)
+def fs_point_lookup(spark, sf_dir):
+    grants = feature_grants_long(load_table(spark, "events", sf_dir), DEFAULT_CONFIG)
+    store = os.path.join(tempfile.mkdtemp(prefix="fs2_store_"), "grants")
+    upsert_grants(grants, store)
+    served = read_grants(spark, store)
+    # The IN-list predicate reaches the parquet scan (PushedFilters: In);
+    # a real serving read touches only matching row groups.
+    return served.filter(F.col("user_id").isin(*LOOKUP_USERS)).select(
+        "user_id", "feature", "has_grant"
+    )

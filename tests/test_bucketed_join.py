@@ -1,0 +1,61 @@
+"""Bucketed storage: the join AND same-key agg must plan with zero
+Exchange (the write-time shuffle is the only shuffle, ever)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.sources.bucketed import bucketed_pair, physical_plan
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("seg")
+    )
+    right = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("fk"), (F.col("id") * 2).cast("double").alias("amt")
+    )
+    root = tempfile.mkdtemp(prefix="fs2_bkt_test_")
+    dim, fact = bucketed_pair(
+        spark, left, right, "t_bkt_left", "t_bkt_right", root, "k", "fk", n_buckets=4
+    )
+    return dim, fact, root
+
+
+def test_bucketed_join_has_no_exchange(pair):
+    dim, fact, _ = pair
+    # merge hint: at test scale Spark would broadcast instead (its own
+    # exchange); the bucketed sort-merge path is the one that must be
+    # shuffle-free, and it's the plan a 100 TB fact-fact join takes.
+    joined = dim.hint("merge").join(fact, dim.k == fact.fk)
+    plan = physical_plan(joined)
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 5000
+
+
+def test_bucketed_join_then_same_key_agg_has_no_exchange(pair):
+    dim, fact, _ = pair
+    out = (
+        dim.hint("merge").join(fact, dim.k == fact.fk)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("amt").alias("s"))
+    )
+    plan = physical_plan(out)
+    assert "Exchange" not in plan, plan
+    assert out.count() == 1000
+
+
+def test_bucketed_scan_reads_bucket_files(pair):
+    # Layout check: 4 buckets on disk; bucket id is the _NNNNN suffix of
+    # each part file (part-<task>-<uuid>_<bucket>.c000...).
+    _, _, root = pair
+    files = os.listdir(os.path.join(root, "t_bkt_left"))
+    buckets = {
+        f.split("_")[-1].split(".")[0] for f in files if f.startswith("part-")
+    }
+    assert buckets == {"00000", "00001", "00002", "00003"}
