@@ -12,11 +12,11 @@ or a full scan:
   on every query. `tests/test_bucketed_join.py` asserts the plan is
   exchange-free.
 * ``fs_point_lookup`` — the reference's serving path (GET /can{feature},
-  /root/reference/app.py:63-79): batch grants -> versioned grants store
-  (streaming/grants_store.py) -> point lookup with the user_id predicate
-  pushed into the parquet scan. At serving scale the same table is
-  key-clustered (the `sortBy` of the bucketed writer) so a lookup reads
-  one bucket's one row group, not the table.
+  /root/reference/app.py:63-79): batch grants -> sharded keyed store
+  (streaming/sharded_store.py, incremental MERGE) -> lookup that hashes
+  the keys to their shards, opens only those shard directories, and
+  pushes the IN-list into the parquet scan. Write amplification and
+  read cost both stay proportional to keys touched, not table size.
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ from feature_store_2_spark.queries import register
 from feature_store_2_spark.queries.feature_store import _AGG_CTE
 from feature_store_2_spark.sources.bucketed import bucketed_pair
 from feature_store_2_spark.sources.tables import load_table
-from feature_store_2_spark.streaming.grants_store import read_grants, upsert_grants
+from feature_store_2_spark.streaming import sharded_store
 
 LOOKUP_USERS = (1, 2, 3, 5, 8)
 
@@ -101,10 +101,16 @@ WHERE user_id IN {LOOKUP_USERS}
 def fs_point_lookup(spark, sf_dir):
     grants = feature_grants_long(load_table(spark, "events", sf_dir), DEFAULT_CONFIG)
     store = os.path.join(tempfile.mkdtemp(prefix="fs2_store_"), "grants")
-    upsert_grants(grants, store)
-    served = read_grants(spark, store)
-    # The IN-list predicate reaches the parquet scan (PushedFilters: In);
-    # a real serving read touches only matching row groups.
+    sharded_store.upsert(grants, store, ("user_id", "feature"), "user_id")
+    # Serving read: hash the lookup keys to their shards, open ONLY those
+    # shard directories, then push the IN-list into the parquet scan.
+    shards = {
+        int(r["s"])
+        for r in spark.createDataFrame([(u,) for u in LOOKUP_USERS], "user_id long")
+        .select(sharded_store.shard_of("user_id").alias("s"))
+        .collect()
+    }
+    served = sharded_store.read_store(spark, store, shards=shards)
     return served.filter(F.col("user_id").isin(*LOOKUP_USERS)).select(
         "user_id", "feature", "has_grant"
     )

@@ -1,0 +1,175 @@
+"""Sharded keyed store: incremental MERGE that rewrites only changed
+key-shards, with shard-pruned point lookups.
+
+The plain grants store (grants_store.py) rewrites the WHOLE table per
+upsert — correct, but at 100 TB a micro-batch touching 0.01% of users
+cannot pay a full rewrite. Here the key space is hash-sharded
+(``pmod(xxhash64(user_id), n_shards)``) and each upsert:
+
+  1. computes which shards the incoming rows touch (tiny distinct agg);
+  2. rewrites ONLY those shards (anti-join old shard data + union new);
+  3. commits a manifest mapping shard -> owning version, then swaps the
+     ``_LATEST`` pointer (readers never see a half-written version).
+
+This is exactly the shape of Delta/Iceberg MERGE (log = manifest, file
+group = shard): write amplification proportional to data touched, not
+table size. Reference parity: the per-key dict update of
+/root/reference/services/user_feature.py:32-44, made durable and
+incremental. Point lookups (app.py:63-79) hash the key to one shard and
+read one directory — the poor man's primary-key index.
+
+Compaction: after many incremental upserts the manifest references many
+versions (each a directory). When the live-version count exceeds
+``compact_after``, the upsert folds everything into one new version —
+Delta's OPTIMIZE. Unreferenced versions are deleted after commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_SHARDS = 16
+SHARD_COL = "__shard"
+
+
+def _latest_path(path: str) -> str:
+    return os.path.join(path, "_LATEST")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, f"manifest_v{version}.json")
+
+
+def _data_dir(path: str, version: int) -> str:
+    return os.path.join(path, "data", f"v{version}")
+
+
+def current_version(path: str) -> int | None:
+    try:
+        with open(_latest_path(path)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _read_manifest(path: str) -> dict[int, int] | None:
+    version = current_version(path)
+    if version is None:
+        return None
+    with open(_manifest_path(path, version)) as f:
+        return {int(k): int(v) for k, v in json.load(f)["shards"].items()}
+
+
+def shard_of(key_col: str, n_shards: int = N_SHARDS) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+
+
+def read_store(
+    spark: SparkSession, path: str, shards: set[int] | None = None
+) -> DataFrame | None:
+    """Current snapshot; ``shards`` restricts the read to those shard
+    directories (partition pruning on the ``__shard`` column)."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        return None
+    by_version: dict[int, list[int]] = {}
+    for shard, version in manifest.items():
+        if shards is None or shard in shards:
+            by_version.setdefault(version, []).append(shard)
+    parts = []
+    for version, owned in sorted(by_version.items()):
+        df = spark.read.parquet(_data_dir(path, version))
+        parts.append(df.filter(F.col(SHARD_COL).isin(owned)))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def upsert(
+    new: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    shard_key: str,
+    n_shards: int = N_SHARDS,
+    compact_after: int = 8,
+) -> None:
+    """MERGE ``new`` into the store: matching ``key_cols`` rows replaced,
+    others carried forward; only shards containing incoming rows are
+    rewritten (plus a full fold when compaction triggers)."""
+    spark = new.sparkSession
+    manifest = _read_manifest(path) or {}
+    version = (current_version(path) if manifest else None)
+    next_version = (version + 1) if version is not None else 0
+
+    new = new.withColumn(SHARD_COL, shard_of(shard_key, n_shards))
+    touched = {
+        r[0] for r in new.select(SHARD_COL).distinct().collect()
+    }  # tiny: <= n_shards ints
+
+    live_versions = set(manifest.values())
+    compacting = len(live_versions) + 1 > compact_after
+    shards_to_write = set(manifest) | touched if compacting else touched
+    if not shards_to_write:  # empty batch, nothing to fold
+        return
+
+    old = read_store(spark, path, shards=shards_to_write)
+    merged = (
+        new
+        if old is None
+        else old.join(new, list(key_cols), "left_anti").unionByName(new)
+    )
+    target = _data_dir(path, next_version)
+    merged.write.mode("overwrite").partitionBy(SHARD_COL).parquet(target)
+
+    new_manifest = dict(manifest)
+    for s in shards_to_write:
+        new_manifest[s] = next_version
+    os.makedirs(path, exist_ok=True)
+    with open(_manifest_path(path, next_version), "w") as f:
+        json.dump({"shards": {str(k): v for k, v in new_manifest.items()}}, f)
+    tmp = _latest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(next_version))
+    os.replace(tmp, _latest_path(path))
+
+    # GC: versions no longer referenced by the committed manifest.
+    still_live = set(new_manifest.values())
+    for old_v in (live_versions | {next_version}) - still_live:
+        shutil.rmtree(_data_dir(path, old_v), ignore_errors=True)
+    for old_v in range(next_version):
+        if old_v not in still_live:
+            try:
+                os.remove(_manifest_path(path, old_v))
+            except FileNotFoundError:
+                pass
+
+
+def point_lookup(
+    spark: SparkSession,
+    path: str,
+    shard_key: str,
+    key_value,
+    n_shards: int = N_SHARDS,
+) -> DataFrame | None:
+    """Rows for one key, reading exactly one shard directory."""
+    shard = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(key_value).cast("long")), F.lit(n_shards))
+            .cast("int")
+            .alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    snap = read_store(spark, path, shards={shard})
+    if snap is None:
+        return None
+    return snap.filter(F.col(shard_key) == key_value).drop(SHARD_COL)

@@ -1,0 +1,100 @@
+"""Sharded store: incremental MERGE correctness, write amplification
+bounded to touched shards, compaction, and pruned point lookups."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.streaming import sharded_store as ss
+
+
+def grants_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, feature string, has_grant boolean"
+    )
+
+
+@pytest.fixture()
+def store():
+    return os.path.join(tempfile.mkdtemp(prefix="fs2_shard_"), "grants")
+
+
+def snapshot(spark, store):
+    df = ss.read_store(spark, store)
+    return {
+        (r.user_id, r.feature): r.has_grant
+        for r in df.drop(ss.SHARD_COL).collect()
+    }
+
+
+def test_upsert_merges_by_key(spark, store):
+    ss.upsert(
+        grants_df(spark, [(1, "purchase", True), (2, "purchase", True)]),
+        store, ("user_id", "feature"), "user_id",
+    )
+    ss.upsert(
+        grants_df(spark, [(2, "purchase", False), (3, "message", True)]),
+        store, ("user_id", "feature"), "user_id",
+    )
+    assert snapshot(spark, store) == {
+        (1, "purchase"): True,
+        (2, "purchase"): False,
+        (3, "message"): True,
+    }
+
+
+def test_untouched_shards_are_not_rewritten(spark, store):
+    base = grants_df(spark, [(u, "purchase", True) for u in range(200)])
+    ss.upsert(base, store, ("user_id", "feature"), "user_id")
+    manifest_before = ss._read_manifest(store)
+    # One user -> exactly one touched shard.
+    ss.upsert(
+        grants_df(spark, [(7, "purchase", False)]),
+        store, ("user_id", "feature"), "user_id",
+    )
+    manifest_after = ss._read_manifest(store)
+    changed = {s for s in manifest_after if manifest_after[s] != manifest_before[s]}
+    assert len(changed) == 1
+    # All other shards still owned by the original version (no rewrite).
+    assert all(manifest_after[s] == 0 for s in manifest_after if s not in changed)
+    assert snapshot(spark, store)[(7, "purchase")] is False
+
+
+def test_compaction_folds_versions_and_gcs(spark, store):
+    base = grants_df(spark, [(u, "purchase", True) for u in range(200)])
+    ss.upsert(base, store, ("user_id", "feature"), "user_id", compact_after=3)
+    for u in (1, 2, 3, 4, 5, 6):
+        ss.upsert(
+            grants_df(spark, [(u, "purchase", False)]),
+            store, ("user_id", "feature"), "user_id", compact_after=3,
+        )
+    manifest = ss._read_manifest(store)
+    live = set(manifest.values())
+    assert len(live) <= 3
+    data_root = os.path.join(store, "data")
+    on_disk = {int(d[1:]) for d in os.listdir(data_root)}
+    assert on_disk == live  # GC removed unreferenced versions
+    snap = snapshot(spark, store)
+    assert all(snap[(u, "purchase")] is False for u in (1, 2, 3, 4, 5, 6))
+    assert snap[(100, "purchase")] is True
+    assert len(snap) == 200
+
+
+def test_point_lookup_reads_one_shard(spark, store):
+    base = grants_df(spark, [(u, "purchase", u % 2 == 0) for u in range(100)])
+    ss.upsert(base, store, ("user_id", "feature"), "user_id")
+    row = ss.point_lookup(spark, store, "user_id", 42).collect()
+    assert [(r.user_id, r.has_grant) for r in row] == [(42, True)]
+    # Pruning: the shard-restricted read touches a strict subset.
+    shard = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(42).cast("long")), F.lit(ss.N_SHARDS)).alias("s"))
+        .collect()[0]["s"]
+    )
+    pruned = ss.read_store(spark, store, shards={int(shard)})
+    full = ss.read_store(spark, store)
+    assert pruned.count() < full.count()
