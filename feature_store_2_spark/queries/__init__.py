@@ -35,20 +35,90 @@ CATALOG: list[QueryDef] = []
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
+        if any(q.name == name for q in CATALOG):
+            raise ValueError(f"duplicate catalog entry: {name}")
         CATALOG.append(QueryDef(name, fn, oracle, doc))
         return fn
 
     return deco
 
 
-def _load_all() -> None:
-    # Import side-effect populates CATALOG.
-    from feature_store_2_spark.queries import (  # noqa: F401
-        feature_store,
-        relational,
-    )
+# The driver scores catalog entries in order and has a per-round budget
+# (round 1 covered exactly the first 50). Entries here are the ones the
+# driver must score THIS round: families with no driver-green row yet
+# (LLM text/dedup, similarity, multimodal, storage, streaming, scalar
+# functions), entries whose semantics changed since their last green
+# row, then a regression band of the highest-value already-green staples
+# (full reference dataflow + TPC-H-style headliners). Everything else
+# keeps registration order after the priority block.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- LLM text analysis + dedup (unscored in r01) --
+    "doc_text_stats",
+    "doc_token_counts",
+    "doc_lang_guess",
+    "doc_quality_score",
+    "doc_fingerprint_normalized",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",  # changed in r2: full corpus, blocked pair join
+    # -- similarity search (unscored in r01) --
+    "emb_norms",
+    "emb_cosine_topk",
+    "emb_lsh_ann_topk",
+    "emb_ivf_topk",
+    "emb_centroid_assign",
+    # -- multimodal (unscored in r01) --
+    "mm_payload_stats",
+    "mm_decode_features",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    # -- storage layer (unscored in r01) --
+    "join_bucketed_colocated",
+    "fs_point_lookup",
+    # -- streaming (unscored in r01) --
+    "stream_feature_grants",
+    "stream_dedup_events",
+    "stream_denial_rate",
+    # -- scalar function families (unscored in r01) --
+    "func_string_part",
+    "func_date_orders",
+    "func_math_lineitem",
+    "func_array_embeddings",
+    "func_json_events",
+    "func_case_bucket_customers",
+    "func_null_handling",
+    # -- sketches / misc (unscored in r01) --
+    "agg_approx_distinct",
+    "pivot_event_type_counts",
+    "topk_orders_global",
+    # -- regression band: already driver-green, keep fresh evidence --
+    "fs_user_aggregates",
+    "fs_feature_grants",
+    "fs_purchase_allowlist",
+    "fs_windowed_denial_rate",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "join_asof_purchase_last_signup",
+    "window_trailing_10min_count",
+    "sessionize_events",
+)
 
+
+def _load_all() -> None:
+    # Import side-effect populates CATALOG. Imports are UNCONDITIONAL: a
+    # module that fails to import must fail the whole catalog loudly —
+    # silently dropping a family would let the correctness gate "pass"
+    # on shrunken coverage (the round-1 failure mode).
     for mod in (
+        "feature_store",
+        "relational",
         "relational2",
         "setops_misc",
         "sketches",
@@ -60,10 +130,14 @@ def _load_all() -> None:
         "storage",
         "streaming_queries",
     ):
-        try:
-            __import__(f"feature_store_2_spark.queries.{mod}")
-        except ImportError:
-            pass
+        __import__(f"feature_store_2_spark.queries.{mod}")
+
+    by_name = {q.name: q for q in CATALOG}
+    missing = [n for n in _DRIVER_PRIORITY if n not in by_name]
+    if missing:
+        raise RuntimeError(f"_DRIVER_PRIORITY names not registered: {missing}")
+    rest = [q for q in CATALOG if q.name not in set(_DRIVER_PRIORITY)]
+    CATALOG[:] = [by_name[n] for n in _DRIVER_PRIORITY] + rest
 
 
 _load_all()
