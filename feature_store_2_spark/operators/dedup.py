@@ -7,19 +7,23 @@ engine-reproducible (the DuckDB oracles compute the identical values).
 
 Scale shapes:
   * exact dedup        — one hash-shuffle on the fingerprint.
-  * shingle Jaccard    — exact but self-joins on shingle: quadratic on
-                         hot shingles; use ONLY on LSH candidates at scale.
+  * shingle Jaccard    — exact values, evaluated only on prefix-filtered
+                         candidates (ngram_jaccard_pairs_prefix,
+                         AllPairs-style — deterministic-complete); the
+                         full shingle self-join form is kept solely as
+                         the reference the prefix path is tested against.
   * MinHash + banding  — the 100 TB path: fixed-width signature per doc
                          (one agg), candidates via band-key equi-join.
-  * SimHash            — one 32-bit signature per doc; near-dups cluster
-                         by signature prefix or small hamming radius.
+  * SimHash            — one 32-bit signature per doc; near-pairs via
+                         exact byte-bucket candidates (pigeonhole), not
+                         an all-pairs join.
 """
 
 from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.operators.text import tokens
@@ -68,6 +72,25 @@ def shingle_exploded(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _jaccard_from_common(
+    common: DataFrame, sizes: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """(doc1, doc2, jaccard >= threshold) from per-pair intersection
+    counts + per-doc set sizes. |∩| / (|A|+|B|-|∩|) — one integer
+    division, engine-exact."""
+    s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -76,8 +99,10 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact pairwise Jaccard over word n-gram shingle sets, keeping
-    pairs >= threshold. Jaccard = |∩| / (|A|+|B|-|∩|) — one integer
-    division, engine-exact."""
+    pairs >= threshold, via the full shingle self-join. Quadratic on hot
+    shingles — use ``ngram_jaccard_pairs_prefix`` beyond test scale
+    (this form is kept as the reference implementation the prefix path
+    is equality-tested against)."""
     # Persisted: the shingle table feeds the pair self-join twice plus
     # the per-doc size aggregate (three scans of one explode).
     sh = shingle_exploded(docs, text_col, id_col, n).persist()
@@ -94,17 +119,81 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_common"))
     )
-    s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("n2"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("n_common")
-    ).cast("double")
-    return (
-        common.join(s1, "doc1")
-        .join(s2, "doc2")
-        .select("doc1", "doc2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return _jaccard_from_common(common, sizes, threshold, id_col)
+
+
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard >= threshold via PREFIX FILTERING (AllPairs/SSJoin,
+    Bayardo et al. WWW'07) — deterministic-complete candidates, no
+    quadratic hot-shingle self-join and no LSH recall gamble.
+
+    Theorem: order shingles by (global doc-frequency, shingle). If
+    J(A,B) >= t then |A∩B| >= t*|A∪B| >= ceil(t*|A|), so the
+    intersection must touch A's prefix of its |A| - ceil(t*|A|) + 1
+    rarest shingles (else |∩| <= ceil(t*|A|) - 1). Candidates are
+    therefore (prefix shingle) ⋈ (full shingle table) — an equi-join in
+    which globally-frequent shingles almost never appear on the prefix
+    side, exactly the hot keys that made the naive self-join quadratic.
+
+    Why not MinHash-LSH candidates here: our signatures use
+    Kirsch-Mitzenmacher double hashing (one md5 per shingle), and KM
+    minima are correlated across hash indices — each shingle is a line
+    h1 + i*h2, so the per-i minimum is a lower envelope of lines that
+    one (small-h1, small-h2) shingle can dominate entirely. Banded
+    recall is then ~P(dominating shingle shared), not the independent-
+    hash 1-(1-j^r)^b, and a 0.9-Jaccard pair can miss every band. Fine
+    for the LSH *candidate* operator (its oracle mirrors the same
+    construction) — not for reproducing an exact threshold join.
+    """
+    sh = shingle_exploded(docs, text_col, id_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy("df", "shingle")
     )
+    # prefix_len = n_sh - ceil(t*n_sh) + 1; the 1e-9 nudge keeps an
+    # exactly-integer t*n_sh from rounding the prefix one too short
+    # (a too-long prefix is always safe, too short is not).
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    )
+    pref = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", rn)
+        .join(sizes, id_col)
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col(id_col).alias("doc_a"), "shingle")
+    )
+    full = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        pref.join(full, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc1"),
+            F.greatest("doc_a", "doc_b").alias("doc2"),
+        )
+        .distinct()
+    )
+    a_sh = sh.select(F.col(id_col).alias("doc1"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("doc2"), "shingle")
+    # Surviving candidates are a small fraction of the corpus ->
+    # broadcast them into the shingle scan; the remaining join is an
+    # equi-join on (doc2, shingle).
+    common = (
+        a_sh.join(F.broadcast(cand), "doc1")
+        .join(b_sh, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _jaccard_from_common(common, sizes, threshold, id_col)
 
 
 # 2^61 - 1 (Mersenne): modulus for the double-hashing permutation family.
@@ -117,11 +206,19 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
     Hashing: ONE md5 per shingle, split into two 56-bit halves (h1, h2);
     permutation i is (h1 + i*h2) mod (2^61-1) — Kirsch-Mitzenmacher
-    double hashing, the published standard for simulating k independent
-    hash functions from two. 16x less hash work than k independent
-    digests, integer (not 32-char string) min-aggregation, and every
-    step is engine-portable so the DuckDB oracle reproduces it exactly.
+    double hashing. 16x less hash work than k independent digests,
+    integer (not 32-char string) min-aggregation, and every step is
+    engine-portable so the DuckDB oracle reproduces it exactly.
     h1 + 15*h2 < 2^60, so the arithmetic never overflows a BIGINT.
+
+    Caveat (measured, not theoretical): KM minima are CORRELATED across
+    i — each shingle is a line h1 + i*h2 and the signature is the lower
+    envelope of lines, which a single small-(h1,h2) shingle can own
+    outright. Candidate RECALL is therefore lower than the
+    independent-hash 1-(1-j^r)^b formula; use these signatures where the
+    consumer tolerates that (LSH candidate mining, its oracle mirrors
+    the construction) and prefix filtering where exact completeness is
+    required (ngram_jaccard_pairs_prefix).
     """
     sh = shingle_exploded(docs, text_col, id_col)
     m = F.md5(F.col("shingle").cast("binary"))
@@ -146,22 +243,41 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def minhash_lsh_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rows_per_band: int = N_MINHASHES // N_BANDS,
 ) -> DataFrame:
     """(doc1, doc2, n_shared_bands): pairs whose signatures collide in
-    >=1 LSH band. The equi-join on (band_idx, band_key) is the scale
-    path — no quadratic shingle join."""
+    >=1 LSH band of ``rows_per_band`` consecutive minhashes. The
+    equi-join on (band_idx, band_key) is the scale path — no quadratic
+    shingle join. Smaller r -> higher recall at lower Jaccard (more
+    candidates); the r=4 default matches the banded signature columns."""
+    if N_MINHASHES % rows_per_band:
+        raise ValueError(f"rows_per_band must divide {N_MINHASHES}")
+    n_bands = N_MINHASHES // rows_per_band
     sig = minhash_signatures(docs, text_col, id_col)
     # Persist the banded signature table: the candidate self-join reads
     # it twice (broadcast + streamed side), and without this each side
     # re-runs the whole shingle+minhash pipeline — 2x the dominant cost.
     # At 100 TB this materialization is a real signature table written
-    # to storage once and joined thereafter (4 narrow rows per doc).
+    # to storage once and joined thereafter (n_bands narrow rows per doc).
     bands = sig.select(
         F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
-            "band_idx", "band_key"
-        ),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
     ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -215,28 +331,73 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return bit_sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+SIMHASH_CHUNKS = 4  # 32-bit signature -> 4 byte-buckets
+
+
 def simhash_near_pairs(
     docs: DataFrame,
-    max_hamming: int = 6,
+    max_hamming: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc1, doc2, hamming) with hamming(simhash) <= max_hamming.
-    Gate-scale uses the direct pairwise form; at 100 TB, pre-bucket by
-    signature bytes (each <=k-hamming pair shares >=1 exact byte for
-    k<8) and join within buckets."""
-    # Persisted: both sides of the pairwise join read the signatures.
-    sig = simhash(docs, text_col, id_col).persist()
-    a, b = sig.alias("a"), sig.alias("b")
+
+    Candidate generation is EXACT byte-bucketing, not all-pairs: the
+    32-bit signature splits into 4 bytes, and a pair within hamming
+    h < 4 differs in at most h bytes, so it shares at least one exact
+    byte (pigeonhole). Exploding each signature into its 4
+    (byte_idx, byte_val) rows and equi-joining on that bucket therefore
+    yields a complete candidate set; the exact ``bit_count(xor)`` filter
+    re-ranks. The all-pairs theta join this replaces is O(n^2) row
+    *enumeration*; here enumeration is per-bucket (expected n/256 docs
+    per bucket per index), the standard multi-index hamming search — and
+    the join is an equi-join Spark shuffles by key instead of a
+    broadcast nested loop.
+    """
+    if max_hamming >= SIMHASH_CHUNKS:
+        # Pigeonhole guarantee needs h < number of chunks; for larger
+        # radii re-chunk (e.g. 2-bit nibbles) rather than fall back to
+        # all-pairs.
+        raise ValueError(
+            f"byte-bucketed candidate generation is exact only for "
+            f"max_hamming < {SIMHASH_CHUNKS}; got {max_hamming}"
+        )
+    sig = simhash(docs, text_col, id_col)
+    # Persisted: both sides of the bucket self-join read the exploded
+    # byte table (4 narrow rows per doc; at 100 TB this is the
+    # materialized signature index, written once and joined thereafter).
+    buckets = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * i)
+                    .bitwiseAND(F.lit(0xFF))
+                    .cast("int")
+                    for i in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("byte_idx", "byte_val"),
+    ).persist()
+    a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("long")
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(
+            b,
+            (F.col("a.byte_idx") == F.col("b.byte_idx"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("doc1"),
             F.col(f"b.{id_col}").alias("doc2"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        # A pair sharing k exact bytes surfaces k times; candidate set is
+        # tiny after the hamming filter, so the distinct is cheap.
+        .distinct()
     )

@@ -17,7 +17,7 @@ from feature_store_2_spark.operators.dedup import (
     SIMHASH_BITS,
     exact_dedup_groups,
     minhash_lsh_candidate_pairs,
-    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash,
     simhash_near_pairs,
 )
@@ -202,10 +202,13 @@ JOIN sizes s1 ON doc1 = s1.doc_id
 JOIN sizes s2 ON doc2 = s2.doc_id
 WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5
 """,
-    doc="exact word-3-gram Jaccard near-dup pairs (>= 0.5)",
+    doc="exact word-3-gram Jaccard near-dup pairs (>= 0.5) via "
+    "prefix-filtered candidates (AllPairs) — no quadratic shingle self-join",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+    return ngram_jaccard_pairs_prefix(
+        load_table(spark, "documents", sf_dir), threshold=0.5
+    )
 
 
 def _fold14(start: int) -> str:

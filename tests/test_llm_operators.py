@@ -9,8 +9,11 @@ from feature_store_2_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_candidate_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
+    simhash,
     simhash_near_pairs,
 )
+from feature_store_2_spark.sources.tables import load_table
 from feature_store_2_spark.operators.similarity import (
     brute_force_topk,
     nearest_centroid_assign,
@@ -51,9 +54,57 @@ def test_minhash_lsh_recovers_near_dups(spark, docs):
 
 
 def test_simhash_near_pairs(spark, docs):
-    pairs = {(r["doc1"], r["doc2"]): r["hamming"] for r in simhash_near_pairs(docs, 6).collect()}
+    pairs = {(r["doc1"], r["doc2"]): r["hamming"] for r in simhash_near_pairs(docs, 3).collect()}
     assert pairs[(0, 3)] == 0
     assert (0, 2) not in pairs
+
+
+def test_simhash_near_pairs_rejects_radius_beyond_pigeonhole(spark, docs):
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, 4)
+
+
+def test_simhash_bucketed_equals_brute_force(spark, sf_dir):
+    """Byte-bucket candidate generation is exact for hamming < 4:
+    compare against an in-Python all-pairs scan of the signatures."""
+    d = load_table(spark, "documents", sf_dir)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    ids = sorted(sigs)
+    for radius in (1, 3):
+        expect = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= radius
+        }
+        got = {
+            (r["doc1"], r["doc2"], r["hamming"])
+            for r in simhash_near_pairs(d, radius).collect()
+        }
+        assert got == expect
+
+
+def test_simhash_near_pairs_plan_has_no_nested_loop(spark, docs):
+    plan = simhash_near_pairs(docs, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_ngram_jaccard_prefix_equals_exact(spark, sf_dir):
+    """Prefix-filtered candidates are deterministic-COMPLETE: the
+    AllPairs path returns the SAME pair set as the exact quadratic form
+    on the real documents corpus, at more than one threshold."""
+    d = load_table(spark, "documents", sf_dir)
+    for t in (0.5, 0.3):
+        exact = {
+            (r["doc1"], r["doc2"], round(r["jaccard"], 12))
+            for r in ngram_jaccard_pairs(d, t).collect()
+        }
+        prefix = {
+            (r["doc1"], r["doc2"], round(r["jaccard"], 12))
+            for r in ngram_jaccard_pairs_prefix(d, t).collect()
+        }
+        assert prefix == exact
+    assert exact  # non-trivial corpus: pairs exist
 
 
 def test_brute_force_topk_ranks_identical_vector_first(spark):
