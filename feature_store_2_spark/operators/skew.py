@@ -31,7 +31,19 @@ def salted_equi_join(
     side sharded ``n_salts`` ways by a hash of ``salt_src`` (a unique or
     high-cardinality column of the skewed side). ``other`` is replicated
     n_salts times — keep it the smaller side.
+
+    Only join types that preserve the *skewed* side are allowed: for
+    ``right``/``full``, an unmatched row of the replicated side would be
+    emitted once per salt (n_salts duplicates), silently corrupting the
+    result. Put the replicated side's outer semantics on the skewed side
+    (swap the inputs) or use a plain join for those.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_equi_join: how={how!r} would duplicate unmatched rows "
+            f"of the replicated side; allowed: {sorted(allowed)}"
+        )
     salt_col = F.col(salt_src) if isinstance(salt_src, str) else salt_src
     salted = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(salt_col), F.lit(n_salts)).cast("int")

@@ -25,7 +25,7 @@ from feature_store_2_spark.queries import register
 from feature_store_2_spark.queries.feature_store import _AGG_CTE
 from feature_store_2_spark.sources.tables import load_table
 from feature_store_2_spark.streaming import (
-    read_grants,
+    grants_snapshot,
     run_grants_pipeline,
     streaming_denial_rate,
 )
@@ -69,8 +69,12 @@ def stream_feature_grants(spark, sf_dir):
         grants_path=os.path.join(root, "grants"),
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
+        # Two stateful ops over ~100k events/batch: 16 state partitions
+        # (~6k keys each) — per-partition state-store commit overhead
+        # dominates past that on one box (see run_grants_pipeline doc).
+        shuffle_partitions=16,
     )
-    return read_grants(spark, os.path.join(root, "grants"))
+    return grants_snapshot(spark, os.path.join(root, "grants"))
 
 
 @register(
@@ -96,6 +100,74 @@ def stream_dedup_events(spark, sf_dir):
     q = (
         deduped.select("user_id", "event_id", "event_type")
         .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_SESSIONIZE_STREAM_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                THEN 0 ELSE 1 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+agg AS (
+    SELECT user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM agg
+WHERE session_end_us + 1800000000 <= (SELECT max(epoch_us(ts)) FROM events)
+"""
+
+
+@register(
+    "stream_sessionize",
+    _SESSIONIZE_STREAM_ORACLE,
+    doc="STREAMING session windows (F.session_window, 30-min gap, append "
+    "mode): oracle = the batch lag+cumsum sessionization restricted to "
+    "sessions CLOSED by the final watermark — pins the merge semantics "
+    "(a gap of exactly 30 min merges) and the append-emission rule "
+    "(window end <= watermark emits), both measured",
+)
+def stream_sessionize(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(os.path.join(root, "events"))
+    gap_us = 30 * 60 * 1_000_000
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            # session_window.end = last event ts + gap; subtract the gap
+            # to report the last-event time the batch oracle computes.
+            (F.unix_micros("w.end") - F.lit(gap_us)).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    name = "fs2_stream_sessionize"
+    q = (
+        agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)

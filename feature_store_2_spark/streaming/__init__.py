@@ -23,10 +23,14 @@ from feature_store_2_spark.streaming.pipeline import (
 from feature_store_2_spark.streaming.breaker import streaming_denial_rate
 from feature_store_2_spark.streaming.grants_store import (
     has_grant,
+    latest_circuit_open,
     read_grants,
     read_notifications,
+    route_notifications,
+    serve_has_grant,
     upsert_grants,
 )
+from feature_store_2_spark.streaming.sharded_store import snapshot as grants_snapshot
 
 __all__ = [
     "read_event_stream",
@@ -35,6 +39,10 @@ __all__ = [
     "streaming_denial_rate",
     "read_grants",
     "read_notifications",
+    "route_notifications",
     "upsert_grants",
     "has_grant",
+    "latest_circuit_open",
+    "serve_has_grant",
+    "grants_snapshot",
 ]

@@ -26,7 +26,18 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.streaming import sharded_store
+
 GRANT_KEYS = ("user_id", "feature")
+
+# Reference DEFAULT_EVENT_SUBSCRIBERS_MAP (services/notifications.py:3-6):
+# notification name -> subscriber endpoints. A grant flip fans out once
+# per subscriber; names absent from the map are dropped (the reference's
+# ``if not subscribers: return`` early-out).
+DEFAULT_SUBSCRIBERS: dict[str, tuple[str, ...]] = {
+    "access_granted": ("https://api.example.com/event",),
+    "access_revoked": ("https://api.example.com/event",),
+}
 
 
 def _latest_path(path: str) -> str:
@@ -107,10 +118,39 @@ def grant_changes(new: DataFrame, old: DataFrame | None) -> DataFrame:
     )
 
 
-def append_notifications(notifications: DataFrame, path: str) -> None:
+def route_notifications(
+    notifications: DataFrame,
+    subscribers: dict[str, tuple[str, ...]] = DEFAULT_SUBSCRIBERS,
+) -> DataFrame:
+    """Fan each grant-change row out to its notification's subscribers
+    (services/notifications.py:16-25): broadcast-join the tiny
+    name->endpoints map, explode to one row per (change, subscriber).
+    Unsubscribed notification names are dropped, mirroring
+    ``send_notification``'s early return."""
+    spark = notifications.sparkSession
+    sub_map = spark.createDataFrame(
+        [(name, list(subs)) for name, subs in subscribers.items()],
+        "notification string, __subs array<string>",
+    )
+    return (
+        notifications.join(F.broadcast(sub_map), "notification", "inner")
+        .withColumn("subscriber", F.explode("__subs"))
+        .select("user_id", "feature", "notification", "subscriber")
+    )
+
+
+def append_notifications(
+    notifications: DataFrame,
+    path: str,
+    subscribers: dict[str, tuple[str, ...]] | None = DEFAULT_SUBSCRIBERS,
+) -> None:
     """Fan-out sink (stubbed-HTTP in the reference,
-    services/notifications.py:16-25) -> append-only parquet log; a real
-    deployment points this at Kafka/webhooks via the same foreachBatch."""
+    services/notifications.py:16-25) -> append-only parquet log carrying
+    one row per (grant change, subscriber); a real deployment points
+    this at Kafka/webhooks via the same foreachBatch. ``subscribers=None``
+    skips routing and logs the raw change rows."""
+    if subscribers is not None:
+        notifications = route_notifications(notifications, subscribers)
     notifications.write.mode("append").parquet(path)
 
 
@@ -127,18 +167,60 @@ def has_grant(
     feature: str,
     circuit_open: bool = False,
 ) -> bool:
-    """Point lookup (A15, app.py:63-79). Open circuit => fail-open allow
+    """Point lookup (A15, app.py:63-79) against the SHARDED grants store
+    the streaming pipeline maintains — hashes the key to one shard and
+    reads only that directory. Open circuit => fail-open allow
     (services/user_feature.py:49-52); unknown user => default True
     (services/user_feature.py:75-79)."""
     if circuit_open:
         return True
-    grants = read_grants(spark, grants_path)
-    if grants is None:
+    rows = sharded_store.point_lookup(spark, grants_path, "user_id", user_id)
+    if rows is None:
         return True
     row = (
-        grants.filter((F.col("user_id") == user_id) & (F.col("feature") == feature))
+        rows.filter(F.col("feature") == feature)
         .select("has_grant")
         .limit(1)
         .collect()
     )
     return bool(row[0][0]) if row else True
+
+
+def latest_circuit_open(
+    rates: DataFrame, key_value: str | None = None, key: str = "event_type"
+) -> bool:
+    """Current circuit state from a denial-rate table (the output of
+    streaming/breaker.py's ``streaming_denial_rate``): the most recent
+    window's verdict — the reference's per-feature ``_circuits`` dict as
+    refreshed by its 15 s evaluation loop
+    (services/user_feature.py:106-126). No rows yet => circuit closed."""
+    if key_value is not None:
+        rates = rates.filter(F.col(key) == key_value)
+    row = (
+        rates.orderBy(F.col("window_start").desc())
+        .select("circuit_open")
+        .limit(1)
+        .collect()
+    )
+    return bool(row[0][0]) if row else False
+
+
+def serve_has_grant(
+    spark: SparkSession,
+    grants_path: str,
+    rates: DataFrame,
+    user_id: int,
+    feature: str,
+    key_value: str | None = None,
+) -> bool:
+    """CLOSED breaker loop (services/user_feature.py:46-55): the live
+    denial-rate stream's verdict feeds the serving decision —
+    ``has_access = circuit_open OR grant`` — so a storm of denials
+    fails the feature open exactly as the reference does."""
+    return has_grant(
+        spark,
+        grants_path,
+        user_id,
+        feature,
+        circuit_open=latest_circuit_open(rates, key_value),
+    )

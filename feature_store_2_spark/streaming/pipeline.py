@@ -19,13 +19,15 @@ the per-user distinct sets live in keyed state exactly as the reference
 keeps them in heap dicts. State is Arrow-batched per key group — the
 Python boundary processes whole pandas frames, never row-at-a-time.
 
-Scale notes (100 TB / 1000 executors): state is partitioned by user_id
-hash across executors and checkpointed (RocksDB state store in prod
-config); per-user state is bounded by that user's activity, exactly the
-reference's memory model minus the single-process ceiling. The uuid set
-per user is the dominant term — at extreme per-user volumes swap the
-exact set for ``dropDuplicatesWithinWatermark`` upstream (bounded by the
-watermark) plus plain counters in state.
+State is BOUNDED (100 TB / 1000 executors): uuid exactly-once is
+enforced upstream by ``dropDuplicatesWithinWatermark`` — its dedup
+state is keyed by (user_id, event_id) and EVICTED once the watermark
+passes, so memory is bounded by the duplicate-arrival window, not by
+history — and the per-user keyed state holds only plain counters,
+cent-exact sums, and the DISTINCT_COUNT field sets (bounded by field
+cardinality, the reference's own memory model). Nothing in state grows
+with total event volume. State is partitioned by user_id hash across
+executors and checkpointed (RocksDB state store in prod config).
 """
 
 from __future__ import annotations
@@ -45,11 +47,12 @@ from feature_store_2_spark.plans.feature_pipeline import (
     melt_grants,
 )
 from feature_store_2_spark.schemas import EVENT_ENVELOPE
+from feature_store_2_spark.streaming import sharded_store
 from feature_store_2_spark.streaming.grants_store import (
+    DEFAULT_SUBSCRIBERS,
+    GRANT_KEYS,
     append_notifications,
     grant_changes,
-    read_grants,
-    upsert_grants,
 )
 
 
@@ -62,10 +65,13 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def _state_fields(config: EngineConfig) -> list[tuple[str, T.DataType]]:
     """Keyed-state layout: the per-user accumulators of
-    models/aggregate.py:41-83. seen_ids mirrors the per-user uuid set;
-    SUM accumulates exact integer cents so streaming totals are
-    bit-identical to the batch pipeline's decimal accumulation."""
-    fields: list[tuple[str, T.DataType]] = [("seen_ids", T.ArrayType(T.LongType()))]
+    models/aggregate.py:41-83 — counters and cent-exact sums (SUM
+    accumulates exact integer cents so streaming totals are bit-identical
+    to the batch pipeline's decimal accumulation) plus DISTINCT_COUNT
+    field-value sets. Uuid dedup lives in the upstream
+    ``dropDuplicatesWithinWatermark`` operator's own evicted state, NOT
+    here — no per-user seen-id set, so state never grows with volume."""
+    fields: list[tuple[str, T.DataType]] = []
     for spec in config.aggregates:
         if spec.type is AggregateType.COUNT:
             fields.append((spec.name, T.LongType()))
@@ -89,17 +95,28 @@ def _output_schema(config: EngineConfig) -> T.StructType:
 
 
 def streaming_user_aggregates(
-    events: DataFrame, config: EngineConfig = DEFAULT_CONFIG
+    events: DataFrame,
+    config: EngineConfig = DEFAULT_CONFIG,
+    dedup_watermark: str = "35 days",
 ) -> DataFrame:
     """Streaming per-user aggregate table: emits one updated row per
     user per micro-batch (update semantics), same schema as the batch
-    ``user_aggregates``."""
+    ``user_aggregates``.
+
+    ``dedup_watermark`` bounds the uuid exactly-once window: a duplicate
+    event id arriving within it is dropped (models/aggregate.py:53-57);
+    one arriving after its original has aged out of the watermark would
+    double-count — the explicit, sized trade every at-least-once source
+    forces. Dedup state is evicted as the watermark advances."""
     field_names: dict[str, str] = {}
     for spec in config.aggregates:
         if spec.field and spec.field not in field_names:
             field_names[spec.field] = f"__f{len(field_names)}"
 
-    projected = events.select(
+    deduped = events.withWatermark("ts", dedup_watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_id"]
+    )
+    projected = deduped.select(
         "user_id",
         "event_id",
         "event_type",
@@ -118,11 +135,8 @@ def streaming_user_aggregates(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            stored = state.get
-            seen = set(stored[0] or [])
-            accs = list(stored[1:])
+            accs = list(state.get)
         else:
-            seen = set()
             accs = [
                 0 if s.type is not AggregateType.DISTINCT_COUNT else []
                 for s in specs
@@ -132,13 +146,15 @@ def streaming_user_aggregates(
             for s, a in zip(specs, accs)
         ]
         for pdf in pdfs:
-            # Exactly-once per uuid (models/aggregate.py:53-57): drop
-            # already-seen event ids, then within-batch duplicates.
-            pdf = pdf[~pdf["event_id"].isin(seen)]
-            pdf = pdf.drop_duplicates(subset=["event_id"])
             if pdf.empty:
                 continue
-            seen.update(int(x) for x in pdf["event_id"])
+            # Cross-batch uuid dedup already happened upstream
+            # (dropDuplicatesWithinWatermark). Reduce any residual
+            # within-batch duplicates DETERMINISTICALLY — per-column
+            # min, mirroring the batch pipeline's min() tie-break — so
+            # corrupt input (one uuid, conflicting payloads) cannot
+            # make the result depend on pandas arrival order.
+            pdf = pdf.groupby("event_id", as_index=False).min()
             for i, spec in enumerate(specs):
                 rows = pdf[pdf["event_type"] == spec.event_name]
                 if rows.empty:
@@ -151,7 +167,7 @@ def streaming_user_aggregates(
                 else:  # SUM in exact integer cents
                     vals = rows[fnames[spec.field]].dropna()
                     accs[i] += int(round(float(vals.sum()) * 100))
-        new_state = [sorted(seen)]
+        new_state = []
         for i, spec in enumerate(specs):
             if spec.type is AggregateType.DISTINCT_COUNT:
                 new_state.append(sorted(distinct_sets[i]))
@@ -184,32 +200,72 @@ def run_grants_pipeline(
     notifications_path: str,
     checkpoint_path: str,
     config: EngineConfig = DEFAULT_CONFIG,
+    subscribers: dict[str, tuple[str, ...]] | None = DEFAULT_SUBSCRIBERS,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """End-to-end streaming run: ingest all currently-available event
     files (``availableNow`` trigger — incremental, resumes from the
     checkpoint), update per-user state, upsert grants, append
-    grant-change notifications. Calling it again after new files land
-    processes only the new data — the reference's always-on consumer
-    loop, here as repeatable catch-up batches."""
+    subscriber-routed grant-change notifications. Calling it again after
+    new files land processes only the new data — the reference's
+    always-on consumer loop, here as repeatable catch-up batches.
+
+    The grants table is the SHARDED store (streaming/sharded_store.py):
+    a micro-batch touching k users rewrites at most k shard directories,
+    never the whole table — write amplification proportional to data
+    touched, which is what survives 100 TB. The pre-merge snapshot read
+    for flip detection is restricted to the same touched shards (rows
+    elsewhere cannot match any incoming key).
+
+    ``shuffle_partitions`` right-sizes the TWO stateful operators (dedup
+    + keyed aggregation): streaming disables AQE, so every state
+    partition pays a per-batch state-store commit whether it holds 100
+    keys or 100k — measured 3x wall-clock at 100k events going 64 -> 16
+    partitions locally. Size it to events-per-batch / executor count; a
+    1000-executor RocksDB deployment raises it instead. The count is
+    baked into the checkpoint on first run (later runs reuse it)."""
+    prev_parts = None
+    if shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     aggs = streaming_user_aggregates(read_event_stream(spark, events_path), config)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
+        new = None
         try:
-            new = melt_grants(
-                grants_wide_from_aggregates(batch_df, config), config
-            ).persist()
-            old = read_grants(batch_df.sparkSession, grants_path)
-            append_notifications(grant_changes(new, old), notifications_path)
-            upsert_grants(new, grants_path)
+            new = (
+                melt_grants(grants_wide_from_aggregates(batch_df, config), config)
+                .withColumn(sharded_store.SHARD_COL, sharded_store.shard_of("user_id"))
+                .persist()
+            )
+            touched = {
+                r[0] for r in new.select(sharded_store.SHARD_COL).distinct().collect()
+            }
+            old = sharded_store.read_store(
+                batch_df.sparkSession, grants_path, shards=touched
+            )
+            if old is not None:
+                old = old.drop(sharded_store.SHARD_COL)
+            changes = grant_changes(new.drop(sharded_store.SHARD_COL), old)
+            append_notifications(changes, notifications_path, subscribers)
+            sharded_store.upsert(
+                new, grants_path, GRANT_KEYS, "user_id", touched=touched
+            )
         finally:
             batch_df.unpersist()
+            if new is not None:
+                new.unpersist()
 
-    query = (
-        aggs.writeStream.foreachBatch(merge)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    try:
+        query = (
+            aggs.writeStream.foreachBatch(merge)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -32,6 +32,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 N_SHARDS = 16
 SHARD_COL = "__shard"
@@ -93,6 +94,12 @@ def read_store(
     return out
 
 
+def snapshot(spark: SparkSession, path: str) -> DataFrame | None:
+    """Current store contents without the internal ``__shard`` column."""
+    df = read_store(spark, path)
+    return None if df is None else df.drop(SHARD_COL)
+
+
 def upsert(
     new: DataFrame,
     path: str,
@@ -100,19 +107,27 @@ def upsert(
     shard_key: str,
     n_shards: int = N_SHARDS,
     compact_after: int = 8,
+    touched: set[int] | None = None,
 ) -> None:
     """MERGE ``new`` into the store: matching ``key_cols`` rows replaced,
     others carried forward; only shards containing incoming rows are
-    rewritten (plus a full fold when compaction triggers)."""
+    rewritten (plus a full fold when compaction triggers).
+
+    ``new`` may already carry the ``__shard`` column (and ``touched`` the
+    matching shard set) — callers that need the shard set themselves
+    (e.g. to restrict a pre-merge read) compute it once and pass both.
+    """
     spark = new.sparkSession
     manifest = _read_manifest(path) or {}
     version = (current_version(path) if manifest else None)
     next_version = (version + 1) if version is not None else 0
 
-    new = new.withColumn(SHARD_COL, shard_of(shard_key, n_shards))
-    touched = {
-        r[0] for r in new.select(SHARD_COL).distinct().collect()
-    }  # tiny: <= n_shards ints
+    if SHARD_COL not in new.columns:
+        new = new.withColumn(SHARD_COL, shard_of(shard_key, n_shards))
+    if touched is None:
+        touched = {
+            r[0] for r in new.select(SHARD_COL).distinct().collect()
+        }  # tiny: <= n_shards ints
 
     live_versions = set(manifest.values())
     compacting = len(live_versions) + 1 > compact_after
@@ -159,14 +174,26 @@ def point_lookup(
     key_value,
     n_shards: int = N_SHARDS,
 ) -> DataFrame | None:
-    """Rows for one key, reading exactly one shard directory."""
+    """Rows for one key, reading exactly one shard directory.
+
+    The shard is derived by the SAME ``shard_of`` expression ``upsert``
+    used, applied to a one-row frame whose key column carries the
+    column's STORED dtype — ``xxhash64`` hashes by type, so hashing
+    ``lit(key).cast('long')`` would silently pick the wrong shard for
+    any non-bigint shard key (e.g. string user ids).
+    """
+    manifest = _read_manifest(path)
+    if not manifest:
+        return None
+    any_version = next(iter(manifest.values()))
+    dtype = (
+        spark.read.parquet(_data_dir(path, any_version)).schema[shard_key].dataType
+    )
     shard = (
-        spark.range(1)
-        .select(
-            F.pmod(F.xxhash64(F.lit(key_value).cast("long")), F.lit(n_shards))
-            .cast("int")
-            .alias("s")
+        spark.createDataFrame(
+            [(key_value,)], T.StructType([T.StructField(shard_key, dtype)])
         )
+        .select(shard_of(shard_key, n_shards).alias("s"))
         .collect()[0]["s"]
     )
     snap = read_store(spark, path, shards={shard})

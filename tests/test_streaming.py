@@ -26,12 +26,14 @@ from feature_store_2_spark.config import (
 )
 from feature_store_2_spark.plans.feature_pipeline import feature_grants_long
 from feature_store_2_spark.streaming import (
+    grants_snapshot,
     has_grant,
-    read_grants,
     read_notifications,
     run_grants_pipeline,
+    serve_has_grant,
     streaming_denial_rate,
 )
+from feature_store_2_spark.streaming import sharded_store as ss
 
 
 def _paths(tmp_path):
@@ -52,7 +54,7 @@ def test_streaming_grants_match_batch(spark, sf_dir, tmp_path):
 
     run_grants_pipeline(spark, events_dir, grants_dir, notes_dir, ckpt)
 
-    streamed = read_grants(spark, grants_dir).orderBy("user_id", "feature")
+    streamed = grants_snapshot(spark, grants_dir).orderBy("user_id", "feature")
     expected = feature_grants_long(events).orderBy("user_id", "feature")
     assert streamed.count() == expected.count() > 0
     assert [tuple(r) for r in streamed.collect()] == [
@@ -93,19 +95,30 @@ def test_incremental_batches_dedup_and_notifications(spark, tmp_path):
     assert read_notifications(spark, notes_dir).count() == 0
 
     # Batch 2: duplicate event 100 (ignored) + new error 102 -> 2 errors,
-    # rule fails, feature revoked, notification emitted.
+    # rule fails, feature revoked, notification emitted — routed to the
+    # access_revoked subscriber (one row per subscriber endpoint).
     _write_events(spark, events_dir, [(100, 1, "error", None), (102, 1, "error", None)])
     run_grants_pipeline(spark, events_dir, grants_dir, notes_dir, ckpt, TEST_CONFIG)
     assert has_grant(spark, grants_dir, 1, "message") is False
     notes = read_notifications(spark, notes_dir).collect()
-    assert [(r.user_id, r.feature, r.notification) for r in notes] == [
-        (1, "message", "access_revoked")
+    assert [(r.user_id, r.feature, r.notification, r.subscriber) for r in notes] == [
+        (1, "message", "access_revoked", "https://api.example.com/event")
     ]
 
     # Batch 3: no new events for user 1 -> nothing changes; and a fresh
-    # user's first all-True grant row emits no notification.
+    # user's first all-True grant row emits no notification. The
+    # micro-batch touches ONE user -> at most one shard is rewritten
+    # (incremental MERGE, not a full-table rewrite).
+    manifest_before = ss._read_manifest(grants_dir)
     _write_events(spark, events_dir, [(200, 2, "purchase", 1.0)])
     run_grants_pipeline(spark, events_dir, grants_dir, notes_dir, ckpt, TEST_CONFIG)
+    manifest_after = ss._read_manifest(grants_dir)
+    rewritten = {
+        s
+        for s in manifest_after
+        if manifest_after[s] != manifest_before.get(s)
+    }
+    assert len(rewritten) <= 1
     assert read_notifications(spark, notes_dir).count() == 1
     assert has_grant(spark, grants_dir, 1, "message") is False  # sticky until regrant
     assert has_grant(spark, grants_dir, 2, "message") is True
@@ -145,3 +158,50 @@ def test_streaming_denial_rate_window(spark, tmp_path):
         assert r.denied_users == 1
         assert abs(r.denial_rate - 0.1) < 1e-9
         assert r.circuit_open is True
+
+
+def test_breaker_feeds_serving_fail_open(spark, tmp_path):
+    """CLOSED breaker loop (services/user_feature.py:46-55,106-126 and
+    tests/test_user_feature_service.py:27-113): a denial storm opens the
+    circuit and the serving path fails OPEN — a revoked user is allowed
+    while the circuit is open, denied again once it is closed."""
+    grants_dir = str(tmp_path / "grants")
+    g = spark.createDataFrame(
+        [(1, "message", False), (2, "message", True)],
+        "user_id long, feature string, has_grant boolean",
+    )
+    ss.upsert(g, grants_dir, ("user_id", "feature"), "user_id")
+    assert has_grant(spark, grants_dir, 1, "message") is False
+
+    # Denial storm: 3 of 10 users denied -> 30% > 5% -> circuit opens.
+    events_dir = str(tmp_path / "events")
+    rows = [(i, i, "message", 100.0 if i < 3 else 1.0) for i in range(10)]
+    _write_events(spark, events_dir, rows)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(events_dir)
+    rates = streaming_denial_rate(
+        stream, denied=F.col("value") > 50.0, slide="5 minutes", key="event_type"
+    )
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("breaker_loop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rates_tbl = spark.table("breaker_loop")
+
+    # Open circuit => revoked user served True (fail-open).
+    assert (
+        serve_has_grant(spark, grants_dir, rates_tbl, 1, "message", key_value="message")
+        is True
+    )
+    # Closed circuit (no breaker rows) => real grant is served.
+    assert (
+        serve_has_grant(spark, grants_dir, rates_tbl.limit(0), 1, "message") is False
+    )
+    assert (
+        serve_has_grant(spark, grants_dir, rates_tbl.limit(0), 2, "message") is True
+    )
