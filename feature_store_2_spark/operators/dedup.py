@@ -21,11 +21,18 @@ Scale shapes:
 
 from __future__ import annotations
 
+import hashlib
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.functions.vector import (
+    cosine_from_parts,
+    qdot,
+    qnorm2,
+    quantize,
+)
 from feature_store_2_spark.operators.text import tokens
 
 N_MINHASHES = 16
@@ -291,6 +298,100 @@ def minhash_lsh_candidate_pairs(
             F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2")
         )
         .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+
+
+SRP_BITS = 32
+SRP_BAND_BITS = 4  # 8 bands of 4 bits
+
+
+def _srp_sign(h: int, i: int) -> int:
+    """Hyperplane component sign: +1 iff the ascii code of the first hex
+    char of md5("h:i") is even. Chosen because DuckDB evaluates the SAME
+    expression (``ascii(substr(md5(h || ':' || i), 1, 1)) % 2``), so the
+    oracle rebuilds an identical hyperplane matrix from first principles
+    — no literal-matrix smuggling between engines."""
+    return 1 if ord(hashlib.md5(f"{h}:{i}".encode()).hexdigest()[0]) % 2 == 0 else -1
+
+
+def srp_band_keys(
+    qvec: Column, n_bits: int = SRP_BITS, band_bits: int = SRP_BAND_BITS, dim: int = 64
+) -> Column:
+    """Array of (band, bkey) structs for a quantized vector: bit h is
+    sign(dot(v, r_h)) >= 0 with the md5-derived +/-1 hyperplane r_h;
+    consecutive ``band_bits`` bits pack into one integer band key.
+    Integer-exact on quantized vectors — bucket assignment reproduces
+    across engines, retries, and layouts."""
+    bits = []
+    for h in range(n_bits):
+        signs = F.array(*[F.lit(_srp_sign(h, i)) for i in range(1, dim + 1)])
+        proj = F.aggregate(
+            F.zip_with(qvec, signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    bands = []
+    for b in range(n_bits // band_bits):
+        key = F.lit(0).cast("long")
+        for j in range(band_bits):
+            key = key + bits[b * band_bits + j] * F.lit(1 << j)
+        bands.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    return F.array(*bands)
+
+
+def embedding_srp_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_bits: int = SRP_BITS,
+    band_bits: int = SRP_BAND_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs at corpus scale: SRP-LSH band buckets
+    generate candidates (equi-join on (band, band_key) — never an
+    all-pairs theta join), then the exact quantized cosine re-ranks and
+    keeps pairs >= threshold.
+
+    Precision is 1.0 (exact re-rank); recall is the standard SRP band
+    bound 1-(1-p^r)^b with p = 1 - acos(cos)/pi — higher thresholds and
+    more bits/band prune harder AND recall more, which is why production
+    near-dup (t >= 0.8) runs wider bands than this catalog demo
+    threshold. The hyperplanes are md5-parity-derived, so the DuckDB
+    oracle computes the identical candidate set and the entry is
+    hash-gateable despite being approximate."""
+    base = (
+        emb.select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("v"))
+        .withColumn("n2", qnorm2(F.col("v")))
+        .persist()  # feeds the band explode plus both re-rank sides
+    )
+    bands = base.select(
+        "vid", F.explode(srp_band_keys(F.col("v"), n_bits, band_bits, dim)).alias("bb")
+    ).select("vid", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec1"), F.col("b.vid").alias("vec2"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("vid").alias("vec1"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    vb = base.select(
+        F.col("vid").alias("vec2"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    cos = cosine_from_parts(qdot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    return (
+        cand.join(va, "vec1")
+        .join(vb, "vec2")
+        .select("vec1", "vec2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
     )
 
 

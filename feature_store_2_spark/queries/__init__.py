@@ -63,7 +63,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_embedding_cosine",  # changed in r2: full corpus, blocked pair join
+    "dedup_embedding_cosine",  # changed in r2: cap removed, full corpus
+    "dedup_embedding_ann_pairs",  # new in r2: SRP-banded scale path
     # -- similarity search (unscored in r01) --
     "emb_norms",
     "emb_cosine_topk",
@@ -81,6 +82,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- streaming (unscored in r01) --
     "stream_feature_grants",
     "stream_dedup_events",
+    "stream_sessionize",
     "stream_denial_rate",
     # -- scalar function families (unscored in r01) --
     "func_string_part",

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.functions.vector import QUANT_SCALE, qnorm2, quantize
+from feature_store_2_spark.operators.dedup import embedding_srp_near_pairs
 from feature_store_2_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -98,6 +99,66 @@ def emb_lsh_ann_topk(spark, sf_dir):
 def emb_ivf_topk(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
     return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
+_ANN_PAIRS_ORACLE = f"""
+WITH r AS (
+    SELECT h.h AS h, i.i AS i,
+           CASE WHEN ascii(substr(md5(CAST(h.h AS VARCHAR) || ':' ||
+                                       CAST(i.i AS VARCHAR)), 1, 1)) % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM generate_series(0, 31) h(h) CROSS JOIN generate_series(1, {DIM}) i(i)
+),
+qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+bits AS (
+    SELECT q.vec_id, r.h,
+           CASE WHEN sum(r.s * q.v[r.i]) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM qv q CROSS JOIN r
+    GROUP BY q.vec_id, r.h
+),
+bands AS (
+    SELECT vec_id, h // 4 AS band,
+           CAST(sum(bit * (1 << (h % 4))) AS BIGINT) AS bkey
+    FROM bits GROUP BY vec_id, h // 4
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
+          FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
+dots AS (
+    SELECT c.vec1, c.vec2, CAST(sum(a.v[i.i] * b.v[i.i]) AS BIGINT) AS dot
+    FROM cand c
+    JOIN qv a ON c.vec1 = a.vec_id
+    JOIN qv b ON c.vec2 = b.vec_id
+    CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY c.vec1, c.vec2
+)
+SELECT d.vec1, d.vec2,
+       CAST(d.dot AS DOUBLE) /
+       (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM dots d
+JOIN norms na ON d.vec1 = na.vec_id
+JOIN norms nb ON d.vec2 = nb.vec_id
+WHERE CAST(d.dot AS DOUBLE) /
+      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.45
+"""
+
+
+@register(
+    "dedup_embedding_ann_pairs",
+    _ANN_PAIRS_ORACLE,
+    doc="FULL-CORPUS embedding near-dup via SRP-LSH band candidates + "
+    "exact quantized-cosine re-rank — the scale path (equi-join on band "
+    "buckets, no all-pairs theta join). Hyperplanes are md5-parity "
+    "derived, so the DuckDB oracle rebuilds the identical candidate set "
+    "and the approximate operator is still value-hash-gateable",
+)
+def dedup_embedding_ann_pairs(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    return embedding_srp_near_pairs(e, threshold=0.45)
 
 
 @register(

@@ -370,7 +370,7 @@ _EMB_DIM = 64
 @register(
     "dedup_embedding_cosine",
     f"""
-WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings WHERE vec_id < 200),
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
 norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
           FROM qv CROSS JOIN generate_series(1, {_EMB_DIM}) i(i) GROUP BY vec_id),
 pairs AS (
@@ -386,12 +386,15 @@ JOIN norms na ON vec1 = na.vec_id
 JOIN norms nb ON vec2 = nb.vec_id
 WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.35
 """,
-    doc="embedding-cosine near-dup pairs (exact quantized cosine >= 0.35)",
+    doc="FULL-CORPUS embedding-cosine near-dup pairs (exact quantized "
+    "cosine >= 0.35). An exact theta-threshold join at a low threshold "
+    "is inherently all-pairs; this entry keeps exact semantics (and so "
+    "an exact oracle), while dedup_embedding_ann_pairs is the "
+    "SRP-banded candidate path that replaces it at corpus scale",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     e = (
         load_table(spark, "embeddings", sf_dir)
-        .filter(F.col("vec_id") < 200)
         .select("vec_id", quantize("embedding").alias("v"))
         .withColumn("n2", qnorm2(F.col("v")))
         .persist()  # both sides of the pair join read it
@@ -405,8 +408,6 @@ def dedup_embedding_cosine(spark, sf_dir):
     cos = cosine_from_parts(
         qdot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
     )
-    # Bounded candidate set here; the unbounded-scale path is the SRP/LSH
-    # bucketing in operators/similarity.py (emb_lsh_ann_topk).
     return (
         a.join(b, F.col("vec1") < F.col("vec2"))
         .select("vec1", "vec2", cos.alias("cosine"))

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.operators.dedup import (
+    embedding_srp_near_pairs,
     exact_dedup_groups,
     minhash_lsh_candidate_pairs,
     ngram_jaccard_pairs,
@@ -105,6 +106,57 @@ def test_ngram_jaccard_prefix_equals_exact(spark, sf_dir):
         }
         assert prefix == exact
     assert exact  # non-trivial corpus: pairs exist
+
+
+def test_embedding_srp_pairs_subset_of_exact_with_recall(spark, sf_dir):
+    """SRP-band candidates + exact re-rank: precision 1.0 (every emitted
+    pair really clears the threshold — subset of the exact all-pairs
+    result with identical cosines) and recall on the real corpus at the
+    catalog threshold is non-trivial. Deterministic hyperplanes make
+    both numbers reproducible."""
+    e = load_table(spark, "embeddings", sf_dir)
+    t = 0.45
+    exact = {
+        (r["vec1"], r["vec2"], round(r["cosine"], 12))
+        for r in _exact_cosine_pairs(e, t).collect()
+    }
+    ann = {
+        (r["vec1"], r["vec2"], round(r["cosine"], 12))
+        for r in embedding_srp_near_pairs(e, threshold=t).collect()
+    }
+    assert ann <= exact
+    assert exact  # non-trivial corpus: pairs exist above threshold
+    assert len(ann) / len(exact) >= 0.5  # 8 bands x 4 bits at cos 0.45
+
+
+def _exact_cosine_pairs(emb, threshold):
+    from feature_store_2_spark.functions.vector import (
+        cosine_from_parts,
+        qdot,
+        qnorm2,
+        quantize,
+    )
+
+    e = (
+        emb.select("vec_id", quantize("embedding").alias("v"))
+        .withColumn("n2", qnorm2(F.col("v")))
+    )
+    a = e.select(F.col("vec_id").alias("vec1"), F.col("v").alias("va"), F.col("n2").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec2"), F.col("v").alias("vb"), F.col("n2").alias("nb"))
+    cos = cosine_from_parts(qdot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def test_embedding_srp_pairs_plan_has_no_nested_loop(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    plan = (
+        embedding_srp_near_pairs(e)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
 def test_brute_force_topk_ranks_identical_vector_first(spark):
