@@ -40,8 +40,10 @@ HEADLINE = [
     "agg_rollup_lineitem",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_embedding_ann_pairs",
     "emb_cosine_topk",
     "doc_token_counts",
+    "stream_sessionize",
     # The reference's true workload end-to-end: streaming ingest ->
     # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;
     # wall seconds here are ~events/sec throughput vs BASELINE's 2k req/s.

@@ -83,6 +83,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_feature_grants",
     "stream_dedup_events",
     "stream_sessionize",
+    "stream_grant_notifications",
+    "stream_static_join_enrich",
     "stream_denial_rate",
     # -- scalar function families (unscored in r01) --
     "func_string_part",
@@ -108,8 +110,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q7_nation_volume",
     "q10_returned_revenue",
     "join_asof_purchase_last_signup",
-    "window_trailing_10min_count",
-    "sessionize_events",
 )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
@@ -26,6 +27,7 @@ from feature_store_2_spark.queries.feature_store import _AGG_CTE
 from feature_store_2_spark.sources.tables import load_table
 from feature_store_2_spark.streaming import (
     grants_snapshot,
+    read_notifications,
     run_grants_pipeline,
     streaming_denial_rate,
 )
@@ -44,6 +46,22 @@ UNION ALL
 SELECT user_id, 'message' AS feature, message_grant AS has_grant FROM wide
 """
 )
+
+
+@contextmanager
+def _stream_shuffle(spark, n: int = 16):
+    """Right-size stateful-operator partitions for the duration of a
+    streaming run: AQE is off in streaming, so each state partition pays
+    a per-batch state-store commit regardless of size — a driver session
+    at the 200-partition default turns a 10k-event micro-batch into 200
+    commits (measured 3x wall-clock at 100k events from 64 -> 16). The
+    count bakes into the checkpoint on first batch; restored after."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _stage_events(spark, sf_dir: str) -> str:
@@ -97,9 +115,85 @@ def stream_dedup_events(spark, sf_dir):
         ["user_id", "event_id"]
     )
     name = "fs2_stream_dedup"
+    with _stream_shuffle(spark):
+        q = (
+            deduped.select("user_id", "event_id", "event_type")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_grant_notifications",
+    _AGG_CTE
+    + """
+, wide AS (
+    SELECT user_id,
+           too_many_distinct_ks AND click_to_purchase_ratio AS purchase_grant,
+           cannot_error_message AS message_grant
+    FROM rules
+),
+long AS (
+    SELECT user_id, 'purchase' AS feature, purchase_grant AS has_grant FROM wide
+    UNION ALL
+    SELECT user_id, 'message' AS feature, message_grant AS has_grant FROM wide
+)
+SELECT user_id, feature, 'access_revoked' AS notification,
+       'https://api.example.com/event' AS subscriber
+FROM long WHERE NOT has_grant
+""",
+    doc="A18 change-notification sink, oracle-checked: a cold-start "
+    "streaming run notifies exactly the revoked rows (default grant is "
+    "True), each routed to its subscriber endpoint. Assumes the staged "
+    "events land in one availableNow micro-batch (no rate limits "
+    "configured), so the flip log equals the final revoked set",
+)
+def stream_grant_notifications(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    run_grants_pipeline(
+        spark,
+        events_path=os.path.join(root, "events"),
+        grants_path=os.path.join(root, "grants"),
+        notifications_path=os.path.join(root, "notifications"),
+        checkpoint_path=os.path.join(root, "checkpoint"),
+        shuffle_partitions=16,
+    )
+    return read_notifications(spark, os.path.join(root, "notifications"))
+
+
+@register(
+    "stream_static_join_enrich",
+    """
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.event_type
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+    doc="stream-static join: the event stream enriched against the "
+    "static customer dimension via a broadcast hash join per "
+    "micro-batch — stateless (append mode), the standard dimension- "
+    "enrichment shape (static side re-broadcast per batch, no shuffle "
+    "of the stream)",
+)
+def stream_static_join_enrich(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(os.path.join(root, "events"))
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = stream.join(F.broadcast(cust), "user_id").select(
+        "event_id", "user_id", "segment", "event_type"
+    )
+    name = "fs2_stream_static_join"
     q = (
-        deduped.select("user_id", "event_id", "event_type")
-        .writeStream.format("memory")
+        joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
@@ -166,14 +260,15 @@ def stream_sessionize(spark, sf_dir):
         )
     )
     name = "fs2_stream_sessionize"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -193,12 +288,13 @@ def stream_denial_rate(spark, sf_dir):
         stream, denied=F.col("value") < 2.0, slide="5 minutes"
     )
     name = "fs2_stream_denial_rate"
-    q = (
-        rates.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            rates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

@@ -70,6 +70,41 @@ def shard_of(key_col: str, n_shards: int = N_SHARDS) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
 
 
+# --- driver-side XXH64, bit-identical to Spark's xxhash64 on BIGINT ---
+# (XXH64 is public domain; this is the fixed-width 8-byte lane path with
+# Spark's default seed 42.) Lets a point lookup compute its shard without
+# launching a Spark job — the serving path is then one pruned read.
+_M64 = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63,
+    0x27D4EB2F165667C5,
+)
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """Spark-compatible xxhash64 of one BIGINT (signed result).
+    Verified bit-identical to ``F.xxhash64(col)`` for LongType in
+    tests/test_sharded_store.py."""
+    l = value & _M64
+    acc = (seed + _P5 + 8) & _M64
+    k1 = _rotl64((l * _P2) & _M64, 31)
+    acc ^= (k1 * _P1) & _M64
+    acc = (_rotl64(acc, 27) * _P1 + _P4) & _M64
+    acc ^= acc >> 33
+    acc = (acc * _P2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _P3) & _M64
+    acc ^= acc >> 32
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
 def read_store(
     spark: SparkSession, path: str, shards: set[int] | None = None
 ) -> DataFrame | None:
