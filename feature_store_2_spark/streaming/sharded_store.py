@@ -211,11 +211,13 @@ def point_lookup(
 ) -> DataFrame | None:
     """Rows for one key, reading exactly one shard directory.
 
-    The shard is derived by the SAME ``shard_of`` expression ``upsert``
-    used, applied to a one-row frame whose key column carries the
-    column's STORED dtype — ``xxhash64`` hashes by type, so hashing
+    The shard must come from the SAME hash ``upsert``'s ``shard_of``
+    applied — ``xxhash64`` hashes by type, so hashing
     ``lit(key).cast('long')`` would silently pick the wrong shard for
-    any non-bigint shard key (e.g. string user ids).
+    any non-bigint shard key (e.g. string user ids). Bigint keys hash
+    driver-side (``xxhash64_long``, bit-identical, zero Spark jobs —
+    the serving path is then a single pruned read); other dtypes fall
+    back to a one-row frame carrying the column's STORED dtype.
     """
     manifest = _read_manifest(path)
     if not manifest:
@@ -224,13 +226,16 @@ def point_lookup(
     dtype = (
         spark.read.parquet(_data_dir(path, any_version)).schema[shard_key].dataType
     )
-    shard = (
-        spark.createDataFrame(
-            [(key_value,)], T.StructType([T.StructField(shard_key, dtype)])
+    if isinstance(dtype, T.LongType):
+        shard = xxhash64_long(int(key_value)) % n_shards
+    else:
+        shard = (
+            spark.createDataFrame(
+                [(key_value,)], T.StructType([T.StructField(shard_key, dtype)])
+            )
+            .select(shard_of(shard_key, n_shards).alias("s"))
+            .collect()[0]["s"]
         )
-        .select(shard_of(shard_key, n_shards).alias("s"))
-        .collect()[0]["s"]
-    )
     snap = read_store(spark, path, shards={shard})
     if snap is None:
         return None

@@ -84,6 +84,31 @@ def test_compaction_folds_versions_and_gcs(spark, store):
     assert len(snap) == 200
 
 
+def test_python_xxhash64_matches_spark(spark):
+    """Driver-side XXH64 (bigint lane, seed 42) is bit-identical to
+    F.xxhash64 on LongType — the contract that lets point lookups skip
+    the hash job entirely."""
+    vals = list(range(-5, 50)) + [2**40, -(2**40), 2**62, -(2**62) + 1]
+    df = spark.createDataFrame([(v,) for v in vals], "k long").select(
+        "k", F.xxhash64("k").alias("h")
+    )
+    for r in df.collect():
+        assert ss.xxhash64_long(r.k) == r.h, r.k
+
+
+def test_point_lookup_string_key_uses_stored_dtype(spark, store):
+    """Non-bigint shard keys still land on the right shard: the lookup
+    hashes with the column's stored dtype (a long-cast would hash a
+    different byte layout and read the wrong shard)."""
+    df = spark.createDataFrame(
+        [(f"user-{i}", i % 2 == 0) for i in range(60)],
+        "uid string, has_grant boolean",
+    )
+    ss.upsert(df, store, ("uid",), "uid")
+    rows = ss.point_lookup(spark, store, "uid", "user-7").collect()
+    assert [(r.uid, r.has_grant) for r in rows] == [("user-7", False)]
+
+
 def test_point_lookup_reads_one_shard(spark, store):
     base = grants_df(spark, [(u, "purchase", u % 2 == 0) for u in range(100)])
     ss.upsert(base, store, ("user_id", "feature"), "user_id")
