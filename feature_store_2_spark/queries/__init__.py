@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_lang_guess",
     "doc_quality_score",
     "doc_fingerprint_normalized",
+    "doc_corpus_curation",
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -109,7 +110,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_order_priority",
     "q7_nation_volume",
     "q10_returned_revenue",
-    "join_asof_purchase_last_signup",
 )
 
 

@@ -9,6 +9,7 @@ SimHash bits hash-match the gate.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.operators.dedup import (
@@ -160,6 +161,81 @@ def doc_fingerprint_normalized(spark, sf_dir):
     fp = normalized_fingerprint("text")
     return d.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("prefix8")
+    )
+
+
+def _curation_oracle() -> str:
+    hit = {
+        lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    top = f"greatest({', '.join(hit.values())})"
+    case = " ".join(f"WHEN {hit[lang]} = {top} THEN '{lang}'" for lang in sorted(hit))
+    guess = f"CASE WHEN {top} = 0 THEN 'und' ELSE (CASE {case} END) END"
+    diversity = (
+        "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+        " / len(string_split(text, ' '))"
+    )
+    quality = (
+        f"CASE WHEN length(text) BETWEEN 100 AND 500 THEN {diversity}"
+        f" ELSE ({diversity}) / 2 END"
+    )
+    return f"""
+WITH stats AS (
+    SELECT doc_id, lang,
+           {quality} AS quality,
+           {guess} AS guessed_lang,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+),
+kept AS (SELECT * FROM stats WHERE quality > 0.4 AND guessed_lang = lang),
+canonical AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn_fp
+        FROM kept) WHERE rn_fp = 1
+)
+SELECT doc_id, lang, n_tokens, quality, CAST(lang_rank AS BIGINT) AS lang_rank FROM (
+    SELECT doc_id, lang, n_tokens, quality,
+           row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+               AS lang_rank
+    FROM canonical)
+WHERE lang_rank <= 50
+"""
+
+
+@register(
+    "doc_corpus_curation",
+    _curation_oracle(),
+    doc="COMPOSITE training-data curation pipeline: quality gate -> "
+    "language-agreement filter -> normalized-fingerprint exact dedup "
+    "(canonical = lowest id) -> per-language top-50 quality budget. One "
+    "declarative plan: a scan-level projection, one window over the "
+    "fingerprint (dedup), one window over lang (budget) — two narrow "
+    "shuffles regardless of corpus size",
+)
+def doc_corpus_curation(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    stats = d.select(
+        "doc_id",
+        "lang",
+        quality_score("text").alias("quality"),
+        lang_guess("text").alias("guessed_lang"),
+        bpe_ish_token_count("text").alias("n_tokens"),
+        normalized_fingerprint("text").alias("fingerprint"),
+    )
+    kept = stats.filter(
+        (F.col("quality") > 0.4) & (F.col("guessed_lang") == F.col("lang"))
+    )
+    w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
+    canonical = kept.withColumn("rn_fp", F.row_number().over(w_fp)).filter(
+        F.col("rn_fp") == 1
+    )
+    w_lang = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    return (
+        canonical.withColumn("lang_rank", F.row_number().over(w_lang).cast("long"))
+        .filter(F.col("lang_rank") <= 50)
+        .select("doc_id", "lang", "n_tokens", "quality", "lang_rank")
     )
 
 
