@@ -31,6 +31,8 @@ AUDIT = [
     "fs_purchase_allowlist", "fs_windowed_denial_rate",
     "agg_rollup_lineitem", "window_running_spend",
     "dedup_minhash_lsh", "emb_cosine_topk", "sessionize_events",
+    "dedup_embedding_ann_pairs", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "doc_corpus_curation",
 ]
 
 
