@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_sessionize",
     "stream_grant_notifications",
     "stream_static_join_enrich",
+    "stream_introspection",
     "stream_denial_rate",
     # -- scalar function families (unscored in r01) --
     "func_string_part",
@@ -109,7 +110,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q5_region_revenue",
     "q4_order_priority",
     "q7_nation_volume",
-    "q10_returned_revenue",
 )
 
 

@@ -273,6 +273,38 @@ def stream_sessionize(spark, sf_dir):
 
 
 @register(
+    "stream_introspection",
+    "SELECT CAST(count(*) AS BIGINT) AS num_input_rows FROM events",
+    doc="A19 introspection (the reference's GET /queue-size, app.py:47-60): "
+    "rows drained off the stream, summed over StreamingQuery progress "
+    "events — oracle = the staged event count, proving the progress "
+    "accounting is lossless. The full health view (input/processed "
+    "rates, batch durations, keyed-state size) is "
+    "streaming/introspection.query_metrics, pytest-covered",
+)
+def stream_introspection(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(os.path.join(root, "events"))
+    name = "fs2_stream_introspect"
+    with _stream_shuffle(spark):
+        q = (
+            stream.groupBy("event_type")
+            .count()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    total = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    return spark.createDataFrame([(total,)], "num_input_rows long")
+
+
+@register(
     "stream_denial_rate",
     None,  # approx_count_distinct => no exact oracle; rows-only check
     doc="watermarked 10-min/5-min sliding-window denial rate over the "
