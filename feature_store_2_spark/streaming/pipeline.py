@@ -113,14 +113,21 @@ def streaming_user_aggregates(
         if spec.field and spec.field not in field_names:
             field_names[spec.field] = f"__f{len(field_names)}"
 
-    deduped = events.withWatermark("ts", dedup_watermark).dropDuplicatesWithinWatermark(
-        ["user_id", "event_id"]
-    )
-    projected = deduped.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        *[_field_col(f).cast("double").alias(n) for f, n in field_names.items()],
+    # Project BEFORE the dedup shuffle: field extraction happens at scan
+    # (same order as the batch pipeline) and the wide ``props`` payload
+    # never enters the dedup state exchange — both stateful shuffles
+    # move only the narrow (keys + extracted fields) rows.
+    projected = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            *[_field_col(f).cast("double").alias(n) for f, n in field_names.items()],
+        )
+        .withWatermark("ts", dedup_watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_id"])
+        .drop("ts")
     )
 
     state_fields = _state_fields(config)
