@@ -200,3 +200,41 @@ def argmax_latest_event_per_user(spark, sf_dir):
             F.unix_micros("ts").alias("latest_ts_us"),
         )
     )
+
+
+@register(
+    "join_salted_skew",
+    """
+WITH dim AS (
+    SELECT event_type,
+           CAST(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+                / count(value) AS DOUBLE) AS type_avg
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, d.type_avg
+FROM events e JOIN dim d ON e.event_type = d.event_type
+""",
+    doc="salted skew join: events (every row carries one of ~5 hot "
+    "event_type keys) joined to a per-type dim with the skewed side "
+    "sharded 8 ways by a hash of the unique event id and the dim "
+    "replicated per salt — the explicit fallback when one key exceeds "
+    "an executor (AQE skew-split can't help hash-partitioned stateful "
+    "ops). Oracle = the plain join: salting must be result-invisible",
+)
+def join_salted_skew(spark, sf_dir):
+    from feature_store_2_spark.operators.skew import salted_equi_join
+
+    ev = load_table(spark, "events", sf_dir)
+    # Decimal-exact average (order-independent) so both engines emit the
+    # identical double.
+    dim = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double")
+            / F.count("value")
+        )
+        .cast("double")
+        .alias("type_avg")
+    )
+    return salted_equi_join(
+        ev, dim, on="event_type", salt_src="event_id", n_salts=8
+    ).select("event_id", "event_type", "type_avg")
