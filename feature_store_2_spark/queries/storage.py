@@ -114,3 +114,37 @@ def fs_point_lookup(spark, sf_dir):
     return served.filter(F.col("user_id").isin(*LOOKUP_USERS)).select(
         "user_id", "feature", "has_grant"
     )
+
+
+@register(
+    "scan_date_partitioned",
+    """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n,
+       CAST(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY 1, 2
+""",
+    doc="date-partitioned layout + partition pruning: events written "
+    "partitionBy(day), a 3-day predicate opens only 3 of ~30 partition "
+    "directories (PartitionFilters in the scan, not a post-scan filter) "
+    "— THE canonical 100 TB event-log layout, where pruning is the "
+    "difference between scanning 3 days and scanning 3 years",
+)
+def scan_date_partitioned(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="fs2_datepart_")
+    target = os.path.join(root, "events_by_day")
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    ev.write.partitionBy("day").parquet(target)
+    part = spark.read.parquet(target)
+    pruned = part.filter(
+        (F.col("day") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("day") <= F.lit("2024-01-12").cast("date"))
+    )
+    return pruned.groupBy("day", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("total_value"),
+    )

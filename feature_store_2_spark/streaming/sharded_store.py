@@ -106,11 +106,31 @@ def xxhash64_long(value: int, seed: int = 42) -> int:
 
 
 def read_store(
-    spark: SparkSession, path: str, shards: set[int] | None = None
+    spark: SparkSession,
+    path: str,
+    shards: set[int] | None = None,
+    at_version: int | None = None,
 ) -> DataFrame | None:
-    """Current snapshot; ``shards`` restricts the read to those shard
-    directories (partition pruning on the ``__shard`` column)."""
-    manifest = _read_manifest(path)
+    """Snapshot read; ``shards`` restricts the read to those shard
+    directories (partition pruning on the ``__shard`` column).
+
+    ``at_version`` time-travels to an earlier committed version (Delta's
+    ``VERSION AS OF``): each manifest is an immutable shard->version map,
+    so any retained manifest reconstructs its exact snapshot. Retention
+    is ``upsert(retain_versions=...)``; reading a GC'd version raises.
+    """
+    if at_version is not None:
+        try:
+            with open(_manifest_path(path, at_version)) as f:
+                manifest = {
+                    int(k): int(v) for k, v in json.load(f)["shards"].items()
+                }
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {at_version} is not retained (GC'd or never written)"
+            )
+    else:
+        manifest = _read_manifest(path)
     if manifest is None:
         return None
     by_version: dict[int, list[int]] = {}
@@ -143,6 +163,7 @@ def upsert(
     n_shards: int = N_SHARDS,
     compact_after: int = 8,
     touched: set[int] | None = None,
+    retain_versions: int = 1,
 ) -> None:
     """MERGE ``new`` into the store: matching ``key_cols`` rows replaced,
     others carried forward; only shards containing incoming rows are
@@ -151,6 +172,11 @@ def upsert(
     ``new`` may already carry the ``__shard`` column (and ``touched`` the
     matching shard set) — callers that need the shard set themselves
     (e.g. to restrict a pre-merge read) compute it once and pass both.
+
+    ``retain_versions`` keeps the last N committed manifests (and every
+    data version they reference) readable via
+    ``read_store(at_version=...)`` — Delta's retention window; 1 keeps
+    only the current snapshot.
     """
     spark = new.sparkSession
     manifest = _read_manifest(path) or {}
@@ -190,11 +216,19 @@ def upsert(
         f.write(str(next_version))
     os.replace(tmp, _latest_path(path))
 
-    # GC: versions no longer referenced by the committed manifest.
-    still_live = set(new_manifest.values())
+    # GC: keep the data referenced by the last ``retain_versions``
+    # manifests (the time-travel window); everything older goes.
+    oldest_kept = max(0, next_version - retain_versions + 1)
+    still_live: set[int] = set()
+    for v in range(oldest_kept, next_version + 1):
+        try:
+            with open(_manifest_path(path, v)) as f:
+                still_live |= {int(x) for x in json.load(f)["shards"].values()}
+        except FileNotFoundError:
+            pass
     for old_v in (live_versions | {next_version}) - still_live:
         shutil.rmtree(_data_dir(path, old_v), ignore_errors=True)
-    for old_v in range(next_version):
+    for old_v in range(oldest_kept):
         if old_v not in still_live:
             try:
                 os.remove(_manifest_path(path, old_v))

@@ -59,3 +59,31 @@ def test_bucketed_scan_reads_bucket_files(pair):
         f.split("_")[-1].split(".")[0] for f in files if f.startswith("part-")
     }
     assert buckets == {"00000", "00001", "00002", "00003"}
+
+
+def test_date_partition_pruning_reads_only_matching_days(spark, sf_dir, tmp_path):
+    """A day-range predicate on a partitionBy(day) layout must prune at
+    the DIRECTORY level: the filtered scan lists only the 3 matching
+    day partitions, and the physical plan carries PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    from feature_store_2_spark.sources.tables import load_table
+
+    target = str(tmp_path / "events_by_day")
+    ev = load_table(spark, "events", sf_dir).withColumn("day", F.col("ts").cast("date"))
+    ev.write.partitionBy("day").parquet(target)
+
+    part = spark.read.parquet(target)
+    pruned = part.filter(
+        (F.col("day") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("day") <= F.lit("2024-01-12").cast("date"))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # The day bounds sit in PartitionFilters (directory pruning), NOT in
+    # the data filter the scan evaluates per row group.
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "day" in pf[0] and "2024-01-10" in pf[0] and "2024-01-12" in pf[0]
+    # Execution proof: only the 3 matching days contribute rows, and the
+    # full month exists in the layout.
+    assert pruned.select("day").distinct().count() == 3
+    assert part.select("day").distinct().count() > 25

@@ -123,3 +123,21 @@ def test_point_lookup_reads_one_shard(spark, store):
     pruned = ss.read_store(spark, store, shards={int(shard)})
     full = ss.read_store(spark, store)
     assert pruned.count() < full.count()
+
+
+def test_time_travel_reads_retained_versions(spark, store):
+    """retain_versions keeps earlier manifests readable: VERSION AS OF
+    semantics on the manifest log (each manifest is an immutable
+    shard->version map)."""
+    base = grants_df(spark, [(u, "purchase", True) for u in range(50)])
+    ss.upsert(base, store, ("user_id", "feature"), "user_id", retain_versions=3)
+    ss.upsert(
+        grants_df(spark, [(7, "purchase", False)]),
+        store, ("user_id", "feature"), "user_id", retain_versions=3,
+    )
+    v0 = ss.read_store(spark, store, at_version=0)
+    assert [r.has_grant for r in v0.filter("user_id = 7").collect()] == [True]
+    v1 = ss.read_store(spark, store, at_version=1)
+    assert [r.has_grant for r in v1.filter("user_id = 7").collect()] == [False]
+    with pytest.raises(ValueError):
+        ss.read_store(spark, store, at_version=9)
