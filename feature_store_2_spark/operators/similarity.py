@@ -15,6 +15,8 @@ functions/vector.py — no UDFs, no Python row path.
 
 from __future__ import annotations
 
+import zlib
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -72,23 +74,22 @@ def _srp_signature(qvec: Column, n_bits: int, dim: int) -> Column:
     """Deterministic signed-random-projection signature: hyperplane
     component (b, d) has sign +1 iff crc32("b:d") is even. Integer-exact
     on quantized vectors, so bucket assignment is reproducible across
-    engines, retries, and cluster layouts."""
+    engines, retries, and cluster layouts.
+
+    The sign matrix is precomputed driver-side with zlib.crc32 (verified
+    bit-identical to ``F.crc32`` on the same bytes) — the plan then
+    carries n_bits*dim integer literals instead of n_bits*dim crc32
+    expression nodes, a large analysis/codegen saving."""
     bits = []
     for b in range(n_bits):
+        signs = [
+            1 if zlib.crc32(f"{b}:{d}".encode()) % 2 == 0 else -1
+            for d in range(dim)
+        ]
         proj = F.aggregate(
             F.zip_with(
                 qvec,
-                F.array(
-                    *[
-                        F.when(
-                            F.crc32(F.lit(f"{b}:{d}").cast("binary")) % 2 == 0,
-                            F.lit(1),
-                        )
-                        .otherwise(F.lit(-1))
-                        .cast("long")
-                        for d in range(dim)
-                    ]
-                ),
+                F.array(*[F.lit(s).cast("long") for s in signs]),
                 lambda x, s: x * s,
             ),
             F.lit(0).cast("long"),
