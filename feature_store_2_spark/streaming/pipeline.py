@@ -59,8 +59,17 @@ from feature_store_2_spark.streaming.grants_store import (
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source event stream (the reference's queue, A1/A3). New
     parquet files dropped into ``path`` are discovered per micro-batch;
-    in production this is the same code with ``format("kafka")``."""
-    return spark.readStream.schema(EVENT_ENVELOPE).parquet(path)
+    in production this is the same code with ``format("kafka")``.
+
+    ``maxFilesPerTrigger`` is pinned high so an ``availableNow`` catch-up
+    drains ALL currently-staged files in one micro-batch — the
+    notification log's flip-detection determinism (and the catalog
+    entries' oracles) assume a batch sees the whole backlog."""
+    return (
+        spark.readStream.schema(EVENT_ENVELOPE)
+        .option("maxFilesPerTrigger", str(1 << 20))
+        .parquet(path)
+    )
 
 
 def _state_fields(config: EngineConfig) -> list[tuple[str, T.DataType]]:
