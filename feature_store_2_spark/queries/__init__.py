@@ -59,6 +59,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_quality_score",
     "doc_fingerprint_normalized",
     "doc_corpus_curation",
+    "doc_train_split",
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -109,7 +110,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q3_top_revenue_orders",
     "q5_region_revenue",
     "q4_order_priority",
-    "q7_nation_volume",
 )
 
 

@@ -380,3 +380,44 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 )
 def dedup_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(load_table(spark, "documents", sf_dir), max_hamming=1)
+
+
+@register(
+    "doc_train_split",
+    """
+WITH h AS (
+    SELECT doc_id, lang,
+           CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) AS BIGINT)
+               % 100 AS bucket
+    FROM documents
+)
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""",
+    doc="deterministic 80/10/10 train/val/test split: md5(doc_id) folded "
+    "to a 0-99 bucket — reproducible across engines, runs, and cluster "
+    "layouts (never rand(): a retried task must land every row in the "
+    "same split), stable under corpus growth because membership depends "
+    "only on the id",
+)
+def doc_train_split(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    m = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    bucket = (
+        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1)))
+        .cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
