@@ -129,6 +129,66 @@ def test_incremental_batches_dedup_and_notifications(spark, tmp_path):
     assert has_grant(spark, grants_dir, 1, "message", circuit_open=True) is True
 
 
+DEDUP_CONFIG = EngineConfig(
+    aggregates=(
+        AggregateSpec("ks", "signup", AggregateType.DISTINCT_COUNT, "value"),
+        AggregateSpec("spend", "purchase", AggregateType.SUM, "value"),
+    ),
+    rules=(
+        RuleSpec("many_ks", ("ks",), RuleOperation.VALUE, RuleCondition.GREATER_THAN, 1),
+    ),
+    features=(FeatureSpec("message", ("many_ks",)),),
+)
+
+
+def test_streaming_distinct_and_sum_dedup_across_batches(spark, tmp_path):
+    """The bounded-state path preserves the reference's exactly-once
+    accounting for DISTINCT_COUNT and SUM: a uuid replayed in a later
+    batch contributes neither a new distinct value nor extra cents, while
+    a genuinely new uuid carrying an already-seen field value counts for
+    SUM but not for DISTINCT_COUNT."""
+    events_dir, grants_dir, notes_dir, ckpt = _paths(tmp_path)
+
+    # Batch 1: two signups (values 1.0, 2.0) and a 5.00 purchase.
+    _write_events(
+        spark,
+        events_dir,
+        [(1, 1, "signup", 1.0), (2, 1, "signup", 2.0), (3, 1, "purchase", 5.0)],
+    )
+    run_grants_pipeline(spark, events_dir, grants_dir, notes_dir, ckpt, DEDUP_CONFIG)
+    assert has_grant(spark, grants_dir, 1, "message") is True  # ks=2 > 1
+
+    # Batch 2: uuid 3 replayed (must NOT re-add 5.00); uuid 4 is new with
+    # a duplicate field value (counts for SUM, not for DISTINCT_COUNT);
+    # uuid 5 replays signup value 1.0 under a new uuid (no new distinct).
+    _write_events(
+        spark,
+        events_dir,
+        [(3, 1, "purchase", 5.0), (4, 1, "purchase", 5.0), (5, 1, "signup", 1.0)],
+    )
+    run_grants_pipeline(spark, events_dir, grants_dir, notes_dir, ckpt, DEDUP_CONFIG)
+
+    from feature_store_2_spark.streaming.pipeline import streaming_user_aggregates
+
+    # Recompute the aggregate table from scratch over ALL events to read
+    # the final accumulators (fresh checkpoint => full replay).
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(events_dir)
+    aggs = streaming_user_aggregates(stream, DEDUP_CONFIG)
+    q = (
+        aggs.writeStream.format("memory")
+        .queryName("dedup_aggs")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table("dedup_aggs").collect()[-1]
+    assert row.ks == 2  # values {1.0, 2.0}; replay + new-uuid-dup add nothing
+    assert row.spend == 10.0  # 5.00 (uuid 3, once) + 5.00 (uuid 4)
+
+
 def test_streaming_denial_rate_window(spark, tmp_path):
     """Sliding-window breaker over a memory sink: 1 denied of 10 users
     in-window -> 10% > 5% threshold -> circuit opens."""
