@@ -8,14 +8,21 @@ Reference parity: ``UserFeatureService._grants`` is an in-heap
 serving path is a point lookup with circuit fail-open
 (app.py:63-79, services/user_feature.py:46-55).
 
-Storage here is a versioned parquet directory (``v0``, ``v1``, ... plus a
-``_LATEST`` pointer written last, so readers never see a half-written
-version). This container has no Delta Lake; on a real deployment this
-module is one ``MERGE INTO grants`` on a Delta/Iceberg table clustered by
-user_id — the upsert below is the same left-anti + union plan Delta's
-MERGE lowers to, minus the transaction log. Point lookups at serving
-scale come off this table via key clustering (Z-order) or an exported KV
-snapshot; the filter below pushes ``user_id == x`` into the parquet scan.
+Two storage layers live behind this module:
+
+* the SHARDED store (sharded_store.py) — what ``run_grants_pipeline``
+  writes and ``has_grant``/``serve_has_grant`` read: incremental MERGE
+  (manifest log, touched-shard rewrites, retention/time travel), the
+  Delta/Iceberg-shaped path that survives 100 TB;
+* a plain versioned-parquet store (``upsert_grants``/``read_grants``
+  below, ``v0``, ``v1``, ... + a ``_LATEST`` pointer written last) —
+  the minimal whole-table MERGE kept as the simple reference
+  implementation the sharded store is equivalence-tested against.
+
+This container has no Delta Lake; on a real deployment both collapse to
+one ``MERGE INTO grants`` on a Delta/Iceberg table clustered by user_id —
+the upsert below is the same left-anti + union plan Delta's MERGE lowers
+to, minus the transaction log.
 """
 
 from __future__ import annotations

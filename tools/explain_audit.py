@@ -33,6 +33,7 @@ AUDIT = [
     "dedup_minhash_lsh", "emb_cosine_topk", "sessionize_events",
     "dedup_embedding_ann_pairs", "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "doc_corpus_curation",
+    "join_salted_skew", "scan_date_partitioned", "doc_train_split",
 ]
 
 
