@@ -214,3 +214,39 @@ def test_exact_dedup_groups_partition_text(spark, texts):
     assert sorted(min(v) for v in expect_groups.values()) == sorted(
         r["canonical_id"] for r in out
     )
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_jaccard_equals_exact_on_random_docs(spark, docs, threshold):
+    """AllPairs prefix filtering is COMPLETE on arbitrary corpora: for
+    random small docs (hot shingles, empty docs, exact duplicates,
+    sub-shingle-length docs all arise) the prefix-filtered pair set must
+    equal the exact quadratic join at every threshold."""
+    from feature_store_2_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    exact = {
+        (r["doc1"], r["doc2"], round(r["jaccard"], 12))
+        for r in ngram_jaccard_pairs(df, threshold).collect()
+    }
+    prefix = {
+        (r["doc1"], r["doc2"], round(r["jaccard"], 12))
+        for r in ngram_jaccard_pairs_prefix(df, threshold).collect()
+    }
+    assert prefix == exact
