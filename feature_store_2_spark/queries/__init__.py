@@ -78,9 +78,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mm_decode_features",
     "mm_resize_plan",
     "mm_frame_sample",
-    # -- storage layer (unscored in r01) --
+    # -- storage layer (unscored in r01; scan/skew new in r2) --
     "join_bucketed_colocated",
     "fs_point_lookup",
+    "scan_date_partitioned",
+    "join_salted_skew",
     # -- streaming (unscored in r01) --
     "stream_feature_grants",
     "stream_dedup_events",
@@ -108,8 +110,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fs_windowed_denial_rate",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "q4_order_priority",
 )
 
 
