@@ -129,6 +129,36 @@ def test_incremental_batches_dedup_and_notifications(spark, tmp_path):
     assert has_grant(spark, grants_dir, 1, "message", circuit_open=True) is True
 
 
+def test_route_notifications_drops_unsubscribed_names(spark):
+    """Reference send_notification early-returns when a name has no
+    subscribers (services/notifications.py:17-19); the broadcast map
+    join reproduces that, and multi-endpoint names fan out once per
+    subscriber."""
+    from feature_store_2_spark.streaming import route_notifications
+
+    changes = spark.createDataFrame(
+        [(1, "message", "access_revoked"), (2, "message", "access_granted"),
+         (3, "message", "quota_warning")],
+        "user_id long, feature string, notification string",
+    )
+    routed = route_notifications(
+        changes,
+        {
+            "access_revoked": ("https://a.example/hook", "https://b.example/hook"),
+            "access_granted": ("https://a.example/hook",),
+            # quota_warning: no subscribers -> dropped
+        },
+    )
+    got = sorted(
+        (r.user_id, r.notification, r.subscriber) for r in routed.collect()
+    )
+    assert got == [
+        (1, "access_revoked", "https://a.example/hook"),
+        (1, "access_revoked", "https://b.example/hook"),
+        (2, "access_granted", "https://a.example/hook"),
+    ]
+
+
 DEDUP_CONFIG = EngineConfig(
     aggregates=(
         AggregateSpec("ks", "signup", AggregateType.DISTINCT_COUNT, "value"),
