@@ -17,6 +17,7 @@ from feature_store_2_spark.operators.dedup import (
 from feature_store_2_spark.sources.tables import load_table
 from feature_store_2_spark.operators.similarity import (
     brute_force_topk,
+    lsh_ann_topk,
     nearest_centroid_assign,
 )
 from feature_store_2_spark.operators.text import lang_guess, quality_score
@@ -172,6 +173,22 @@ def test_brute_force_topk_ranks_identical_vector_first(spark):
     assert ranked == [1, 2, 3]
     by_id = {r["neighbor_id"]: r["cosine"] for r in out}
     assert by_id[1] > 0.99 and abs(by_id[2]) < 1e-6 and by_id[3] < -0.99
+
+
+def test_lsh_ann_topk_recall_floor(spark, sf_dir):
+    """SRP-bucketed ANN recall@5 vs brute force on the real corpus:
+    deterministic hyperplanes make the number reproducible (measured
+    0.48 at the catalog entry's n_bits=4 on random vectors — single
+    bucket, no multiprobe). Floor pins regressions, not aspiration."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(e, q, k=5).collect()}
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_ann_topk(e, q, k=5, n_bits=4).collect()
+    }
+    assert ann  # candidates exist in every query's bucket
+    assert len(ann & bf) / len(bf) >= 0.4
 
 
 def test_nearest_centroid_assigns_clusters(spark):
