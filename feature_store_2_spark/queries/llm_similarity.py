@@ -80,10 +80,74 @@ def emb_cosine_topk(spark, sf_dir):
     return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+def _lsh_topk_oracle(n_bits: int = 4, k: int = 5) -> str:
+    """Mirror lsh_ann_topk exactly in SQL: the crc32-parity sign matrix
+    is generated HERE from the same zlib.crc32 the Spark operator uses
+    (one source of truth, inlined as literals — DuckDB has no crc32),
+    then buckets, hamming-1 multiprobe, exact cosine re-rank, and the
+    identical (cosine DESC, neighbor_id) tie-break. An approximate ANN
+    operator that is still value-hash-gateable."""
+    import zlib
+
+    rows = ",".join(
+        f"({b},{d + 1},{1 if zlib.crc32(f'{b}:{d}'.encode()) % 2 == 0 else -1})"
+        for b in range(n_bits)
+        for d in range(DIM)
+    )
+    probe_union = "\n    UNION ".join(
+        f"SELECT vec_id AS query_id, xor(bucket, {1 << b}) AS pb FROM qsig"
+        for b in range(n_bits)
+    )
+    return f"""
+WITH r(h, i, s) AS (VALUES {rows}),
+qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+bits AS (
+    SELECT q.vec_id, r.h,
+           CASE WHEN sum(r.s * q.v[r.i]) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM qv q CROSS JOIN r GROUP BY q.vec_id, r.h),
+sig AS (
+    SELECT vec_id, CAST(sum(bit * (1 << ({n_bits - 1} - h))) AS BIGINT) AS bucket
+    FROM bits GROUP BY vec_id),
+qsig AS (SELECT * FROM sig WHERE vec_id < 10),
+probes AS (
+    SELECT vec_id AS query_id, bucket AS pb FROM qsig
+    UNION {probe_union}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+    FROM probes p JOIN sig s ON s.bucket = p.pb AND s.vec_id <> p.query_id),
+norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
+          FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
+dots AS (
+    SELECT c.query_id, c.neighbor_id, CAST(sum(a.v[i.i] * b.v[i.i]) AS BIGINT) AS dot
+    FROM cand c
+    JOIN qv a ON c.query_id = a.vec_id
+    JOIN qv b ON c.neighbor_id = b.vec_id
+    CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY 1, 2),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           CAST(d.dot AS DOUBLE) /
+           (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN norms na ON d.query_id = na.vec_id
+    JOIN norms nb ON d.neighbor_id = nb.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored)
+WHERE rank <= {k}
+"""
+
+
 @register(
     "emb_lsh_ann_topk",
-    None,  # SRP bucketing uses crc32-seeded hyperplanes (engine-internal)
-    doc="LSH-bucketed approximate top-k (the 100 TB ANN path)",
+    _lsh_topk_oracle(),
+    doc="LSH-bucketed approximate top-k with hamming-1 multiprobe (the "
+    "100 TB ANN path) — oracle-checked: the crc32-parity hyperplanes are "
+    "inlined into the SQL from the same source of truth, so the DuckDB "
+    "oracle reproduces buckets, probes, candidates, and the exact "
+    "re-rank bit-for-bit",
 )
 def emb_lsh_ann_topk(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
