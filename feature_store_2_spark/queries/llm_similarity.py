@@ -154,11 +154,65 @@ def emb_lsh_ann_topk(spark, sf_dir):
     return lsh_ann_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_bits=4)
 
 
+_IVF_ORACLE = f"""
+WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+sums AS (
+    SELECT label AS c_label, i.i AS d,
+           CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
+    FROM qv CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY 1, 2),
+cent AS (SELECT c_label, d,
+                CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) AS c
+         FROM sums),
+dists AS (
+    SELECT q.vec_id, cent.c_label,
+           CAST(sum((q.v[cent.d] - cent.c) * (q.v[cent.d] - cent.c)) AS BIGINT) AS d2
+    FROM qv q CROSS JOIN cent
+    GROUP BY 1, 2),
+inv AS (
+    SELECT vec_id, c_label AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c_label) AS rn
+        FROM dists) WHERE rn = 1),
+probes AS (
+    SELECT vec_id AS query_id, c_label AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c_label) AS rn
+        FROM dists WHERE vec_id < 10) WHERE rn <= 2),
+cand AS (
+    SELECT p.query_id, i.vec_id AS neighbor_id
+    FROM probes p JOIN inv i ON i.cell = p.cell AND i.vec_id <> p.query_id),
+norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
+          FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
+dots AS (
+    SELECT c.query_id, c.neighbor_id, CAST(sum(a.v[i.i] * b.v[i.i]) AS BIGINT) AS dot
+    FROM cand c
+    JOIN qv a ON c.query_id = a.vec_id
+    JOIN qv b ON c.neighbor_id = b.vec_id
+    CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY 1, 2),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           CAST(d.dot AS DOUBLE) /
+           (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN norms na ON d.query_id = na.vec_id
+    JOIN norms nb ON d.neighbor_id = nb.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored)
+WHERE rank <= 5
+"""
+
+
 @register(
     "emb_ivf_topk",
-    None,  # IVF probe set is engine-internal; recall is pytest-checked
-    doc="IVF ANN: centroid cells + nprobe-cell search + exact re-rank "
-    "(the other 100 TB ANN path besides SRP-LSH)",
+    _IVF_ORACLE,
+    doc="IVF ANN: centroid cells + nprobe=2 cell search + exact re-rank "
+    "(the other 100 TB ANN path besides SRP-LSH) — oracle-checked: "
+    "integer-exact centroids, deterministic cell assignment tie-breaks, "
+    "and the quantized cosine re-rank all reproduce in DuckDB",
 )
 def emb_ivf_topk(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
