@@ -1,0 +1,191 @@
+"""Corpus-curation operators for training-data pipelines (north-star
+extension beyond the reference's feature-store surface): benchmark
+contamination checks, repetition/quality heuristics (Gopher-style),
+TF-salience term extraction, and sub-document (chunk-level) dedup.
+
+Scale shapes (the 100 TB contract):
+  * contamination: the benchmark shingle set is bounded (benchmarks are
+    small by definition) -> broadcast join against it; one shuffle to
+    re-group per document.
+  * repetition: chunk/gram construction is a pure codegen projection;
+    the only shuffles are the (doc, gram) count and the per-doc rollup.
+  * salience: explode -> (doc, term) agg with map-side partial combine,
+    term-level df agg, per-doc top-k window. Three narrow shuffles.
+  * chunk dedup: chunking via slice() is codegen (no explode of words);
+    global dedup is one groupBy on the chunk hash, rollup is one more.
+
+No row-at-a-time UDFs anywhere — every expression is a built-in, so
+whole-stage codegen applies and DuckDB can reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.operators.dedup import shingle_exploded
+from feature_store_2_spark.operators.text import tokens
+
+
+def contamination_vs_benchmark(
+    docs: DataFrame,
+    bench_mod: int = 13,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct word-``n``-gram shingles that also occur in the benchmark
+    slice (here: ``doc_id % bench_mod == 0`` stands in for an eval set).
+
+    At 100 TB the benchmark shingle set stays small (eval suites are
+    ~MBs), so it is broadcast; the corpus side streams through the join
+    map-side and re-groups once per doc. Columns: (doc_id, n_shingles,
+    n_contaminated, contamination, is_contaminated).
+    """
+    sh = shingle_exploded(docs, id_col=id_col, n=n)
+    is_bench = F.col(id_col) % bench_mod == 0
+    bench = (
+        sh.filter(is_bench).select("shingle").distinct().withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(~is_bench)
+    joined = train.join(F.broadcast(bench), "shingle", "left")
+    frac = F.count("hit").cast("double") / F.count("*")
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.count("hit").alias("n_contaminated"),
+        frac.alias("contamination"),
+        (frac >= threshold).alias("is_contaminated"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_frac_threshold: float = 0.1,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction and most-frequent-2-gram coverage (Rae et al. 2021 use the
+    same family of filters for MassiveText).
+
+    Gram construction happens inside a codegen'd projection; the only
+    shuffles are the (doc, gram) count and the per-doc argmax window.
+    Tie-break for the top gram: highest count, then lexicographic gram.
+    """
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        (
+            (F.size(toks) - F.size(F.array_distinct(toks))).cast("double")
+            / F.size(toks)
+        ).alias("dup_word_frac"),
+        F.explode(grams).alias("gram"),
+    )
+    counts = base.groupBy(id_col, "n_words", "dup_word_frac", "gram").agg(
+        F.count("*").alias("gram_n")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("gram_n"), F.asc("gram"))
+    top_frac = F.col("gram_n").cast("double") / (F.col("n_words") - 1)
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            "n_words",
+            "dup_word_frac",
+            F.col("gram").alias("top_2gram"),
+            F.col("gram_n").alias("top_2gram_n"),
+            top_frac.alias("top_2gram_frac"),
+            (top_frac > top_frac_threshold).alias("is_repetitive"),
+        )
+    )
+
+
+def tf_salient_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` salient terms per document, scored tf * N / df — a
+    TF-IDF with *linear* inverse document frequency. Linear (not log)
+    idf keeps every arithmetic step exact: tf*N is integer math and the
+    single division is IEEE-exact, so ranks reproduce bit-for-bit on
+    any engine; ln() is only within-1-ulp and would make the gate
+    hash-unstable.
+
+    Shape: explode -> (doc, term) tf agg (map-side combine), term df agg
+    off the tf table (no second scan), broadcast the one-row corpus
+    count, per-doc top-k window. At 100 TB the df table is vocabulary-
+    sized -> still a fine shuffle key; skew on stopwords is bounded
+    because df is an agg, not a join fan-out.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def chunk_text(text_col: str, chunk_words: int) -> Column:
+    """array<string> of ``chunk_words``-word chunks (stride = size, no
+    overlap; trailing partial chunk kept) — built with slice() inside
+    codegen, so chunking costs zero shuffles."""
+    toks = tokens(text_col)
+    n_chunks = F.floor((F.size(toks) + chunk_words - 1) / F.lit(chunk_words))
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    chunk_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document dedup (line/paragraph-level dedup a la CCNet /
+    RefinedWeb, applied to fixed word-count chunks since the synthetic
+    corpus has no newlines): every chunk is deduped corpus-wide, the
+    canonical copy being the (lowest doc_id, lowest chunk_idx)
+    occurrence; per document report how many of its chunks survive.
+
+    Columns: (doc_id, n_chunks, n_kept, kept_frac).
+    """
+    chunks = docs.select(
+        F.col(id_col),
+        F.posexplode(chunk_text(text_col, chunk_words)).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "chunk_idx")
+    kept = chunks.withColumn("rn", F.row_number().over(w))
+    frac = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast(
+        "double"
+    ) / F.count("*")
+    return kept.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        frac.alias("kept_frac"),
+    )

@@ -67,6 +67,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",  # changed in r2: cap removed, full corpus
     "dedup_embedding_ann_pairs",  # new in r2: SRP-banded scale path
+    # -- corpus curation (new in r2, never scored) --
+    "doc_contamination_check",
+    "doc_repetition_stats",
+    "doc_salient_terms",
+    "doc_chunk_dedup",
     # -- similarity search (unscored in r01) --
     "emb_norms",
     "emb_cosine_topk",
@@ -105,11 +110,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "topk_orders_global",
     # -- regression band: already driver-green, keep fresh evidence --
     "fs_user_aggregates",
-    "fs_feature_grants",
-    "fs_purchase_allowlist",
-    "fs_windowed_denial_rate",
     "q1_pricing_summary",
-    "q3_top_revenue_orders",
 )
 
 
@@ -127,6 +128,7 @@ def _load_all() -> None:
         "windows_setops",
         "scalar_funcs",
         "llm_text",
+        "llm_curation",
         "llm_similarity",
         "multimodal",
         "storage",

@@ -1,0 +1,143 @@
+"""Corpus-curation query family over `documents` (north-star LLM
+training-data extensions beyond the reference's surface): benchmark
+contamination, Gopher-style repetition filters, TF-salience term
+extraction, and sub-document chunk dedup.
+
+Every entry carries an exact DuckDB oracle — scores avoid ln()
+(within-1-ulp, engine-dependent) in favor of single IEEE-exact
+divisions, so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from feature_store_2_spark.operators.curation import (
+    chunk_dedup_stats,
+    contamination_vs_benchmark,
+    repetition_stats,
+    tf_salient_terms,
+)
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+_SHINGLES = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+    FROM tok)
+"""
+
+
+@register(
+    "doc_contamination_check",
+    _SHINGLES
+    + """
+, bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+train AS (SELECT * FROM sh WHERE doc_id % 13 <> 0),
+j AS (
+    SELECT t.doc_id, CASE WHEN b.shingle IS NOT NULL THEN 1 END AS hit
+    FROM train t LEFT JOIN bench b USING (shingle))
+SELECT doc_id, count(*) AS n_shingles, count(hit) AS n_contaminated,
+       CAST(count(hit) AS DOUBLE) / count(*) AS contamination,
+       CAST(count(hit) AS DOUBLE) / count(*) >= 0.5 AS is_contaminated
+FROM j GROUP BY doc_id
+""",
+    doc="benchmark contamination: fraction of each training doc's "
+    "distinct 3-gram shingles that occur in the benchmark slice "
+    "(doc_id % 13 == 0 stands in for an eval set); benchmark shingle "
+    "set is broadcast — the corpus never shuffles on shingle",
+)
+def doc_contamination_check(spark, sf_dir):
+    return contamination_vs_benchmark(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "doc_repetition_stats",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+base AS (
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+               AS dup_word_frac,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1])) AS gram
+    FROM tok),
+counts AS (
+    SELECT doc_id, n_words, dup_word_frac, gram, count(*) AS gram_n
+    FROM base GROUP BY 1, 2, 3, 4)
+SELECT doc_id, n_words, dup_word_frac, gram AS top_2gram,
+       gram_n AS top_2gram_n,
+       CAST(gram_n AS DOUBLE) / (n_words - 1) AS top_2gram_frac,
+       CAST(gram_n AS DOUBLE) / (n_words - 1) > 0.1 AS is_repetitive
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY gram_n DESC, gram) AS rn
+      FROM counts)
+WHERE rn = 1
+""",
+    doc="Gopher-style repetition filters (Rae et al. 2021): duplicate-"
+    "word fraction + most-frequent-2-gram coverage per doc; gram "
+    "construction is codegen, shuffles only on (doc, gram) and doc",
+)
+def doc_repetition_stats(spark, sf_dir):
+    return repetition_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "doc_salient_terms",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rank FROM (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score,
+           CAST(row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY CAST(t.tf * n.n_docs AS DOUBLE) / d.df DESC,
+                        t.term) AS BIGINT) AS rank
+    FROM tf t JOIN df d USING (term) CROSS JOIN n)
+WHERE rank <= 5
+""",
+    doc="top-5 salient terms per doc by tf * N / df (linear-idf TF-IDF "
+    "— integer products + one IEEE-exact division keep the ranking "
+    "engine-portable where ln() would not be)",
+)
+def doc_salient_terms(spark, sf_dir):
+    return tf_salient_terms(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "doc_chunk_dedup",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ch AS (SELECT doc_id, w,
+              unnest(generate_series(
+                  0, CAST(ceil(len(w) / 8.0) AS BIGINT) - 1)) AS chunk_idx
+       FROM tok),
+chunks AS (
+    SELECT doc_id, chunk_idx,
+           array_to_string(w[chunk_idx * 8 + 1 : chunk_idx * 8 + 8], ' ')
+               AS chunk
+    FROM ch),
+kept AS (
+    SELECT doc_id, chunk_idx,
+           row_number() OVER (PARTITION BY chunk
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+           AS kept_frac
+FROM kept GROUP BY doc_id
+""",
+    doc="sub-document dedup (CCNet/RefinedWeb line-level dedup applied "
+    "to fixed 8-word chunks): corpus-wide canonical = (lowest doc_id, "
+    "lowest chunk_idx); chunking via slice() is codegen — shuffles "
+    "only on chunk and doc",
+)
+def doc_chunk_dedup(spark, sf_dir):
+    return chunk_dedup_stats(load_table(spark, "documents", sf_dir))
