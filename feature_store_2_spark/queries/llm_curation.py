@@ -141,3 +141,40 @@ FROM kept GROUP BY doc_id
 )
 def doc_chunk_dedup(spark, sf_dir):
     return chunk_dedup_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "doc_stratified_sample",
+    """
+WITH h AS (
+    SELECT doc_id, lang, source,
+           CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) AS BIGINT)
+               % 100 AS bucket,
+           CASE WHEN lang = 'en' THEN 10 ELSE 30 END AS rate_pct
+    FROM documents
+)
+SELECT doc_id, lang, source, bucket, CAST(rate_pct AS BIGINT) AS rate_pct
+FROM h WHERE bucket < rate_pct
+""",
+    doc="stratified downsampling by language: md5(doc_id)-bucketed, "
+    "per-stratum rates (majority 'en' at 10%, tail langs at 30%) — "
+    "deterministic across engines/retries (never rand()), rebalances "
+    "the language mix the way a training-data pipeline upweights "
+    "low-resource strata",
+)
+def doc_stratified_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "documents", sf_dir)
+    m = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    bucket = (
+        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1)))
+        .cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 10).otherwise(30).cast("long")
+    return (
+        d.select("doc_id", "lang", "source", bucket.alias("bucket"), rate.alias("rate_pct"))
+        .filter(F.col("bucket") < F.col("rate_pct"))
+    )

@@ -306,3 +306,60 @@ WHERE rn = 1
 )
 def emb_centroid_assign(spark, sf_dir):
     return nearest_centroid_assign(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "emb_quantize_int8",
+    """
+WITH mx AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x))) AS m
+    FROM embeddings),
+qq AS (
+    SELECT vec_id, CAST(m AS DOUBLE) AS scale,
+           list_transform(embedding, x ->
+               CASE WHEN m = 0 THEN 0
+                    ELSE CAST(floor(CAST(x AS DOUBLE) / CAST(m AS DOUBLE)
+                                    * 127) AS BIGINT) END) AS qv
+    FROM mx)
+SELECT vec_id, scale,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+       CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+       CAST(list_aggregate(list_transform(qv, v -> abs(v)), 'sum') AS BIGINT)
+           AS q_l1,
+       list_aggregate(qv, 'min') >= -127 AND list_aggregate(qv, 'max') <= 127
+           AS fits_int8
+FROM qq
+""",
+    doc="symmetric int8 quantization of embeddings (per-vector absmax "
+    "scale, the layout ANN serving tiers store): q = floor(x/absmax*127). "
+    "Every step — float->double widening, one division, one multiply, "
+    "floor — is IEEE-exact, so the int8 codes are engine-identical; "
+    "summaries are integer aggregates (order-independent). Row-local "
+    "codegen projection: zero shuffles at any corpus size",
+)
+def emb_quantize_int8(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    emb = F.col("embedding")
+    m = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    qv = F.transform(
+        emb,
+        lambda x: F.when(m == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x.cast("double") / m.cast("double") * 127)
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    qsum = F.aggregate(qv, zero, lambda acc, v: acc + v)
+    ql1 = F.aggregate(qv, zero, lambda acc, v: acc + F.abs(v))
+    qmin = F.array_min(qv)
+    qmax = F.array_max(qv)
+    return e.select(
+        "vec_id",
+        m.cast("double").alias("scale"),
+        qsum.alias("q_sum"),
+        qmin.alias("q_min"),
+        qmax.alias("q_max"),
+        ql1.alias("q_l1"),
+        ((qmin >= -127) & (qmax <= 127)).alias("fits_int8"),
+    )

@@ -318,3 +318,32 @@ def join_asof_purchase_last_signup(spark, sf_dir):
             "last_signup_ts",
         )
     )
+
+
+# One SQL text, two engines: the catalog is DataFrame-first, but the
+# engine also exposes a plain ANSI-SQL surface (spark.sql over temp
+# views). Q6 is the canonical "is pushdown working" probe — a single
+# scan whose three predicates must all reach the parquet reader.
+_Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "sql_q6_forecast_revenue",
+    _Q6_SQL,
+    doc="TPC-H Q6 analog through the ANSI-SQL facade: the SAME SQL text "
+    "runs on spark.sql (temp view) and DuckDB — demonstrating the "
+    "engine's SQL surface; plan = one scan, all three predicates pushed, "
+    "DECIMAL-accumulated global agg",
+)
+def sql_q6_forecast_revenue(spark, sf_dir):
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)
