@@ -24,6 +24,8 @@ from __future__ import annotations
 import hashlib
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -340,6 +342,47 @@ def srp_band_keys(
     return F.array(*bands)
 
 
+def srp_band_keys_arrow(
+    n_bits: int = 0, band_bits: int = 0, dim: int = 64
+):
+    """Arrow-batched twin of :func:`srp_band_keys`: the same md5-parity
+    hyperplanes, evaluated as ONE int64 numpy matmul per batch instead
+    of a ~4k-node Catalyst expression tree. Bit-identical output
+    (integer arithmetic throughout; pytest asserts equality with the
+    expression form) — but plan analysis drops from seconds to
+    milliseconds and the per-row compute rides BLAS. This is the
+    "vectorized Pandas UDF when built-ins can't express it *well*"
+    escape hatch used deliberately: 32x64 dense projections are linear
+    algebra, not relational algebra.
+
+    Returns a pandas_udf mapping array<bigint> -> array<bigint> of
+    ``n_bits // band_bits`` band keys (index = band id).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_bits = n_bits or SRP_BITS
+    band_bits = band_bits or SRP_BAND_BITS
+    signs = np.array(
+        [[_srp_sign(h, i) for h in range(n_bits)] for i in range(1, dim + 1)],
+        dtype=np.int64,
+    )  # (dim, n_bits)
+    n_bands = n_bits // band_bits
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_keys(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack([np.asarray(x, dtype=np.int64) for x in v])
+        bits = (m @ signs >= 0).astype(np.int64)  # (n, n_bits)
+        keys = np.zeros((len(m), n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            for j in range(band_bits):
+                keys[:, b] += bits[:, b * band_bits + j] << j
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
 def embedding_srp_near_pairs(
     emb: DataFrame,
     threshold: float = 0.45,
@@ -376,11 +419,16 @@ def embedding_srp_near_pairs(
     # repartition right back, serializing the O(bucket^2) candidate
     # enumeration onto one core (measured 2.8s -> sub-second at sf0.1).
     bands = (
+        # Arrow-batched signature (numpy matmul) instead of the
+        # equivalent srp_band_keys expression tree: same integers,
+        # ~5s less Catalyst analysis/codegen per plan (pytest asserts
+        # the two paths emit identical band keys).
         base.select(
             "vid",
-            F.explode(srp_band_keys(F.col("v"), n_bits, band_bits, dim)).alias("bb"),
+            F.posexplode(
+                srp_band_keys_arrow(n_bits, band_bits, dim)(F.col("v"))
+            ).alias("band", "bkey"),
         )
-        .select("vid", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
         .repartition(n_parts, "band", "bkey")
         .persist()  # both sides of the bucket self-join
     )

@@ -214,3 +214,27 @@ def test_lang_guess_and_quality(spark):
     assert got == {0: "en", 1: "de", 2: "und"}
     q = {r["doc_id"]: r["q"] for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
     assert 0 < q[0] <= 1.0
+
+
+def test_srp_arrow_band_keys_match_expression_form(spark, sf_dir):
+    """The Arrow (numpy matmul) SRP signature must emit bit-identical
+    band keys to the pure-expression form it replaced in the hot path —
+    integer arithmetic end to end, so exact equality, not tolerance."""
+    from feature_store_2_spark.operators.dedup import (
+        srp_band_keys,
+        srp_band_keys_arrow,
+    )
+    from feature_store_2_spark.functions.vector import quantize
+
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.select(
+        F.col("vec_id").alias("vid"), quantize(F.col("embedding")).alias("v")
+    )
+    expr = base.select(
+        "vid", F.explode(srp_band_keys(F.col("v"))).alias("bb")
+    ).select("vid", F.col("bb.band").cast("int").alias("band"), F.col("bb.bkey").alias("bkey"))
+    arw = base.select(
+        "vid", F.posexplode(srp_band_keys_arrow()(F.col("v"))).alias("band", "bkey")
+    )
+    assert expr.exceptAll(arw).count() == 0
+    assert arw.exceptAll(expr).count() == 0
