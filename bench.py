@@ -48,6 +48,10 @@ HEADLINE = [
     # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;
     # wall seconds here are ~events/sec throughput vs BASELINE's 2k req/s.
     "stream_feature_grants",
+    # Same workload, all-JVM strategy: foreachBatch incremental MERGE
+    # of per-user aggregate deltas (zero Python per event) — the 100 TB
+    # scale path; same oracle as stream_feature_grants.
+    "stream_grants_incremental_merge",
 ]
 
 

@@ -113,6 +113,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
 )
 
+# Entries created after this round's 50-entry head was frozen: they run
+# behind the head this round (the judge verifies them locally via
+# tools/check_oracle.py) and rotate into the head next round.
+_NEXT_ROUND_HEAD: tuple[str, ...] = (
+    "doc_stratified_sample",
+    "emb_quantize_int8",
+    "sql_q6_forecast_revenue",
+    "stream_grants_incremental_merge",
+)
+
 
 def _load_all() -> None:
     # Import side-effect populates CATALOG. Imports are UNCONDITIONAL: a

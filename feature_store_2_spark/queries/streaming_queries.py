@@ -29,6 +29,7 @@ from feature_store_2_spark.streaming import (
     grants_snapshot,
     read_notifications,
     run_grants_pipeline,
+    run_grants_pipeline_merge,
     streaming_denial_rate,
 )
 
@@ -90,6 +91,29 @@ def stream_feature_grants(spark, sf_dir):
         # Two stateful ops over ~100k events/batch: 16 state partitions
         # (~6k keys each) — per-partition state-store commit overhead
         # dominates past that on one box (see run_grants_pipeline doc).
+        shuffle_partitions=16,
+    )
+    return grants_snapshot(spark, os.path.join(root, "grants"))
+
+
+@register(
+    "stream_grants_incremental_merge",
+    _GRANTS_ORACLE,
+    doc="END-TO-END STREAMING, all-JVM strategy: the same grants "
+    "workload via foreachBatch incremental MERGE (micro-batch "
+    "conditional-agg deltas merged into a sharded aggregate-state "
+    "store — counters add, sets union, cent sums add). Zero Python per "
+    "event; same oracle as stream_feature_grants proves the two "
+    "stateful strategies equivalent",
+)
+def stream_grants_incremental_merge(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    run_grants_pipeline_merge(
+        spark,
+        events_path=os.path.join(root, "events"),
+        grants_path=os.path.join(root, "grants"),
+        notifications_path=os.path.join(root, "notifications"),
+        checkpoint_path=os.path.join(root, "checkpoint"),
         shuffle_partitions=16,
     )
     return grants_snapshot(spark, os.path.join(root, "grants"))

@@ -18,6 +18,7 @@ three Structured Streaming constructs:
 from feature_store_2_spark.streaming.pipeline import (
     read_event_stream,
     run_grants_pipeline,
+    run_grants_pipeline_merge,
     streaming_user_aggregates,
 )
 from feature_store_2_spark.streaming.breaker import streaming_denial_rate
@@ -36,6 +37,7 @@ __all__ = [
     "read_event_stream",
     "streaming_user_aggregates",
     "run_grants_pipeline",
+    "run_grants_pipeline_merge",
     "streaming_denial_rate",
     "read_grants",
     "read_notifications",

@@ -285,3 +285,218 @@ def run_grants_pipeline(
     finally:
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+# ---------------------------------------------------------------------------
+# Alternative streaming strategy: foreachBatch incremental MERGE.
+#
+# applyInPandasWithState above is the *custom stateful operator* surface
+# (per-key logic the engine can't express relationally). But THIS
+# pipeline's per-user aggregates — uuid-deduped counts, distinct sets,
+# cent-exact sums — ARE relationally expressible per micro-batch, so the
+# scale path keeps the whole hot loop in JVM codegen: aggregate the
+# micro-batch with the same conditional-agg Columns as the batch plan,
+# then MERGE the per-user deltas into a sharded aggregate-state store
+# (counters add, sets union, sums add). Zero Python per event; the only
+# streaming state is dropDuplicatesWithinWatermark's bounded uuid window.
+# This is the Structured Streaming + Delta-MERGE aggregation pattern.
+# ---------------------------------------------------------------------------
+
+
+def _field_name_map(config: EngineConfig) -> dict[str, str]:
+    field_names: dict[str, str] = {}
+    for spec in config.aggregates:
+        if spec.field and spec.field not in field_names:
+            field_names[spec.field] = f"__f{len(field_names)}"
+    return field_names
+
+
+def _delta_aggregates(
+    batch: DataFrame, config: EngineConfig, field_names: dict[str, str]
+) -> DataFrame:
+    """Per-micro-batch aggregate deltas, one row per user — pure JVM
+    conditional aggregation (same expressions as the batch plan's
+    ``user_aggregates``). SUM deltas are exact integer cents and stay
+    NULL when no contributing event arrived (batch NULL semantics)."""
+    from feature_store_2_spark.plans.feature_pipeline import _SUM_DECIMAL
+
+    deduped = batch.groupBy("user_id", "event_id").agg(
+        F.min("event_type").alias("event_type"),
+        *[F.min(n).alias(n) for n in field_names.values()],
+    )
+    aggs = []
+    for spec in config.aggregates:
+        is_type = F.col("event_type") == spec.event_name
+        if spec.type is AggregateType.COUNT:
+            aggs.append(F.count(F.when(is_type, F.lit(1))).alias(spec.name))
+        elif spec.type is AggregateType.DISTINCT_COUNT:
+            aggs.append(
+                F.collect_set(
+                    F.when(is_type, F.col(field_names[spec.field]))
+                ).alias(spec.name)
+            )
+        else:  # SUM — exact integer cents (cent-aligned by DECIMAL cast)
+            cents = (
+                F.col(field_names[spec.field]).cast(_SUM_DECIMAL) * 100
+            ).cast("long")
+            aggs.append(F.sum(F.when(is_type, cents)).alias(spec.name))
+    return deduped.groupBy("user_id").agg(*aggs)
+
+
+def _merge_state(
+    old: DataFrame | None, delta: DataFrame, config: EngineConfig
+) -> DataFrame:
+    """Combine stored per-user state with a batch's deltas: counters
+    add, distinct sets union (sorted for layout determinism), cent sums
+    add with NULL preserved iff neither side ever saw the event type.
+    Users present only in ``old`` are carried forward by the store's
+    MERGE, so a left join from the delta side suffices."""
+    if old is None:
+        return delta
+    j = delta.alias("d").join(old.alias("o"), "user_id", "left")
+    cols = [F.col("user_id")]
+    for spec in config.aggregates:
+        dcol, ocol = F.col(f"d.{spec.name}"), F.col(f"o.{spec.name}")
+        if spec.type is AggregateType.DISTINCT_COUNT:
+            empty = F.array().cast("array<double>")
+            cols.append(
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(F.coalesce(ocol, empty), F.coalesce(dcol, empty))
+                    )
+                ).alias(spec.name)
+            )
+        elif spec.type is AggregateType.COUNT:
+            cols.append((F.coalesce(ocol, F.lit(0)) + dcol).alias(spec.name))
+        else:  # SUM cents
+            cols.append(
+                F.when(dcol.isNull() & ocol.isNull(), F.lit(None).cast("long"))
+                .otherwise(F.coalesce(ocol, F.lit(0)) + F.coalesce(dcol, F.lit(0)))
+                .alias(spec.name)
+            )
+    return j.select(*cols)
+
+
+def _aggregates_view(state: DataFrame, config: EngineConfig) -> DataFrame:
+    """Stored state -> the batch ``user_aggregates`` schema (distinct
+    sets become counts, cent sums become doubles — NULL preserved)."""
+    cols = [F.col("user_id")]
+    for spec in config.aggregates:
+        c = F.col(spec.name)
+        if spec.type is AggregateType.DISTINCT_COUNT:
+            cols.append(F.size(c).cast("long").alias(spec.name))
+        elif spec.type is AggregateType.COUNT:
+            cols.append(c.alias(spec.name))
+        else:
+            cols.append((c.cast("double") / 100.0).alias(spec.name))
+    return state.select(*cols)
+
+
+def run_grants_pipeline_merge(
+    spark: SparkSession,
+    events_path: str,
+    grants_path: str,
+    notifications_path: str,
+    checkpoint_path: str,
+    aggstate_path: str | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+    subscribers: dict[str, tuple[str, ...]] | None = DEFAULT_SUBSCRIBERS,
+    shuffle_partitions: int | None = None,
+    dedup_watermark: str = "35 days",
+) -> None:
+    """The all-JVM streaming grants pipeline: file-source ingest ->
+    bounded uuid dedup (the ONE stateful streaming operator) ->
+    foreachBatch { conditional-agg the micro-batch per user, MERGE the
+    deltas into the sharded aggregate-state store, derive grants for
+    exactly the touched users, upsert + notify }.
+
+    Identical results to ``run_grants_pipeline`` (both are gate-checked
+    against the batch grants SQL) but no Python executes per event —
+    per-user work is whole-stage-codegen'd and the per-batch Python
+    cost is O(1) driver orchestration. A micro-batch touching k users
+    rewrites <= k aggregate shards and <= k grant shards."""
+    aggstate_path = aggstate_path or grants_path + "_aggstate"
+    prev_parts = None
+    if shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    field_names = _field_name_map(config)
+    projected = (
+        read_event_stream(spark, events_path)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            *[_field_col(f).cast("double").alias(n) for f, n in field_names.items()],
+        )
+        .withWatermark("ts", dedup_watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_id"])
+        .drop("ts")
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        delta = merged = new = None
+        try:
+            delta = (
+                _delta_aggregates(batch_df, config, field_names)
+                .withColumn(sharded_store.SHARD_COL, sharded_store.shard_of("user_id"))
+                .persist()
+            )
+            touched = {
+                r[0]
+                for r in delta.select(sharded_store.SHARD_COL).distinct().collect()
+            }
+            old_state = sharded_store.read_store(sess, aggstate_path, shards=touched)
+            merged = (
+                _merge_state(
+                    None if old_state is None else old_state.drop(sharded_store.SHARD_COL),
+                    delta.drop(sharded_store.SHARD_COL),
+                    config,
+                )
+                .withColumn(sharded_store.SHARD_COL, sharded_store.shard_of("user_id"))
+                .persist()
+            )
+            sharded_store.upsert(
+                merged, aggstate_path, ("user_id",), "user_id", touched=touched
+            )
+            new = (
+                melt_grants(
+                    grants_wide_from_aggregates(
+                        _aggregates_view(merged.drop(sharded_store.SHARD_COL), config),
+                        config,
+                    ),
+                    config,
+                )
+                .withColumn(sharded_store.SHARD_COL, sharded_store.shard_of("user_id"))
+                .persist()
+            )
+            old_grants = sharded_store.read_store(sess, grants_path, shards=touched)
+            changes = grant_changes(
+                new.drop(sharded_store.SHARD_COL),
+                None
+                if old_grants is None
+                else old_grants.drop(sharded_store.SHARD_COL),
+            )
+            append_notifications(changes, notifications_path, subscribers)
+            sharded_store.upsert(
+                new, grants_path, GRANT_KEYS, "user_id", touched=touched
+            )
+        finally:
+            for df in (delta, merged, new):
+                if df is not None:
+                    df.unpersist()
+
+    try:
+        query = (
+            projected.writeStream.foreachBatch(merge)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -30,8 +30,12 @@ def test_priority_block_leads():
 
 def test_unscored_families_in_priority_head():
     """Every entry without a round-1 driver-green row sits in the head
-    the driver scores first (func_hash_family was already green in r01)."""
-    head = set(_DRIVER_PRIORITY)
+    the driver scores first (func_hash_family was already green in r01)
+    — or in the explicit next-round rotation list for entries created
+    after this round's 50-entry head was frozen."""
+    from feature_store_2_spark.queries import _NEXT_ROUND_HEAD
+
+    head = set(_DRIVER_PRIORITY) | set(_NEXT_ROUND_HEAD)
     for q in CATALOG:
         prefixed = q.name.split("_")[0] in {"doc", "dedup", "emb", "mm", "func", "stream"}
         if prefixed and q.name != "func_hash_family":

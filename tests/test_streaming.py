@@ -295,3 +295,47 @@ def test_breaker_feeds_serving_fail_open(spark, tmp_path):
     assert (
         serve_has_grant(spark, grants_dir, rates_tbl.limit(0), 2, "message") is True
     )
+
+
+def test_incremental_merge_pipeline_cross_batch(spark, tmp_path):
+    """The all-JVM foreachBatch-MERGE strategy must behave exactly like
+    the keyed-state pipeline across catch-up batches: uuid dedup spans
+    batches (checkpointed dropDuplicatesWithinWatermark state), the
+    aggregate-state store accumulates, flips notify, and a one-user
+    micro-batch rewrites at most one shard of EACH store."""
+    from feature_store_2_spark.streaming import run_grants_pipeline_merge
+
+    events_dir, grants_dir, notes_dir, ckpt = _paths(tmp_path)
+    aggstate_dir = str(tmp_path / "aggstate")
+
+    _write_events(spark, events_dir, [(100, 1, "error", None), (101, 1, "purchase", 5.0)])
+    run_grants_pipeline_merge(
+        spark, events_dir, grants_dir, notes_dir, ckpt, aggstate_dir, TEST_CONFIG
+    )
+    assert has_grant(spark, grants_dir, 1, "message") is True
+    assert read_notifications(spark, notes_dir).count() == 0
+
+    # Duplicate uuid 100 arrives again (must be ignored — dedup state
+    # lives in the checkpoint) + a second error -> rule fails, revoked.
+    _write_events(spark, events_dir, [(100, 1, "error", None), (102, 1, "error", None)])
+    run_grants_pipeline_merge(
+        spark, events_dir, grants_dir, notes_dir, ckpt, aggstate_dir, TEST_CONFIG
+    )
+    assert has_grant(spark, grants_dir, 1, "message") is False
+    notes = read_notifications(spark, notes_dir).collect()
+    assert [(r.user_id, r.feature, r.notification, r.subscriber) for r in notes] == [
+        (1, "message", "access_revoked", "https://api.example.com/event")
+    ]
+
+    # One new user -> at most one shard rewritten in BOTH stores.
+    grants_before = ss._read_manifest(grants_dir)
+    aggs_before = ss._read_manifest(aggstate_dir)
+    _write_events(spark, events_dir, [(200, 2, "purchase", 1.0)])
+    run_grants_pipeline_merge(
+        spark, events_dir, grants_dir, notes_dir, ckpt, aggstate_dir, TEST_CONFIG
+    )
+    for path, before in ((grants_dir, grants_before), (aggstate_dir, aggs_before)):
+        after = ss._read_manifest(path)
+        assert len({s for s in after if after[s] != before.get(s)}) <= 1
+    assert has_grant(spark, grants_dir, 1, "message") is False
+    assert has_grant(spark, grants_dir, 2, "message") is True
