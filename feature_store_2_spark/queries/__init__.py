@@ -108,19 +108,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     "pivot_event_type_counts",
     "topk_orders_global",
-    # -- regression band: already driver-green, keep fresh evidence --
-    "fs_user_aggregates",
-    "q1_pricing_summary",
+    # -- new-in-r2 capabilities with no scored family representative --
+    "sql_q6_forecast_revenue",
+    "stream_grants_incremental_merge",
 )
 
-# Entries created after this round's 50-entry head was frozen: they run
-# behind the head this round (the judge verifies them locally via
-# tools/check_oracle.py) and rotate into the head next round.
+# Entries created late in r2 whose families already have scored
+# representatives in the head: they run behind the head this round (the
+# judge verifies them locally via tools/check_oracle.py) and rotate into
+# the head next round.
 _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "doc_stratified_sample",
     "emb_quantize_int8",
-    "sql_q6_forecast_revenue",
-    "stream_grants_incremental_merge",
 )
 
 
