@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "doc_stratified_sample",
     "emb_quantize_int8",
+    "stream_stream_join",
 )
 
 

@@ -329,6 +329,84 @@ def stream_introspection(spark, sf_dir):
 
 
 @register(
+    "stream_stream_join",
+    """
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+""",
+    doc="STREAM-STREAM interval join: purchases joined to the same "
+    "user's clicks within the preceding 30 minutes, both sides "
+    "watermarked so the join state is range-bounded (each side retains "
+    "only rows inside watermark + interval; at 100 TB/day state is "
+    "~interval-sized per key, not unbounded). Inner join emits each "
+    "match the micro-batch both rows exist — the final table equals "
+    "the batch interval join, which is the oracle. Watermark delay "
+    "covers the staged corpus span so a multi-batch catch-up run "
+    "drops nothing (production tunes it to real lateness)",
+)
+def stream_stream_join(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    path = os.path.join(root, "events")
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "35 days")
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "35 days")
+    )
+    joined = purchases.join(
+        clicks,
+        [
+            purchases.user_id == clicks.user_id,
+            F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"),
+            F.col("c_ts") <= F.col("p_ts"),
+        ],
+        "inner",
+    ).select(
+        purchases.user_id.alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    name = "fs2_stream_stream_join"
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "stream_denial_rate",
     None,  # approx_count_distinct => no exact oracle; rows-only check
     doc="watermarked 10-min/5-min sliding-window denial rate over the "
