@@ -121,6 +121,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "doc_stratified_sample",
     "emb_quantize_int8",
     "stream_stream_join",
+    "dedup_cluster_components",
 )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators.graph import connected_components
 from feature_store_2_spark.operators.dedup import (
     N_BANDS,
     N_MINHASHES,
@@ -284,6 +285,58 @@ WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5
 def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs_prefix(
         load_table(spark, "documents", sf_dir), threshold=0.5
+    )
+
+
+# Near-dup CLUSTERS from near-dup PAIRS: similarity is not transitive,
+# so "keep one doc per group" is connected components over the pair
+# graph. Spark side: iterative min-label propagation (operators/graph.py,
+# no recursive SQL in Spark); oracle side: DuckDB WITH RECURSIVE
+# reachability — two entirely different fixpoint mechanisms must land on
+# identical (component, keep) assignments.
+_CC_ORACLE = _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1) + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+jac AS (
+    SELECT doc1, doc2 FROM common
+    JOIN sizes s1 ON doc1 = s1.doc_id
+    JOIN sizes s2 ON doc2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5),
+edges AS (
+    SELECT doc1 AS a, doc2 AS b FROM jac
+    UNION ALL
+    SELECT doc2 AS a, doc1 AS b FROM jac),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+SELECT id AS doc_id, min(r) AS component, (id = min(r)) AS keep
+FROM reach GROUP BY id
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    _CC_ORACLE,
+    doc="near-dup cluster canonicalization: connected components over "
+    "the Jaccard>=0.5 pair graph (iterative min-label propagation, "
+    "localCheckpoint-truncated lineage; O(diameter) rounds — "
+    "large-star/small-star is the O(log n) drop-in for adversarial "
+    "chains). Every doc gets a component = min reachable doc_id; "
+    "keep = is-canonical. Oracle reproduces the fixpoint with DuckDB "
+    "WITH RECURSIVE reachability",
+)
+def dedup_cluster_components(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    edges = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select("doc1", "doc2")
+    comps = connected_components(docs.select("doc_id"), edges.persist())
+    return comps.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
     )
 
 
