@@ -122,6 +122,10 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "emb_quantize_int8",
     "stream_stream_join",
     "dedup_cluster_components",
+    "funnel_conversion",
+    "cohort_retention",
+    "feat_time_decay",
+    "resample_daily_gapfill",
 )
 
 
@@ -138,6 +142,7 @@ def _load_all() -> None:
         "sketches",
         "windows_setops",
         "scalar_funcs",
+        "behavior",
         "llm_text",
         "llm_curation",
         "llm_similarity",

@@ -1,0 +1,221 @@
+"""Behavioral analytics over the event stream: ordered funnels, cohort
+retention, time-decayed features, gap-filled resampling.
+
+These are the aggregate "user journey" reads a feature platform serves on
+top of the same event log the reference ingests (its per-user aggregate
+state machine is services/aggregates.py; these are the offline/batch
+analyses of the identical data). All four are single-digit-shuffle plans
+built from codegen'd expressions — no Python in any hot path.
+
+Determinism: week truncation is Monday-based in both engines but DuckDB
+returns DATE while Spark returns TIMESTAMP (cast to DATE on the Spark
+side); week offsets divide exact multiples of 7 so int casts agree; the
+decay weight 0.5^k (k <= 6 weeks) is an exact DECIMAL(8,6), so decayed
+sums are all-decimal and addition order cannot perturb the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+s4 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN s3 ON e.user_id = s3.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN s4.user_id IS NOT NULL THEN 4
+                 WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+LEFT JOIN s4 ON u.user_id = s4.user_id
+"""
+
+
+@register(
+    "funnel_conversion",
+    _FUNNEL_ORACLE,
+    doc="ordered conversion funnel signup->view->click->purchase: each "
+    "stage must occur STRICTLY after the first completion of the "
+    "previous stage. Spark side is ONE shuffle: collect+sort each "
+    "user's (ts, type) events, then a codegen'd aggregate() fold walks "
+    "the timeline — equivalent to the oracle's 4-level chained-min "
+    "CTE but without its four self-joins. At 100 TB the fold stays "
+    "one shuffle regardless of stage count; per-user state is 2 "
+    "fields, and skewed users cost O(their events), not O(n^2)",
+)
+def funnel_conversion(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    # Sorted timeline per user; struct sort = (ts, event_type), which
+    # matches the chained-min semantics for equal-ts events (proven
+    # equivalent: strict '>' excludes same-ts transitions either way).
+    timeline = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
+    stage_of = F.array(*[F.lit(s) for s in _FUNNEL_STAGES])
+    fold = F.aggregate(
+        timeline,
+        F.struct(
+            F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("t")
+        ),
+        lambda acc, e: F.when(
+            (acc.stage < len(_FUNNEL_STAGES))
+            & (e.event_type == F.element_at(stage_of, acc.stage + F.lit(1)))
+            & ((acc.stage == 0) | (e.ts > acc.t)),
+            F.struct((acc.stage + F.lit(1)).alias("stage"), e.ts.alias("t")),
+        ).otherwise(acc),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(fold.alias("acc"))
+        .select("user_id", F.col("acc.stage").cast("int").alias("funnel_stage"))
+    )
+
+
+_COHORT_ORACLE = """
+WITH first_ev AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+    FROM events)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INT)
+           AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM first_ev f JOIN activity a ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "cohort_retention",
+    _COHORT_ORACLE,
+    doc="weekly cohort retention triangle: cohort = Monday-truncated "
+    "week of a user's first event; n_users = distinct users from that "
+    "cohort active k weeks later. Two shuffles (per-user min, then the "
+    "distinct-count over (cohort, offset)); the per-user first-event "
+    "table is tiny relative to the log, so the enrich join broadcasts "
+    "at 100 TB once users << events",
+)
+def cohort_retention(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    wk = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    first_ev = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    activity = ev.select("user_id", wk(F.col("ts")).alias("act_week")).distinct()
+    return (
+        activity.join(F.broadcast(first_ev), "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_DECAY_REF = "2024-02-15"
+
+_DECAY_ORACLE = f"""
+SELECT user_id,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,2))
+                * CAST(power(0.5, date_diff('day', CAST(ts AS DATE),
+                                            DATE '{_DECAY_REF}') // 7)
+                       AS DECIMAL(8,6))) AS DOUBLE) AS decayed_value
+FROM events WHERE event_type = 'purchase' GROUP BY user_id
+"""
+
+
+@register(
+    "feat_time_decay",
+    _DECAY_ORACLE,
+    doc="half-life time-decayed purchase value per user (weekly "
+    "half-life steps, weight = 0.5^weeks_before_ref). ALL-decimal "
+    "arithmetic: value in exact cents DECIMAL(18,2), weight 0.5^k for "
+    "k<=6 is exactly DECIMAL(8,6), so every product and the sum are "
+    "exact and order-independent — casting a double term to a "
+    "high-scale decimal instead differs between engines in the last "
+    "ulp (observed), which is why the weight must be decimal-exact. "
+    "One pushed-filter scan + one partial+final agg — the canonical "
+    "recency feature at any scale",
+)
+def feat_time_decay(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    days = F.datediff(F.lit(_DECAY_REF).cast("date"), F.to_date("ts"))
+    term = F.col("value").cast("decimal(18,2)") * F.pow(
+        F.lit(0.5), F.floor(days / 7)
+    ).cast("decimal(8,6)")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(term).cast("double").alias("decayed_value"),
+        )
+    )
+
+
+_RESAMPLE_ORACLE = """
+WITH span AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+    FROM events GROUP BY user_id),
+days AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM span),
+counts AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+    FROM events GROUP BY 1, 2)
+SELECT d.user_id, d.day, COALESCE(c.n_events, 0) AS n_events
+FROM days d LEFT JOIN counts c ON d.user_id = c.user_id AND d.day = c.day
+"""
+
+
+@register(
+    "resample_daily_gapfill",
+    _RESAMPLE_ORACLE,
+    doc="per-user daily resample with explicit zero rows for silent "
+    "days (first..last activity span): sequence()+explode generates "
+    "the calendar JVM-side, left join fills counts. Output is linear "
+    "in user-days; the span table is one row per user, so at 100 TB "
+    "the generate side is tiny and the join shuffles only the daily "
+    "count table (already aggregated, << raw events)",
+)
+def resample_daily_gapfill(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    day = F.to_date("ts").alias("day")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    counts = ev.groupBy("user_id", day).agg(F.count("*").alias("n"))
+    return days.join(counts, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+    )
