@@ -126,6 +126,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "cohort_retention",
     "feat_time_decay",
     "resample_daily_gapfill",
+    "path_transitions",
 )
 
 

@@ -16,6 +16,7 @@ sums are all-decimal and addition order cannot perturb the value hash.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.queries import register
@@ -218,4 +219,50 @@ def resample_daily_gapfill(spark, sf_dir):
         "user_id",
         "day",
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*) AS n_transitions,
+       count(DISTINCT user_id) AS n_users,
+       CAST(count(*) AS DOUBLE)
+           / sum(count(*)) OVER (PARTITION BY event_type) AS prob
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@register(
+    "path_transitions",
+    _TRANSITIONS_ORACLE,
+    doc="first-order Markov transition matrix over per-user event "
+    "paths: lead() on the (ts, event_id)-ordered timeline, then "
+    "count + distinct-user count + row-conditional probability per "
+    "(from, to) pair. One window shuffle on user_id + one 25-cell "
+    "agg; prob is a single correctly-rounded bigint/bigint divide, "
+    "deterministic across engines. The per-user window partitions by "
+    "the natural key, so the plan scales with users, not pairs",
+)
+def path_transitions(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    agg = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    total = Window.partitionBy("from_type")
+    return agg.withColumn(
+        "prob",
+        F.col("n_transitions").cast("double") / F.sum("n_transitions").over(total),
     )

@@ -324,10 +324,11 @@ FROM reach GROUP BY id
     doc="near-dup cluster canonicalization: connected components over "
     "the Jaccard>=0.5 pair graph (iterative min-label propagation, "
     "localCheckpoint-truncated lineage; O(diameter) rounds — "
-    "large-star/small-star is the O(log n) drop-in for adversarial "
-    "chains). Every doc gets a component = min reachable doc_id; "
-    "keep = is-canonical. Oracle reproduces the fixpoint with DuckDB "
-    "WITH RECURSIVE reachability",
+    "connected_components_star is the implemented O(log n) "
+    "large-star/small-star drop-in for adversarial chains, "
+    "parity-tested). Every doc gets a component = min reachable "
+    "doc_id; keep = is-canonical. Oracle reproduces the fixpoint "
+    "with DuckDB WITH RECURSIVE reachability",
 )
 def dedup_cluster_components(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
