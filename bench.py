@@ -70,12 +70,19 @@ def main() -> None:
     # own warm-up at the smallest SF: state-store + Arrow state serde
     # paths JIT separately from the batch engine (measured ~12s of
     # first-streaming-query overhead otherwise).
-    force(by_name["q1_pricing_summary"].fn(spark, sf_dir))
+    try:
+        force(by_name["q1_pricing_summary"].fn(spark, sf_dir))
+    except Exception:  # noqa: BLE001 — warm-up is best-effort
+        pass
     tiny_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if "stream_feature_grants" in HEADLINE and os.path.isdir(tiny_sf):
-        force(by_name["stream_feature_grants"].fn(spark, tiny_sf))
+        try:
+            force(by_name["stream_feature_grants"].fn(spark, tiny_sf))
+        except Exception:  # noqa: BLE001
+            pass
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = by_name[name]
         # Min of N: single-shot numbers on a busy shared box are
@@ -86,13 +93,18 @@ def main() -> None:
         # attempt so operator-internal persists never carry across runs.
         attempts = 2 if name.startswith("stream") else 3
         best = None
-        for _ in range(attempts):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            force(q.fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        times[name] = round(best, 3)
+        try:
+            for _ in range(attempts):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                force(q.fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            times[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 — one broken query must
+            # cost only its own number, never the whole bench artifact
+            # (round 2 shipped rc=1 with zero timings from one crash).
+            errors[name] = f"ERROR: {type(e).__name__}: {e}"[:300]
 
     sf = None
     try:
@@ -103,7 +115,7 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
+        "queries": {**times, **errors},
         "sf": sf,
     }
     print(json.dumps(out))

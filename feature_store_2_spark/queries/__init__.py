@@ -44,90 +44,78 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver scores catalog entries in order and has a per-round budget
-# (round 1 covered exactly the first 50). Entries here are the ones the
-# driver must score THIS round: families with no driver-green row yet
-# (LLM text/dedup, similarity, multimodal, storage, streaming, scalar
-# functions), entries whose semantics changed since their last green
-# row, then a regression band of the highest-value already-green staples
-# (full reference dataflow + TPC-H-style headliners). Everything else
-# keeps registration order after the priority block.
+# (~the first 50). Round-3 head, in three bands:
+#   1. MUST-SCORE — entries with no driver row yet (created late in r2)
+#      plus the four entries fixed this round (three TIMESTAMP_NTZ
+#      crashes under pyspark 4.1.2, one floor/ceil oracle-dtype
+#      mismatch): each needs a green CORRECTNESS_r03 row to count.
+#   2. NEW THIS ROUND — operators added in round 3.
+#   3. REGRESSION STAPLES — round-1 greens that rotated out of the head
+#      exactly when the runtime changed (the r2 lesson: three of them
+#      silently broke); re-scored under the current runtime.
+# Everything else keeps registration order after the priority block —
+# all of it was driver-green under THIS runtime in round 2.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- LLM text analysis + dedup (unscored in r01) --
-    "doc_text_stats",
-    "doc_token_counts",
-    "doc_lang_guess",
-    "doc_quality_score",
-    "doc_fingerprint_normalized",
-    "doc_corpus_curation",
-    "doc_train_split",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",  # changed in r2: cap removed, full corpus
-    "dedup_embedding_ann_pairs",  # new in r2: SRP-banded scale path
-    # -- corpus curation (new in r2, never scored) --
-    "doc_contamination_check",
-    "doc_repetition_stats",
-    "doc_salient_terms",
-    "doc_chunk_dedup",
-    # -- similarity search (unscored in r01) --
-    "emb_norms",
-    "emb_cosine_topk",
-    "emb_lsh_ann_topk",
-    "emb_ivf_topk",
-    "emb_centroid_assign",
-    # -- multimodal (unscored in r01) --
-    "mm_payload_stats",
-    "mm_decode_features",
-    "mm_resize_plan",
-    "mm_frame_sample",
-    # -- storage layer (unscored in r01; scan/skew new in r2) --
-    "join_bucketed_colocated",
-    "fs_point_lookup",
-    "scan_date_partitioned",
-    "join_salted_skew",
-    # -- streaming (unscored in r01) --
-    "stream_feature_grants",
-    "stream_dedup_events",
-    "stream_sessionize",
-    "stream_grant_notifications",
-    "stream_static_join_enrich",
-    "stream_introspection",
-    "stream_denial_rate",
-    # -- scalar function families (unscored in r01) --
-    "func_string_part",
-    "func_date_orders",
-    "func_math_lineitem",
-    "func_array_embeddings",
-    "func_json_events",
-    "func_case_bucket_customers",
-    "func_null_handling",
-    # -- sketches / misc (unscored in r01) --
-    "agg_approx_distinct",
-    "pivot_event_type_counts",
-    "topk_orders_global",
-    # -- new-in-r2 capabilities with no scored family representative --
-    "sql_q6_forecast_revenue",
-    "stream_grants_incremental_merge",
-)
-
-# Entries created late in r2 whose families already have scored
-# representatives in the head: they run behind the head this round (the
-# judge verifies them locally via tools/check_oracle.py) and rotate into
-# the head next round.
-_NEXT_ROUND_HEAD: tuple[str, ...] = (
-    "doc_stratified_sample",
-    "emb_quantize_int8",
-    "stream_stream_join",
-    "dedup_cluster_components",
+    # -- band 1: never-scored (late-r2) --
     "funnel_conversion",
     "cohort_retention",
     "feat_time_decay",
     "resample_daily_gapfill",
     "path_transitions",
+    "dedup_cluster_components",
+    "doc_stratified_sample",
+    "emb_quantize_int8",
+    "stream_stream_join",
+    # -- band 1: fixed this round --
+    "sessionize_events",  # NTZ crash fixed in load_table
+    "argmax_latest_event_per_user",  # NTZ crash fixed in load_table
+    "window_trailing_10min_count",  # NTZ crash fixed in load_table
+    "func_math_lineitem",  # oracle floor/ceil now CAST AS BIGINT
+    # -- band 2: new in round 3 --
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q19_bracketed_revenue",
+    "q22_idle_customers",
+    "agg_stats_moments",
+    "hist_order_price_buckets",
+    "join_range_binned",
+    "doc_tfidf_top_terms",
+    # -- band 3: regression staples (r1-green, never re-scored on 4.1.2) --
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q4_order_priority",
+    "fs_user_aggregates",
+    "fs_feature_grants",
+    "fs_purchase_allowlist",
+    "fs_windowed_denial_rate",
+    "window_rank_orders_per_customer",
+    "window_running_spend",
+    "window_lag_value_delta",
+    "window_numeric_range_frame",
+    "window_ntile_percentrank",
+    "join_broadcast_customer_geo",
+    "join_asof_purchase_last_signup",
+    "join_range_event_pairs",
+    "join_semi_customers_with_open_orders",
+    "join_anti_customers_without_pending",
+    "join_full_outer_nation_counts",
+    "join_shuffle_hash_orders",
+    "agg_rollup_lineitem",
+    "agg_median_quantiles",
+    "agg_conditional_stats",
+    "agg_distinct_exact",
+    "agg_first_last_per_user",
+    "explode_top_words",
 )
+
+# Entries created after this round's 50-entry head is frozen rotate into
+# the head next round (the judge verifies them locally via
+# tools/check_oracle.py in the meantime).
+_NEXT_ROUND_HEAD: tuple[str, ...] = ()
 
 
 def _load_all() -> None:
@@ -139,6 +127,7 @@ def _load_all() -> None:
         "feature_store",
         "relational",
         "relational2",
+        "tpch_deep",
         "setops_misc",
         "sketches",
         "windows_setops",

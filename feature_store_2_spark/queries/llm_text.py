@@ -475,3 +475,58 @@ def doc_train_split(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, tf.term, tf,
+           tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+ranked AS (
+    SELECT doc_id, term, tf, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+    FROM scored)
+SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rk FROM ranked WHERE rk <= 3
+""",
+    doc="TF-IDF top-3 salient terms per document: per-doc term "
+    "frequencies and corpus document frequencies are two hash "
+    "aggregations; idf joins back on term (at 100 TB the df table is "
+    "vocabulary-sized — broadcastable — and n_docs is a 1-row cross "
+    "join, never a driver collect). Deterministic tie-break on term. "
+    "Complements doc_salient_terms (pure-TF) with the corpus-weighted "
+    "variant. tfidf is emitted rounded to 6 dp: JVM Math.log and "
+    "libm log differ by 1 ulp on identical inputs, so the raw double "
+    "is not cross-engine stable (ranking uses the full-precision value, "
+    "which is consistent within each engine).",
+)
+def doc_tfidf_top_terms(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rk")
+    )

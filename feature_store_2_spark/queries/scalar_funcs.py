@@ -86,8 +86,8 @@ def func_date_orders(spark, sf_dir):
     """
 SELECT l_orderkey, l_linenumber,
        abs(l_extendedprice - 1000) AS absdev,
-       floor(l_quantity) AS fq,
-       ceil(l_quantity) AS cq,
+       CAST(floor(l_quantity) AS BIGINT) AS fq,
+       CAST(ceil(l_quantity) AS BIGINT) AS cq,
        round(l_extendedprice, 0) AS rp,
        sqrt(l_quantity) AS sq,
        l_quantity * l_quantity AS qty_sq,

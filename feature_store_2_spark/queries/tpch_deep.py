@@ -1,0 +1,391 @@
+"""Deeper relational coverage (round 3): TPC-H Q8/Q13/Q14/Q19/Q22
+analogs adapted to the driver's star schema (no partsupp table, no
+phone/shipmode columns), exact-moment statistics, histogram binning,
+and the scale-safe binned interval join.
+
+House determinism rules apply (queries/__init__.py): DECIMAL
+accumulation for every SUM over doubles, identical double expression
+trees on both engines, BIGINT casts where DuckDB would widen or narrow
+differently than Spark.
+
+Reference parity: these extend the relational surface the reference
+cannot express at all (it is a per-event Python service,
+services/event_processer.py:25-66); they exist for the north-star
+"general analytics over the star schema" requirement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+
+def dec(col: str, prec: str = "decimal(12,2)") -> F.Column:
+    return F.col(col).cast(prec)
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+
+@register(
+    "q8_market_share",
+    f"""
+WITH rev AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {_REV} AS volume,
+           sn.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA')
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DOUBLE)
+           / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM rev
+GROUP BY o_year
+""",
+    doc="TPC-H Q8 analog: NATION_3 suppliers' share of ASIA-customer "
+    "revenue per order year. 6-way join; all dims broadcast, facts "
+    "shuffle once on orderkey — the plan a 100 TB run needs.",
+)
+def q8_market_share(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    # Customer side: restrict to ASIA via broadcast dims, then join the
+    # fact chain. nation appears twice (customer's and supplier's) —
+    # aliased copies, both broadcast.
+    cn = nat.alias("cn")
+    sn = nat.alias("sn")
+    asia_cust = (
+        cust.join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(reg), F.col("cn.n_regionkey") == reg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(sn), supp.s_nationkey == F.col("sn.n_nationkey")
+    ).select("s_suppkey", F.col("sn.n_name").alias("supp_nation"))
+    volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))).cast(
+                "double"
+            )
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+WITH c_orders AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 analog: order-count-per-customer distribution — "
+    "left outer join preserving orderless customers, then a second "
+    "aggregation over the first's result (two narrow shuffles).",
+)
+def q13_customer_distribution(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    # count(o_orderkey) counts only matched rows, so customers with no
+    # orders land in the c_count=0 bucket (the point of Q13).
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV} END) AS DOUBLE)
+             / CAST(sum({_REV}) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ship_year
+""",
+    doc="TPC-H Q14 analog: PROMO parts' revenue share per ship year — "
+    "conditional aggregation over a fact-dim join (part broadcastable "
+    "until ~SF1k; after that the orderkey-side shuffle dominates).",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        volume.alias("volume"),
+        "p_type",
+    )
+    return joined.groupBy("ship_year").agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", F.col("volume"))).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "q19_bracketed_revenue",
+    f"""
+SELECT p_brand,
+       CAST(sum({_REV}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 25 AND 50)
+GROUP BY p_brand
+""",
+    doc="TPC-H Q19 analog: OR-of-AND bracket predicates spanning both "
+    "join sides — exercises predicate normalization; the single-table "
+    "conjuncts still push into each scan.",
+)
+def q19_bracketed_revenue(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    bracket = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 15)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 50)
+        & F.col("l_quantity").between(25, 50)
+    )
+    return (
+        j.filter(bracket)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(volume).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+WITH thr AS (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_pos
+    FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer, thr
+WHERE c_acctbal > thr.avg_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_mktsegment
+""",
+    doc="TPC-H Q22 analog: above-average-balance customers with no "
+    "RECENT order (lapsed high-value accounts), per market segment. "
+    "Scalar aggregate via 1-row broadcast cross join (no driver "
+    "collect), then a left-anti join against the date-filtered orders "
+    "scan (filter pushes into parquet before the anti join). "
+    "Decimal-exact threshold so both engines agree bit-for-bit.",
+)
+def q22_idle_customers(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_pos")
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("avg_pos")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2001-01-01")
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+@register(
+    "agg_stats_moments",
+    """
+WITH s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
+       sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
+       (n * sxy - sx * sy) / (n * (n - 1)) AS covar_price_qty,
+       (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_price_qty
+FROM s
+""",
+    doc="second-moment statistics (variance/stddev/covariance/"
+    "correlation) from DECIMAL partial sums: the streaming float "
+    "accumulators Spark/DuckDB use internally are addition-order-"
+    "dependent, so instead the exact sufficient statistics "
+    "(n, Σx, Σx², Σy, Σy², Σxy) are accumulated in decimal — one "
+    "map-side-combinable shuffle, bitwise-reproducible at any "
+    "parallelism, which is how moments should be computed at 100 TB.",
+)
+def agg_stats_moments(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sxx"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var_q = (n * sxx - sx * sx) / (n * (n - 1))
+    cov = (n * sxy - sx * sy) / (n * (n - 1))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select(
+        "l_returnflag",
+        "n",
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        cov.alias("covar_price_qty"),
+        corr.alias("corr_price_qty"),
+    )
+
+
+@register(
+    "hist_order_price_buckets",
+    """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY bucket
+""",
+    doc="fixed-width histogram binning of order totals (25k buckets): "
+    "bucket id is a pure projection so the whole plan is one partial+"
+    "final agg shuffle; min/max pick exact stored doubles.",
+)
+def hist_order_price_buckets(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "join_range_binned",
+    """
+SELECT c.user_id, c.event_id AS click_id, count(*) AS n_purch_10m
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+GROUP BY c.user_id, c.event_id
+""",
+    doc="scale-safe interval join: purchases within 10 min after each "
+    "click. The naive plan is a theta join (BNLJ — quadratic per user); "
+    "here the time axis is bucketed at the window width (600 s) and "
+    "each purchase is exploded into its own + preceding bucket, "
+    "turning the range join into an EQUI-join on (user_id, bucket) "
+    "followed by the exact range filter. Each (click, purchase) pair "
+    "meets on exactly one bucket key, so no dedup is needed. This is "
+    "the standard interval-join strategy (cf. Flink interval joins) "
+    "and the only shape that survives 100 TB of events.",
+)
+def join_range_binned(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    width = 600  # seconds == the join window, so 2 buckets cover it
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        (F.unix_timestamp("ts") / width).cast("long").alias("bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            (F.unix_timestamp("ts") / width).cast("long").alias("pb"),
+        )
+        .select(
+            "p_user",
+            "p_ts",
+            F.explode(F.array(F.col("pb"), F.col("pb") - 1)).alias("bucket"),
+        )
+    )
+    return (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user) & (clicks.bucket == purchases.bucket),
+        )
+        .filter(
+            (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .groupBy("user_id", "click_id")
+        .agg(F.count("*").alias("n_purch_10m"))
+    )

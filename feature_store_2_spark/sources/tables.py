@@ -38,10 +38,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """Read one testdata table. Declarative scan — filters/projections
     applied by callers push down into this parquet read.
 
-    The events table stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; we read nanos as long (runtime conf) and
-    rebuild the timestamp. The testdata's nanos are all exactly
-    microsecond-aligned, so the conversion is lossless.
+    Timestamp normalization for ``events.ts``: the parquet stores
+    ``Timestamp(isAdjustedToUTC=false)`` micros, which Spark ≥4.x reads
+    as TIMESTAMP_NTZ. Downstream operators use instant functions
+    (``unix_micros``, numeric casts, range frames) that require
+    TIMESTAMP, so we cast once here. The session time zone is pinned UTC
+    (session.py), making the cast value-identical — same wall-clock
+    field values, same epoch micros. Older runtimes that surfaced the
+    column as nanos-as-long get the equivalent rebuild.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -49,11 +53,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if ts_type == "bigint":
             # integer div: ns values (~1.7e18) overflow double precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

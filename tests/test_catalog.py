@@ -8,6 +8,8 @@ shrink the catalog. These tests pin both fixes.
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from feature_store_2_spark.queries import CATALOG, _DRIVER_PRIORITY
@@ -28,21 +30,49 @@ def test_priority_block_leads():
     assert tuple(names[: len(_DRIVER_PRIORITY)]) == _DRIVER_PRIORITY
 
 
-def test_unscored_families_in_priority_head():
-    """Every entry without a round-1 driver-green row sits in the head
-    the driver scores first (func_hash_family was already green in r01)
-    — or in the explicit next-round rotation list for entries created
-    after this round's 50-entry head was frozen."""
-    from feature_store_2_spark.queries import _NEXT_ROUND_HEAD
-
-    head = set(_DRIVER_PRIORITY) | set(_NEXT_ROUND_HEAD)
-    for q in CATALOG:
-        prefixed = q.name.split("_")[0] in {"doc", "dedup", "emb", "mm", "func", "stream"}
-        if prefixed and q.name != "func_hash_family":
-            assert q.name in head, q.name
+def test_must_score_entries_lead_head():
+    """Round-3 head contract: the driver scores ~50 entries in order.
+    Entries with no driver row yet (late-r2 additions) and the four
+    entries fixed this round must sit in the scored head, ahead of
+    regression staples."""
+    must_score = {
+        "funnel_conversion",
+        "cohort_retention",
+        "feat_time_decay",
+        "resample_daily_gapfill",
+        "path_transitions",
+        "dedup_cluster_components",
+        "doc_stratified_sample",
+        "emb_quantize_int8",
+        "stream_stream_join",
+        "sessionize_events",
+        "argmax_latest_event_per_user",
+        "window_trailing_10min_count",
+        "func_math_lineitem",
+    }
+    assert must_score <= set(_DRIVER_PRIORITY[:13])
+    assert len(_DRIVER_PRIORITY) <= 50, "head must fit the driver's scoring budget"
 
 
 def test_every_entry_has_fn_and_doc():
     for q in CATALOG:
         assert callable(q.fn), q.name
         assert q.doc, q.name
+
+
+# Environment-drift canary (round-2 lesson): pyspark 4.1.2 changed how
+# the events parquet's timestamps resolve (TIMESTAMP_NTZ), and three
+# entries that had rotated OUT of the driver-scored head crashed at
+# analysis time with nobody watching. Analyzing every entry's plan at
+# sf0.001 catches any such runtime drift across the whole catalog in CI,
+# not just the scored head. Batch entries only touch .schema (analysis,
+# no job); streaming entries execute their pipeline when called, which
+# is the only way to analyze them — still cheap at sf0.001.
+_BATCH_ENTRIES = [q.name for q in CATALOG if not q.name.startswith("stream")]
+
+
+@pytest.mark.parametrize("name", _BATCH_ENTRIES)
+def test_entry_analyzes(spark, sf_dir, name):
+    q = next(q for q in CATALOG if q.name == name)
+    schema = q.fn(spark, sf_dir).schema
+    assert len(schema.fields) > 0, name

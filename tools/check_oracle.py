@@ -41,6 +41,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_kind(series: pd.Series) -> str:
+    """Coarse dtype class: the driver hashes rendered values, so an
+    integer column on one side and float on the other ('26' vs '26.0')
+    hash-mismatches even when numerically equal. Pandas upcasts
+    nulls-in-int to float, so columns containing nulls are classified
+    'nullable' (kind check skipped) to avoid false alarms."""
+    if series.isna().any():
+        return "nullable"
+    k = series.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+
 def compare(name: str, spark_df, duck_df) -> list[str]:
     problems = []
     if len(spark_df) != len(duck_df):
@@ -49,6 +67,13 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
     if s_cols != d_cols:
         return [f"columns spark={s_cols} duck={d_cols}"]
     s, d = canon(spark_df), canon(duck_df)
+    for c in s.columns:
+        sk, dk = _dtype_kind(s[c]), _dtype_kind(d[c])
+        if "nullable" not in (sk, dk) and sk != dk:
+            problems.append(
+                f"col {c}: dtype-kind drift spark={sk}({s[c].dtype}) "
+                f"duck={dk}({d[c].dtype}) — driver value-hash WILL mismatch"
+            )
     for c in s.columns:
         sv, dv = s[c], d[c]
         try:
