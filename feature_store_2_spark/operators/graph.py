@@ -91,6 +91,7 @@ def connected_components_star(
     src_col: str = "doc1",
     dst_col: str = "doc2",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Same contract as :func:`connected_components`, via alternating
     large-star / small-star rounds (Kiveris et al., "Connected
@@ -111,7 +112,9 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # Large-star: every neighbor LARGER than u links to the minimum
         # of u's closed neighborhood. Output edges are (big, small).
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -142,6 +145,8 @@ def connected_components_star(
         e = new_e
         if converged:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     # Fixpoint edges are stars: (node, component-min). Isolated nodes
     # (and the roots themselves) label as self.
     labels = e.groupBy("u").agg(F.min("v").alias("c"))

@@ -61,6 +61,26 @@ def test_long_chain_converges_star(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_adversarial_10k_chain_logn_rounds(spark):
+    """The 100 TB worst case: a 10,000-node path (diameter 9,999).
+    Min-label propagation would need ~10k shuffle rounds; the
+    large-star/small-star algorithm must collapse it to one component
+    in O(log n) rounds. The 24-round cap is the proof: a
+    diameter-bounded algorithm could move a label at most 24 hops, so
+    converging AND labeling all 10k nodes correctly within the cap is
+    only possible with the logarithmic contraction."""
+    n = 10_000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc1 long, doc2 long"
+    )
+    stats = {}
+    out = connected_components_star(nodes, edges, max_iter=24, stats=stats)
+    bad = out.filter(F.col("component") != 0).count()
+    assert bad == 0, f"{bad} of {n} chain nodes not labeled 0"
+    assert stats["rounds"] <= 24, stats
+
+
 def test_random_graph_parity(spark):
     # 120 nodes, sparse random edges: both algorithms must emit the
     # identical (node, component) labeling.
