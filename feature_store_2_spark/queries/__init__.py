@@ -115,7 +115,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # Entries created after this round's 50-entry head is frozen rotate into
 # the head next round (the judge verifies them locally via
 # tools/check_oracle.py in the meantime).
-_NEXT_ROUND_HEAD: tuple[str, ...] = ()
+_NEXT_ROUND_HEAD: tuple[str, ...] = (
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "doc_word_entropy",
+    "stream_topk_trending",
+)
 
 
 def _load_all() -> None:

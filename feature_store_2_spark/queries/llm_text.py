@@ -530,3 +530,46 @@ def doc_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rk")
     )
+
+
+@register(
+    "doc_word_entropy",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+s AS (SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             count(*) AS vocab,
+             sum(tf * ln(CAST(tf AS DOUBLE))) AS slog
+      FROM tf GROUP BY doc_id)
+SELECT doc_id, n_tokens, vocab,
+       round(ln(CAST(n_tokens AS DOUBLE)) - slog / n_tokens, 6) AS word_entropy
+FROM s
+""",
+    doc="unigram Shannon entropy per document (nats): a standard "
+    "LLM-curation quality signal — low entropy flags repetitive/"
+    "template text, complementing the Gopher repetition stats. Uses "
+    "the algebraic form H = ln(n) - (Σ c·ln c)/n so the whole "
+    "computation is two hash aggregations over the token counts (no "
+    "per-token probability column). Emitted at 6 dp: the Σ c·ln c "
+    "float sum is addition-order-dependent across partitions and "
+    "JVM/libm log differs by 1 ulp.",
+)
+def doc_word_entropy(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    s = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum(F.col("tf") * F.log(F.col("tf").cast("double"))).alias("slog"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "vocab",
+        F.round(
+            F.log(F.col("n_tokens").cast("double")) - F.col("slog") / F.col("n_tokens"),
+            6,
+        ).alias("word_entropy"),
+    )

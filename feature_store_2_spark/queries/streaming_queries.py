@@ -432,3 +432,67 @@ def stream_denial_rate(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_topk_trending",
+    """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+w AS (
+    SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n_events
+    FROM events GROUP BY ws, event_type),
+f AS (SELECT ws, event_type, n_events FROM w, mx
+      WHERE ws + INTERVAL 1 HOUR <= mx.m),
+r AS (SELECT epoch_us(ws) AS window_start_us, event_type, n_events,
+             CAST(row_number() OVER (PARTITION BY ws
+                 ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+      FROM f)
+SELECT window_start_us, event_type, n_events, rk FROM r WHERE rk <= 2
+""",
+    doc="STREAMING trending top-k: tumbling 1-hour event-type counts "
+    "(watermarked, append mode — only watermark-closed windows emit, "
+    "same emission rule stream_sessionize pins), then top-2 per window "
+    "ranked over the materialized completed windows. The streaming agg "
+    "holds only open-window state; ranking runs on the closed-window "
+    "output, which is the correct split at scale (per-window top-k "
+    "over the sink, not a global sort in-stream). Oracle = batch "
+    "hourly counts restricted to windows closed by the final "
+    "watermark.",
+)
+def stream_topk_trending(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    root = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(os.path.join(root, "events"))
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = "fs2_stream_topk_trending"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    closed = spark.table(name)
+    rk = F.row_number().over(
+        W.partitionBy("window_start_us").orderBy(F.desc("n_events"), "event_type")
+    )
+    return (
+        closed.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select("window_start_us", "event_type", "n_events", "rk")
+    )

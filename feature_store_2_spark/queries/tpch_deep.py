@@ -389,3 +389,142 @@ def join_range_binned(spark, sf_dir):
         .groupBy("user_id", "click_id")
         .agg(F.count("*").alias("n_purch_10m"))
     )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+WITH srev AS (
+    SELECT l_suppkey,
+           CAST(sum({_REV}) AS DOUBLE) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2000-04-01 00:00:00'
+    GROUP BY l_suppkey),
+mx AS (SELECT max(total_rev) AS m FROM srev)
+SELECT s_suppkey, s_name, total_rev
+FROM srev JOIN supplier ON s_suppkey = l_suppkey
+CROSS JOIN mx
+WHERE total_rev = mx.m
+""",
+    doc="TPC-H Q15 analog: top supplier by quarterly revenue. The max "
+    "is a 1-row aggregate broadcast back over the per-supplier revenue "
+    "table (never a driver collect); equality on the decimal-exact "
+    "double is engine-stable. Ties all surface (no arbitrary pick).",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    srev = (
+        li.filter(
+            (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_shipdate") < "2000-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("total_rev")
+        )
+    )
+    mx = srev.agg(F.max("total_rev").alias("m"))
+    return (
+        srev.join(F.broadcast(supp), srev.l_suppkey == supp.s_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+WITH pa AS (
+    SELECT l_partkey,
+           0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  / count(*)) AS thr
+    FROM lineitem GROUP BY l_partkey)
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa   ON pa.l_partkey = lineitem.l_partkey
+WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND l_quantity < thr
+GROUP BY p_brand
+""",
+    doc="TPC-H Q17 analog: revenue locked in small-quantity orders of "
+    "selected brands. The correlated per-part average subquery is "
+    "decorrelated into a per-part aggregate joined back on partkey "
+    "(the only shape that scales — one extra shuffle, no per-row "
+    "subquery). Threshold is decimal-exact-sum / count so both engines "
+    "select the identical row set.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count("*"))
+        ).alias("thr")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+            ),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250.0)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+    doc="TPC-H Q18 analog: customers with orders totaling > 250 units. "
+    "The HAVING subquery becomes a semi join against the re-aggregated "
+    "orderkey set — both aggregations shuffle on the same key "
+    "(orderkey), so AQE plans the semi join without a second exchange "
+    "of the fact table.",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sq"))
+        .filter(F.col("sq") > 250.0)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+    )
