@@ -121,6 +121,9 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "q18_large_volume_customers",
     "doc_word_entropy",
     "stream_topk_trending",
+    "agg_heavy_hitters",
+    "rolling_7d_active_users",
+    "sql_lateral_topn_per_segment",
 )
 
 

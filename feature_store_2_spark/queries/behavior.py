@@ -266,3 +266,71 @@ def path_transitions(spark, sf_dir):
         "prob",
         F.col("n_transitions").cast("double") / F.sum("n_transitions").over(total),
     )
+
+
+@register(
+    "agg_heavy_hitters",
+    """
+WITH tot AS (SELECT count(*) AS n FROM events),
+c AS (SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type)
+SELECT user_id, event_type, cnt
+FROM c, tot
+WHERE cnt * 500 >= tot.n
+""",
+    doc="exact heavy hitters: (user, event_type) pairs at >= 0.2% of "
+    "total traffic. The support test is pure integer arithmetic "
+    "(cnt*500 >= n — no float ratio, so both engines select the "
+    "identical set), and the global total is a 1-row broadcast. At "
+    "100 TB this is one hash agg + a map-side filter; the sketch "
+    "alternative (approx counting) is only needed when the KEY "
+    "cardinality itself is unmanageable, which user x type is not.",
+)
+def agg_heavy_hitters(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    tot = ev.agg(F.count("*").alias("n"))
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 500 >= F.col("n"))
+        .select("user_id", "event_type", "cnt")
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    """
+WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
+cov AS (
+    SELECT user_id, d + CAST(off AS INTEGER) AS day
+    FROM du, (SELECT unnest(generate_series(0, 6)) AS off) offs)
+SELECT day, count(DISTINCT user_id) AS dau7
+FROM cov, mx
+WHERE day <= mx.m
+GROUP BY day
+""",
+    doc="trailing-7-day distinct active users per day. Exact rolling "
+    "distinct cannot be a window frame (distinct does not decompose), "
+    "so each (user, active-day) pair is expanded into the 7 trailing "
+    "windows it participates in — a fixed 7x row expansion followed by "
+    "one distinct count, instead of 7 self-joins or a quadratic "
+    "range join. The expansion factor is the window length, "
+    "independent of data volume: the canonical exact-DAU shape at "
+    "100 TB.",
+)
+def rolling_7d_active_users(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    mx = ev.agg(F.max(F.to_date("ts")).alias("m"))
+    cov = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("off")).alias("day"))
+    return (
+        cov.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("m"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("dau7"))
+    )

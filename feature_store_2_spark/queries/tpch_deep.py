@@ -528,3 +528,32 @@ def q18_large_volume_customers(spark, sf_dir):
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
     )
+
+
+_LATERAL_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice
+FROM (SELECT DISTINCT c_mktsegment FROM customer) seg,
+LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE customer.c_mktsegment = seg.c_mktsegment
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+"""
+
+
+@register(
+    "sql_lateral_topn_per_segment",
+    _LATERAL_SQL,
+    doc="correlated LATERAL subquery through the ANSI-SQL facade: top-2 "
+    "orders per market segment, the SAME SQL text on spark.sql and "
+    "DuckDB (like sql_q6_forecast_revenue). Spark decorrelates the "
+    "LATERAL into a ranked window under the hood — the declarative "
+    "form stays scale-safe while exercising a SQL surface the "
+    "DataFrame entries don't (correlated ORDER BY/LIMIT in FROM).",
+)
+def sql_lateral_topn_per_segment(spark, sf_dir):
+    for t in ("customer", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

@@ -23,7 +23,11 @@ from feature_store_2_spark.session import get_spark
 
 # Queries where a cartesian/BNLJ pair join is the intended algorithm.
 PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk",
-               "emb_lsh_ann_topk", "join_cross_region_nation", "join_range_event_pairs"}
+               "emb_lsh_ann_topk", "join_cross_region_nation", "join_range_event_pairs",
+               # 1-row broadcast scalar subqueries (threshold / n_docs): the
+               # BNLJ build side is a single aggregate row, which is the
+               # collect-free way to apply a global scalar at any scale.
+               "q22_idle_customers", "doc_tfidf_top_terms"}
 
 AUDIT = [
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
