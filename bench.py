@@ -32,6 +32,13 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "q5_region_revenue",
     "q7_nation_volume",
+    # Round-3 additions: 6-way join with a conditional share (Q8), the
+    # binned interval join (the scale-safe range-join strategy), and the
+    # 7x-expansion rolling distinct — three shapes the original headline
+    # set didn't time.
+    "q8_market_share",
+    "join_range_binned",
+    "rolling_7d_active_users",
     "sessionize_events",
     "fs_purchase_allowlist",
     "fs_windowed_denial_rate",

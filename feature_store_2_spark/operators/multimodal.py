@@ -135,3 +135,50 @@ def frame_sample(decoded: DataFrame, every: int = 4) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
         ).alias("frame_idx"),
     )
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("win_idx", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("peak", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ]
+)
+
+
+def audio_window_energy(docs_with_payload: DataFrame, window: int = 64) -> DataFrame:
+    """Windowed sample statistics over an opaque 'audio' payload — the
+    shape of a VAD / loudness-gate stage in an audio curation pipeline:
+    bytes -> sample array -> fixed-length windows -> per-window peak and
+    energy. Payload bytes stand in for PCM samples (a real pipeline
+    swaps the ``frombuffer`` line for a codec call; everything else —
+    Arrow batching, numpy windowed reduction, output schema — is the
+    production plumbing). All-integer math so the oracle reproduces it
+    exactly.
+
+    Scale: mapInPandas streams Arrow batches; one output row per window
+    (payload_len/window fan-out), no sample-level shuffle ever.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "win_idx": [], "n_samples": [], "peak": [], "energy": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                for w in range(0, len(samples), window):
+                    chunk = samples[w : w + window]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(w // window)
+                    out["n_samples"].append(len(chunk))
+                    out["peak"].append(int(chunk.max()))
+                    out["energy"].append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, AUDIO_WINDOW_SCHEMA
+    )

@@ -124,6 +124,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "agg_heavy_hitters",
     "rolling_7d_active_users",
     "sql_lateral_topn_per_segment",
+    "mm_audio_window_energy",
 )
 
 

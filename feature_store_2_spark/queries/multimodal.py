@@ -94,3 +94,31 @@ WHERE f.f < n_frames
 def mm_frame_sample(spark, sf_dir):
     decoded = decode_features(with_payload(load_table(spark, "documents", sf_dir)))
     return frame_sample(decoded, every=4)
+
+
+@register(
+    "mm_audio_window_energy",
+    """
+WITH samples AS (
+    SELECT doc_id,
+           (i - 1) // 64 AS win_idx,
+           ascii(substring(text, CAST(i AS INTEGER), 1)) AS v
+    FROM documents,
+    LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) t)
+SELECT doc_id, win_idx,
+       count(*) AS n_samples,
+       CAST(max(v) AS BIGINT) AS peak,
+       CAST(sum(v * v) AS BIGINT) AS energy
+FROM samples
+GROUP BY doc_id, win_idx
+""",
+    doc="audio-pipeline plumbing: payload bytes as PCM samples, windowed "
+    "peak + energy (the VAD/loudness-gate stage) via numpy inside "
+    "mapInPandas — all-integer so the SQL oracle reproduces the Arrow "
+    "path exactly; one output row per 64-sample window, no "
+    "sample-level shuffle",
+)
+def mm_audio_window_energy(spark, sf_dir):
+    from feature_store_2_spark.operators.multimodal import audio_window_energy
+
+    return audio_window_energy(with_payload(load_table(spark, "documents", sf_dir)))
