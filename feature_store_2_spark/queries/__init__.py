@@ -125,6 +125,8 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "rolling_7d_active_users",
     "sql_lateral_topn_per_segment",
     "mm_audio_window_energy",
+    "func_zorder_key",
+    "func_regexp_extract_all",
 )
 
 

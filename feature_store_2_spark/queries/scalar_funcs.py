@@ -216,3 +216,73 @@ def func_null_handling(spark, sf_dir):
         F.coalesce(disc_null, F.lit(-1.0)).alias("disc_filled"),
         disc_null.isNull().alias("no_discount"),
     )
+
+
+def _morton_terms(xexpr: str, yexpr: str, bits: int, div: str) -> str:
+    """Bit-interleave (Morton / Z-order) as pure integer arithmetic:
+    ((x / 2^i) % 2) * 2^(2i) summed over bits — the interleaved bits are
+    disjoint so + is |, and div/mod arithmetic is portable to engines
+    without shift operators. ``div`` is the integer-division operator
+    spelling ('div' for Spark SQL, '//' for DuckDB)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xexpr} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({yexpr} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZORDER_DUCK = f"""
+SELECT o_orderkey,
+       o_custkey,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+       CAST({_morton_terms('o_custkey',
+                           "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))",
+                           16, '//')} AS BIGINT) AS zkey
+FROM orders
+"""
+
+
+@register(
+    "func_zorder_key",
+    _ZORDER_DUCK,
+    doc="Z-order (Morton) clustering key over (custkey, order-day): the "
+    "data-layout primitive behind multi-dimensional clustering — sort "
+    "or range-partition by zkey and scans filtered on EITHER dimension "
+    "prune to contiguous key ranges. Pure projection (zero shuffle); "
+    "the interleave is div/mod integer arithmetic so both engines "
+    "compute identical keys bit-for-bit. 16 bits/dim covers the "
+    "testdata; widen per-dimension bits with key cardinality.",
+)
+def func_zorder_key(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    day = "datediff(o_orderdate, DATE '1995-01-01')"
+    z = _morton_terms("o_custkey", day, 16, "div")
+    return orders.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        f"CAST({day} AS BIGINT) AS day_num",
+        f"CAST({z} AS BIGINT) AS zkey",
+    )
+
+
+@register(
+    "func_regexp_extract_all",
+    """
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]{5,}') AS toks
+      FROM documents) t,
+LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
+""",
+    doc="regexp_extract_all + posexplode: every >=5-letter token with "
+    "its position — the extract-all/lateral-unnest surface "
+    "(func_string_part covers single-match extraction). Generator "
+    "runs inside codegen; no Python.",
+)
+def func_regexp_extract_all(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.expr("regexp_extract_all(text, '[a-z]{5,}', 0)")).alias(
+            "pos", "tok"
+        ),
+    )
