@@ -127,6 +127,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "mm_audio_window_energy",
     "func_zorder_key",
     "func_regexp_extract_all",
+    "stream_grants_multibatch",
 )
 
 

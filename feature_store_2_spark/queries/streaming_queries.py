@@ -496,3 +496,40 @@ def stream_topk_trending(spark, sf_dir):
         .filter(F.col("rk") <= 2)
         .select("window_start_us", "event_type", "n_events", "rk")
     )
+
+
+@register(
+    "stream_grants_multibatch",
+    _GRANTS_ORACLE,
+    doc="END-TO-END STREAMING, multi-micro-batch: the incremental-MERGE "
+    "grants pipeline with events staged as FOUR time-range files and "
+    "maxFilesPerTrigger=1, so availableNow processes four sequential "
+    "micro-batches with state carried across them (uuid-dedup state, "
+    "sharded aggregate MERGEs). The single-drain entries prove the "
+    "pipeline once; this proves the property that matters in "
+    "production — incremental convergence: ANY batching of the input "
+    "reaches the same final grants because the state merge is "
+    "commutative and associative (counters add, sets union, cent sums "
+    "add). Same oracle as the batch grants SQL.",
+)
+def stream_grants_multibatch(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="fs2_stream_mb_")
+    events_dir = os.path.join(root, "events")
+    # Four time-range files: each micro-batch covers a contiguous time
+    # slice (the Kafka-backlog shape). Convergence does not depend on
+    # the slicing.
+    load_table(spark, "events", sf_dir).repartitionByRange(4, "ts").write.parquet(
+        events_dir
+    )
+    run_grants_pipeline_merge(
+        spark,
+        events_path=events_dir,
+        grants_path=os.path.join(root, "grants"),
+        notifications_path=os.path.join(root, "notifications"),
+        checkpoint_path=os.path.join(root, "checkpoint"),
+        shuffle_partitions=16,
+        max_files_per_trigger=1,
+    )
+    n_batches = len(os.listdir(os.path.join(root, "checkpoint", "offsets")))
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    return grants_snapshot(spark, os.path.join(root, "grants"))

@@ -56,18 +56,24 @@ from feature_store_2_spark.streaming.grants_store import (
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1 << 20
+) -> DataFrame:
     """File-source event stream (the reference's queue, A1/A3). New
     parquet files dropped into ``path`` are discovered per micro-batch;
     in production this is the same code with ``format("kafka")``.
 
-    ``maxFilesPerTrigger`` is pinned high so an ``availableNow`` catch-up
+    ``maxFilesPerTrigger`` defaults high so an ``availableNow`` catch-up
     drains ALL currently-staged files in one micro-batch — the
-    notification log's flip-detection determinism (and the catalog
-    entries' oracles) assume a batch sees the whole backlog."""
+    notification log's flip-detection determinism (and most catalog
+    entries' oracles) assume a batch sees the whole backlog. Pass a
+    small value to force a genuine multi-micro-batch run
+    (``availableNow`` honors source rate limits), which is how
+    ``stream_grants_multibatch`` proves cross-batch incremental
+    correctness."""
     return (
         spark.readStream.schema(EVENT_ENVELOPE)
-        .option("maxFilesPerTrigger", str(1 << 20))
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
     )
 
@@ -403,6 +409,7 @@ def run_grants_pipeline_merge(
     subscribers: dict[str, tuple[str, ...]] | None = DEFAULT_SUBSCRIBERS,
     shuffle_partitions: int | None = None,
     dedup_watermark: str = "35 days",
+    max_files_per_trigger: int = 1 << 20,
 ) -> None:
     """The all-JVM streaming grants pipeline: file-source ingest ->
     bounded uuid dedup (the ONE stateful streaming operator) ->
@@ -422,7 +429,7 @@ def run_grants_pipeline_merge(
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     field_names = _field_name_map(config)
     projected = (
-        read_event_stream(spark, events_path)
+        read_event_stream(spark, events_path, max_files_per_trigger)
         .select(
             "user_id",
             "event_id",
