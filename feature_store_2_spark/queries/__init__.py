@@ -128,6 +128,8 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "func_zorder_key",
     "func_regexp_extract_all",
     "stream_grants_multibatch",
+    "streak_longest_daily",
+    "window_locf_forward_fill",
 )
 
 

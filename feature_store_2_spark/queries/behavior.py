@@ -334,3 +334,81 @@ def rolling_7d_active_users(spark, sf_dir):
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("dau7"))
     )
+
+
+@register(
+    "streak_longest_daily",
+    """
+WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+isl AS (
+    SELECT user_id, d,
+           d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                    AS INTEGER) AS island
+    FROM du),
+streaks AS (
+    SELECT user_id, count(*) AS streak_len, min(d) AS streak_start
+    FROM isl GROUP BY user_id, island),
+best AS (
+    SELECT user_id, streak_len, streak_start,
+           row_number() OVER (PARTITION BY user_id
+               ORDER BY streak_len DESC, streak_start) AS rk
+    FROM streaks)
+SELECT user_id, streak_len, streak_start FROM best WHERE rk = 1
+""",
+    doc="longest consecutive-day activity streak per user via "
+    "gaps-and-islands: date minus per-user row_number is constant "
+    "within a consecutive run, so streaks fall out of one window pass "
+    "+ one aggregation — no self-joins, no iteration. Ties broken by "
+    "earliest streak start (deterministic).",
+)
+def streak_longest_daily(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = du.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len"), F.min("d").alias("streak_start")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("streak_len"), "streak_start")
+    )
+    return (
+        streaks.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("user_id", "streak_len", "streak_start")
+    )
+
+
+@register(
+    "window_locf_forward_fill",
+    """
+SELECT event_id, user_id, ts,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_value
+FROM events
+""",
+    doc="LOCF forward fill (last observation carried forward): every "
+    "event annotated with the user's most recent purchase value — "
+    "last_value IGNORE NULLS over an ordered running frame, the "
+    "standard sparse-to-dense time-series densification. One window "
+    "pass partitioned by the natural key; total order via (ts, "
+    "event_id) tie-break.",
+)
+def window_locf_forward_fill(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
