@@ -24,10 +24,13 @@ from feature_store_2_spark.session import get_spark
 # Queries where a cartesian/BNLJ pair join is the intended algorithm.
 PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk",
                "emb_lsh_ann_topk", "join_cross_region_nation", "join_range_event_pairs",
-               # 1-row broadcast scalar subqueries (threshold / n_docs): the
-               # BNLJ build side is a single aggregate row, which is the
-               # collect-free way to apply a global scalar at any scale.
-               "q22_idle_customers", "doc_tfidf_top_terms"}
+               # 1-row broadcast scalar subqueries (threshold / n_docs /
+               # global max / total): the BNLJ build side is a single
+               # aggregate row, which is the collect-free way to apply a
+               # global scalar at any scale.
+               "q22_idle_customers", "doc_tfidf_top_terms",
+               "q15_top_supplier", "agg_heavy_hitters",
+               "rolling_7d_active_users"}
 
 AUDIT = [
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
@@ -38,6 +41,11 @@ AUDIT = [
     "dedup_embedding_ann_pairs", "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "doc_corpus_curation",
     "join_salted_skew", "scan_date_partitioned", "doc_train_split",
+    # round-3 additions
+    "q8_market_share", "q13_customer_distribution", "q18_large_volume_customers",
+    "join_range_binned", "agg_stats_moments", "rolling_7d_active_users",
+    "doc_tfidf_top_terms", "streak_longest_daily", "window_locf_forward_fill",
+    "func_zorder_key", "q22_idle_customers",
 ]
 
 
