@@ -130,6 +130,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "stream_grants_multibatch",
     "streak_longest_daily",
     "window_locf_forward_fill",
+    "fs_grants_version_diff",
 )
 
 

@@ -533,3 +533,87 @@ def stream_grants_multibatch(spark, sf_dir):
     n_batches = len(os.listdir(os.path.join(root, "checkpoint", "offsets")))
     assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
     return grants_snapshot(spark, os.path.join(root, "grants"))
+
+
+_HALF_FILTER = (
+    "FROM events WHERE epoch_us(ts) < "
+    "(SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 FROM events)"
+)
+
+_VDIFF_ORACLE = f"""
+WITH old_g AS (
+    SELECT * FROM ({_GRANTS_ORACLE.replace("FROM events", _HALF_FILTER)}) og
+),
+new_g AS (
+    SELECT * FROM ({_GRANTS_ORACLE}) ng
+)
+SELECT n.user_id, n.feature,
+       coalesce(o.has_grant, TRUE) AS old_has_grant,
+       n.has_grant AS new_has_grant
+FROM new_g n LEFT JOIN old_g o
+  ON n.user_id = o.user_id AND n.feature = o.feature
+WHERE coalesce(o.has_grant, TRUE) <> n.has_grant
+"""
+
+
+@register(
+    "fs_grants_version_diff",
+    _VDIFF_ORACLE,
+    doc="CDC over the versioned grants store (Delta Change-Data-Feed "
+    "analog): events are ingested in two halves (split at the midpoint "
+    "timestamp, integer-micros so both engines agree), each half one "
+    "pipeline run MERGEd into the store; the entry time-travels to the "
+    "post-first-half manifest (read_store(at_version=...)) and diffs "
+    "it against the final snapshot — per-key (old, new) grant changes, "
+    "absent-old = default-True exactly like the serving path. Oracle "
+    "recomputes both grant states from raw events. Makes the store's "
+    "version retention driver-visible (previously pytest-only).",
+)
+def fs_grants_version_diff(spark, sf_dir):
+    from feature_store_2_spark.streaming import sharded_store
+
+    root = tempfile.mkdtemp(prefix="fs2_vdiff_")
+    events_dir = os.path.join(root, "events")
+    grants_path = os.path.join(root, "grants")
+    ev = load_table(spark, "events", sf_dir)
+    # Staging orchestration only (not operator dataflow): one scalar
+    # split point to write the two file sets the two runs ingest.
+    mid = ev.selectExpr(
+        "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2 AS m"
+    ).collect()[0]["m"]
+    ev.filter(F.unix_micros("ts") < mid).write.parquet(events_dir)
+    kwargs = dict(
+        events_path=events_dir,
+        grants_path=grants_path,
+        notifications_path=os.path.join(root, "notifications"),
+        checkpoint_path=os.path.join(root, "checkpoint"),
+        shuffle_partitions=16,
+        retain_versions=8,
+    )
+    run_grants_pipeline_merge(spark, **kwargs)
+    v_old = sharded_store.current_version(grants_path)
+    ev.filter(F.unix_micros("ts") >= mid).write.mode("append").parquet(events_dir)
+    run_grants_pipeline_merge(spark, **kwargs)  # same checkpoint: resumes
+    old = sharded_store.read_store(spark, grants_path, at_version=v_old).drop(
+        sharded_store.SHARD_COL
+    )
+    new = sharded_store.read_store(spark, grants_path).drop(sharded_store.SHARD_COL)
+    o = old.select(
+        F.col("user_id").alias("o_uid"),
+        F.col("feature").alias("o_feat"),
+        F.col("has_grant").alias("o_grant"),
+    )
+    return (
+        new.join(
+            o,
+            (new.user_id == o.o_uid) & (new.feature == o.o_feat),
+            "left",
+        )
+        .select(
+            "user_id",
+            "feature",
+            F.coalesce("o_grant", F.lit(True)).alias("old_has_grant"),
+            F.col("has_grant").alias("new_has_grant"),
+        )
+        .filter(F.col("old_has_grant") != F.col("new_has_grant"))
+    )

@@ -410,6 +410,7 @@ def run_grants_pipeline_merge(
     shuffle_partitions: int | None = None,
     dedup_watermark: str = "35 days",
     max_files_per_trigger: int = 1 << 20,
+    retain_versions: int = 1,
 ) -> None:
     """The all-JVM streaming grants pipeline: file-source ingest ->
     bounded uuid dedup (the ONE stateful streaming operator) ->
@@ -488,7 +489,12 @@ def run_grants_pipeline_merge(
             )
             append_notifications(changes, notifications_path, subscribers)
             sharded_store.upsert(
-                new, grants_path, GRANT_KEYS, "user_id", touched=touched
+                new,
+                grants_path,
+                GRANT_KEYS,
+                "user_id",
+                touched=touched,
+                retain_versions=retain_versions,
             )
         finally:
             for df in (delta, merged, new):
