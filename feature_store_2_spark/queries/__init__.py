@@ -131,6 +131,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "streak_longest_daily",
     "window_locf_forward_fill",
     "fs_grants_version_diff",
+    "udaf_mad_quantity",
 )
 
 

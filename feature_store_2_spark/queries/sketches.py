@@ -8,6 +8,9 @@ rows-only check — but each has an exact twin in the catalog
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.queries import register
@@ -43,4 +46,43 @@ def sketch_approx_percentiles(spark, sf_dir):
         F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias(
             "approx_p90_price"
         ),
+    )
+
+
+@register(
+    "udaf_mad_quantity",
+    """
+SELECT l_returnflag,
+       mad(l_quantity) AS mad_qty,
+       median(l_quantity) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="pandas GROUPED_AGG UDAF surface (SURVEY §2 UDF/UDAF row): "
+    "median absolute deviation per return flag, computed by an "
+    "Arrow-batched numpy aggregation — the robust-dispersion statistic "
+    "that needs a grouped median of deviations from the grouped "
+    "median, which built-in aggregates only reach with a two-pass "
+    "join. Quantities are integral doubles so medians are exact "
+    "binary halves and the oracle (DuckDB's native mad()) matches "
+    "bit-for-bit. Plan shows AggregateInPandas, never BatchEvalPython "
+    "— the UDAF is the vectorized slow path used ONLY where Catalyst "
+    "has no one-pass equivalent.",
+)
+def udaf_mad_quantity(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        a = v.to_numpy()
+        return float(np.median(np.abs(a - np.median(a))))
+
+    @pandas_udf("double")
+    def med(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        mad("l_quantity").alias("mad_qty"),
+        med("l_quantity").alias("median_qty"),
     )
