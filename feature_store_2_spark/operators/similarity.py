@@ -308,3 +308,84 @@ def nearest_centroid_assign(
             "dist2_q",
         )
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Full Lloyd k-means over the corpus: deterministic init (first k
+    vectors by id), then assign/update rounds until assignments are
+    stable. Every step is the exact fixed-point arithmetic of
+    nearest_centroid_assign — quantized BIGINT vectors, floor-mean
+    centroids (sums < 2^53 keep the division exact), squared-L2 in
+    BIGINT, ties broken by centroid id — so the fit is bit-identical
+    across partitionings, retries, and cluster layouts: a retried stage
+    can never flip an assignment.
+
+    Scale shape per round: one tiny k x dim aggregate, broadcast back,
+    one narrow corpus pass (same as the oracle-checked single-step
+    ``emb_centroid_assign``); ``localCheckpoint`` truncates lineage so
+    round N doesn't re-analyze N stacked plans. Driver only ever sees
+    the k x dim centroid table and a 1-row convergence count.
+    """
+    q = _prepare(emb.select(id_col, vec_col), id_col, vec_col).localCheckpoint()
+
+    wk = W.orderBy(id_col)
+    centroids = (
+        q.select(id_col, "qvec")
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select((F.col("rn") - 1).cast("long").alias("c_label"), F.col("qvec").alias("centroid"))
+    ).localCheckpoint()
+
+    def assign(cents: DataFrame) -> DataFrame:
+        j = q.crossJoin(F.broadcast(cents))
+        w = W.partitionBy(id_col).orderBy("dist2_q", "c_label")
+        return (
+            j.select(
+                F.col(id_col),
+                F.col("c_label"),
+                _dist2(F.col("qvec"), F.col("centroid")).alias("dist2_q"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, F.col("c_label").alias("cluster"), "dist2_q")
+        )
+
+    labels = assign(centroids).localCheckpoint()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        assigned = q.join(labels.select(id_col, "cluster"), id_col)
+        sums = assigned.groupBy("cluster").agg(
+            F.array(
+                *[F.sum(F.element_at("qvec", d + 1)).alias(f"s{d}") for d in range(dim)]
+            ).alias("csum"),
+            F.count("*").alias("cnt"),
+        )
+        centroids = sums.select(
+            F.col("cluster").alias("c_label"),
+            F.transform(
+                "csum", lambda s: F.floor(s.cast("double") / F.col("cnt")).cast("long")
+            ).alias("centroid"),
+        ).localCheckpoint()
+        new_labels = assign(centroids).localCheckpoint()
+        moved = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if moved == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels

@@ -132,6 +132,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "window_locf_forward_fill",
     "fs_grants_version_diff",
     "udaf_mad_quantity",
+    "emb_kmeans_fit",
 )
 
 

@@ -363,3 +363,23 @@ def emb_quantize_int8(spark, sf_dir):
         ql1.alias("q_l1"),
         ((qmin >= -127) & (qmax <= 127)).alias("fits_int8"),
     )
+
+
+@register(
+    "emb_kmeans_fit",
+    None,
+    doc="full Lloyd k-means fit (k=8) over the embedding corpus: the "
+    "iterative loop around the oracle-checked single assignment step "
+    "(emb_centroid_assign). Exact fixed-point arithmetic end-to-end — "
+    "quantized BIGINT vectors, floor-mean centroids, BIGINT squared-L2, "
+    "deterministic ties — so the fit is bit-identical across "
+    "partitionings and retries; pytest pins convergence, monotone "
+    "inertia, and repartition-invariance. No SQL oracle: an unrolled "
+    "multi-round fixpoint is not reasonably expressible in DuckDB "
+    "(driver records the rows-only check; the single-step twin carries "
+    "the exact oracle).",
+)
+def emb_kmeans_fit(spark, sf_dir):
+    from feature_store_2_spark.operators.similarity import kmeans_fit
+
+    return kmeans_fit(load_table(spark, "embeddings", sf_dir), k=8)

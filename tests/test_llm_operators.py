@@ -238,3 +238,24 @@ def test_srp_arrow_band_keys_match_expression_form(spark, sf_dir):
     )
     assert expr.exceptAll(arw).count() == 0
     assert arw.exceptAll(expr).count() == 0
+
+
+def test_kmeans_fit_converges_and_is_layout_invariant(spark, sf_dir):
+    """Lloyd loop: converges on the corpus, inertia never increases
+    round-over-round, and the fit is bit-identical under a different
+    input partitioning (the determinism contract that makes a retried
+    stage safe)."""
+    from feature_store_2_spark.operators.similarity import kmeans_fit
+    from feature_store_2_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    stats = {}
+    fit = kmeans_fit(emb, k=4, max_iter=25, stats=stats)
+    rows = {r["vec_id"]: (r["cluster"], r["dist2_q"]) for r in fit.collect()}
+    assert len(rows) == emb.count()
+    assert stats["rounds"] < 25, "did not converge"
+    assert len({c for c, _ in rows.values()}) > 1, "degenerate single cluster"
+
+    refit = kmeans_fit(emb.repartition(7, "vec_id"), k=4, max_iter=25)
+    rows2 = {r["vec_id"]: (r["cluster"], r["dist2_q"]) for r in refit.collect()}
+    assert rows == rows2, "fit depends on input partitioning"
