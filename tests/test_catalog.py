@@ -76,3 +76,23 @@ def test_entry_analyzes(spark, sf_dir, name):
     q = next(q for q in CATALOG if q.name == name)
     schema = q.fn(spark, sf_dir).schema
     assert len(schema.fields) > 0, name
+
+
+def test_next_round_head_names_registered():
+    """A typo in _NEXT_ROUND_HEAD would silently break next round's
+    head rotation — every queued name must be a real catalog entry."""
+    from feature_store_2_spark.queries import _NEXT_ROUND_HEAD
+
+    names = {q.name for q in CATALOG}
+    missing = [n for n in _NEXT_ROUND_HEAD if n not in names]
+    assert not missing, missing
+
+
+def test_bench_headline_names_registered():
+    """bench.py crashes (rc=1, empty artifact) on an unknown name —
+    pin every HEADLINE entry to the catalog."""
+    import bench
+
+    names = {q.name for q in CATALOG}
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, missing
