@@ -133,6 +133,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "fs_grants_version_diff",
     "udaf_mad_quantity",
     "emb_kmeans_fit",
+    "fs_grants_forget_users",
 )
 
 

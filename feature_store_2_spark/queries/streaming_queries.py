@@ -617,3 +617,43 @@ def fs_grants_version_diff(spark, sf_dir):
         )
         .filter(F.col("old_has_grant") != F.col("new_has_grant"))
     )
+
+
+_FORGET_ORACLE = f"""
+SELECT * FROM ({_GRANTS_ORACLE}) g WHERE g.user_id % 37 <> 0
+"""
+
+
+@register(
+    "fs_grants_forget_users",
+    _FORGET_ORACLE,
+    doc="right-to-be-forgotten over the grants store (Delta DELETE "
+    "WHERE analog): after the full streaming pipeline, a deletion "
+    "batch (user_id % 37 = 0) is MERGE-DELETEd via "
+    "sharded_store.delete_keys — only shards containing a forgotten "
+    "user are rewritten (k users => <= k shard rewrites, never a "
+    "full-table rewrite), the deletion commits its own manifest "
+    "version, and retention is the compliance knob (retain_versions=1 "
+    "purges old data files immediately). Forgotten users revert to the "
+    "serving default (grant=True), exactly the reference's "
+    "unknown-user semantics. Oracle = batch grants SQL minus the "
+    "forgotten users.",
+)
+def fs_grants_forget_users(spark, sf_dir):
+    from feature_store_2_spark.streaming import sharded_store
+    from feature_store_2_spark.streaming.grants_store import GRANT_KEYS
+
+    root = _stage_events(spark, sf_dir)
+    grants_path = os.path.join(root, "grants")
+    run_grants_pipeline_merge(
+        spark,
+        events_path=os.path.join(root, "events"),
+        grants_path=grants_path,
+        notifications_path=os.path.join(root, "notifications"),
+        checkpoint_path=os.path.join(root, "checkpoint"),
+        shuffle_partitions=16,
+    )
+    stored = sharded_store.snapshot(spark, grants_path)
+    forget = stored.filter(F.col("user_id") % 37 == 0).select("user_id", "feature")
+    sharded_store.delete_keys(forget, grants_path, GRANT_KEYS, "user_id")
+    return grants_snapshot(spark, grants_path)

@@ -274,3 +274,70 @@ def point_lookup(
     if snap is None:
         return None
     return snap.filter(F.col(shard_key) == key_value).drop(SHARD_COL)
+
+
+def delete_keys(
+    keys: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    shard_key: str,
+    n_shards: int = N_SHARDS,
+    retain_versions: int = 1,
+) -> int:
+    """MERGE-DELETE (Delta ``DELETE WHERE`` analog): drop every stored
+    row matching ``keys`` on ``key_cols``. Only shards containing a key
+    are rewritten — the right-to-be-forgotten shape: a deletion batch
+    touching k users costs k shard rewrites, not a full-table rewrite.
+    Commits a new manifest version like ``upsert`` (so the deletion is
+    itself time-travelable within the retention window — and retention
+    is the compliance knob: ``retain_versions=1`` makes the purge
+    immediate and the GC below removes the old data files).
+
+    Returns the number of shards rewritten.
+    """
+    spark = keys.sparkSession
+    manifest = _read_manifest(path) or {}
+    if not manifest:
+        return 0
+    version = current_version(path)
+    next_version = version + 1
+
+    if SHARD_COL not in keys.columns:
+        keys = keys.withColumn(SHARD_COL, shard_of(shard_key, n_shards))
+    keys = keys.select(*key_cols, SHARD_COL).distinct()
+    touched = {r[0] for r in keys.select(SHARD_COL).distinct().collect()}
+    if not touched:
+        return 0
+
+    old = read_store(spark, path, shards=touched)
+    kept = old.join(keys.drop(SHARD_COL), list(key_cols), "left_anti")
+    target = _data_dir(path, next_version)
+    kept.write.mode("overwrite").partitionBy(SHARD_COL).parquet(target)
+
+    new_manifest = dict(manifest)
+    for s in touched:
+        new_manifest[s] = next_version
+    with open(_manifest_path(path, next_version), "w") as f:
+        json.dump({"shards": {str(k): v for k, v in new_manifest.items()}}, f)
+    tmp = _latest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(next_version))
+    os.replace(tmp, _latest_path(path))
+
+    oldest_kept = max(0, next_version - retain_versions + 1)
+    still_live: set[int] = set()
+    for v in range(oldest_kept, next_version + 1):
+        try:
+            with open(_manifest_path(path, v)) as f:
+                still_live |= {int(x) for x in json.load(f)["shards"].values()}
+        except FileNotFoundError:
+            pass
+    for old_v in (set(manifest.values()) | {next_version}) - still_live:
+        shutil.rmtree(_data_dir(path, old_v), ignore_errors=True)
+    for old_v in range(oldest_kept):
+        if old_v not in still_live:
+            try:
+                os.remove(_manifest_path(path, old_v))
+            except FileNotFoundError:
+                pass
+    return len(touched)

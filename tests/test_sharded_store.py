@@ -141,3 +141,38 @@ def test_time_travel_reads_retained_versions(spark, store):
     assert [r.has_grant for r in v1.filter("user_id = 7").collect()] == [False]
     with pytest.raises(ValueError):
         ss.read_store(spark, store, at_version=9)
+
+
+def test_delete_keys_rewrites_only_touched_shards(spark, tmp_path):
+    """MERGE-DELETE: deleted keys gone, survivors byte-identical, and
+    the rewrite touches only the shards that contained a deleted key."""
+    from feature_store_2_spark.streaming import sharded_store
+
+    path = str(tmp_path / "store")
+    rows = [(i, f"feat{i % 2}", i % 3 == 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "user_id long, feature string, has_grant boolean")
+    sharded_store.upsert(df, path, ("user_id", "feature"), "user_id")
+    before = sharded_store.snapshot(spark, path).collect()
+
+    doomed = spark.createDataFrame(
+        [(i, f"feat{i % 2}") for i in range(0, 200, 50)], "user_id long, feature string"
+    )
+    n_shards = sharded_store.delete_keys(
+        doomed, path, ("user_id", "feature"), "user_id"
+    )
+    assert 0 < n_shards <= 4  # 4 distinct keys => at most 4 shards rewritten
+
+    after = {(r.user_id, r.feature): r.has_grant for r in sharded_store.snapshot(spark, path).collect()}
+    doomed_keys = {(i, f"feat{i % 2}") for i in range(0, 200, 50)}
+    assert doomed_keys.isdisjoint(after.keys())
+    for r in before:
+        k = (r.user_id, r.feature)
+        if k not in doomed_keys:
+            assert after[k] == r.has_grant
+    assert len(after) == len(before) - len(doomed_keys)
+
+    # deleting nothing is a no-op (no new version, no shard rewrites)
+    v = sharded_store.current_version(path)
+    none = spark.createDataFrame([], "user_id long, feature string")
+    assert sharded_store.delete_keys(none, path, ("user_id", "feature"), "user_id") == 0
+    assert sharded_store.current_version(path) == v
