@@ -134,6 +134,8 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "udaf_mad_quantity",
     "emb_kmeans_fit",
     "fs_grants_forget_users",
+    "hist_equidepth_price",
+    "window_nth_value_third_order",
 )
 
 

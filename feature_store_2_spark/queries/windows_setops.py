@@ -372,3 +372,84 @@ def topk_orders_global(spark, sf_dir):
         .limit(20)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "hist_equidepth_price",
+    """
+WITH b AS (
+    SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS b1,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS b2,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS b3
+    FROM orders)
+SELECT CAST(CASE WHEN o_totalprice <= b1 THEN 0
+                 WHEN o_totalprice <= b2 THEN 1
+                 WHEN o_totalprice <= b3 THEN 2
+                 ELSE 3 END AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders, b
+GROUP BY bucket
+""",
+    doc="equi-depth (quartile) histogram the scale-safe way: exact "
+    "interpolated quartile boundaries in one aggregate, broadcast back "
+    "(1-row cross join), bucket membership by comparison — two narrow "
+    "passes. The ntile() alternative is a GLOBAL sort of the fact "
+    "table, which is the plan to avoid at 100 TB. Boundaries rounded "
+    "to 6 dp on both sides; data points sit >= 0.008 from any "
+    "interpolated boundary so membership is stable.",
+)
+def hist_equidepth_price(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    b = orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("b1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("b2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("b3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("b1"), 0)
+        .when(F.col("o_totalprice") <= F.col("b2"), 1)
+        .when(F.col("o_totalprice") <= F.col("b3"), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "window_nth_value_third_order",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       nth_value(o_totalprice, 3) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS third_order_price
+FROM orders
+""",
+    doc="nth_value over a full partition frame: every order annotated "
+    "with its customer's chronologically third order total (NULL for "
+    "customers with fewer than three). Completes the analytic-window "
+    "family (first/last/lag/lead/rank were covered; nth_value was "
+    "not). Total order via (date, key) tie-break.",
+)
+def window_nth_value_third_order(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 3).over(w).alias("third_order_price"),
+    )
