@@ -176,3 +176,22 @@ def test_delete_keys_rewrites_only_touched_shards(spark, tmp_path):
     none = spark.createDataFrame([], "user_id long, feature string")
     assert sharded_store.delete_keys(none, path, ("user_id", "feature"), "user_id") == 0
     assert sharded_store.current_version(path) == v
+
+
+def test_upsert_is_idempotent_on_replay(spark, tmp_path):
+    """foreachBatch recovery contract: if a batch is REPLAYED after a
+    failure between store-commit and checkpoint-commit, re-MERGEing the
+    identical delta must leave the snapshot unchanged (keyed upsert =
+    at-least-once delivery -> exactly-once state)."""
+    from feature_store_2_spark.streaming import sharded_store
+
+    path = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [(i, "purchase", i % 2 == 0) for i in range(100)],
+        "user_id long, feature string, has_grant boolean",
+    )
+    sharded_store.upsert(batch, path, ("user_id", "feature"), "user_id")
+    first = sorted(map(tuple, sharded_store.snapshot(spark, path).collect()))
+    sharded_store.upsert(batch, path, ("user_id", "feature"), "user_id")  # replay
+    second = sorted(map(tuple, sharded_store.snapshot(spark, path).collect()))
+    assert first == second
