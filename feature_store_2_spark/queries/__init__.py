@@ -136,6 +136,9 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "fs_grants_forget_users",
     "hist_equidepth_price",
     "window_nth_value_third_order",
+    "agg_string_concat_ordered",
+    "agg_mode_event_type",
+    "agg_bitwise_flags",
 )
 
 

@@ -453,3 +453,91 @@ def window_nth_value_third_order(spark, sf_dir):
         "o_totalprice",
         F.nth_value("o_totalprice", 3).over(w).alias("third_order_price"),
     )
+
+
+@register(
+    "agg_string_concat_ordered",
+    """
+SELECT user_id,
+       string_agg(event_type, '|' ORDER BY ts, event_id) AS journey,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+    doc="ordered string aggregation (LISTAGG): each user's full "
+    "event-type journey in timestamp order. Spark has no ordered "
+    "string_agg aggregate, so the journey is collect_list of "
+    "(ts, event_id, type) structs -> array_sort (struct comparison = "
+    "lexicographic on the leading total-order fields) -> transform + "
+    "array_join — same one-shuffle plan, deterministic on both "
+    "engines via the (ts, event_id) tie-break.",
+)
+def agg_string_concat_ordered(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    sorted_types = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s.getField("event_type"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(sorted_types, "|").alias("journey"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "agg_mode_event_type",
+    """
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY user_id, event_type)
+SELECT user_id, event_type AS mode_type, cnt
+FROM (SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY cnt DESC, event_type) AS rk
+      FROM c) r
+WHERE rk = 1
+""",
+    doc="deterministic mode (most frequent event type per user): "
+    "count + rank with an explicit alphabetical tie-break instead of "
+    "the native mode() aggregate, whose tie choice is "
+    "engine/partitioning-dependent — the difference between a query "
+    "that hash-matches across engines and one that flaps.",
+)
+def agg_mode_event_type(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    )
+    return (
+        c.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+    )
+
+
+@register(
+    "agg_bitwise_flags",
+    """
+SELECT l_returnflag,
+       CAST(bit_and(CAST(l_partkey % 16 AS BIGINT)) AS BIGINT) AS and_bits,
+       CAST(bit_or(CAST(l_partkey % 16 AS BIGINT)) AS BIGINT) AS or_bits,
+       CAST(bit_xor(CAST(l_partkey % 16 AS BIGINT)) AS BIGINT) AS xor_bits
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="bitwise aggregate family (bit_and/bit_or/bit_xor): the "
+    "flag-set fold used for permission masks and feature bitmaps — "
+    "commutative/associative, so partial aggregation applies and the "
+    "plan is one map-combined shuffle.",
+)
+def agg_bitwise_flags(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    bits = F.pmod("l_partkey", F.lit(16)).cast("long")
+    return li.select("l_returnflag", bits.alias("b")).groupBy("l_returnflag").agg(
+        F.bit_and("b").alias("and_bits"),
+        F.bit_or("b").alias("or_bits"),
+        F.bit_xor("b").alias("xor_bits"),
+    )
