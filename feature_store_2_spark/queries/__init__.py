@@ -139,6 +139,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "agg_string_concat_ordered",
     "agg_mode_event_type",
     "agg_bitwise_flags",
+    "stream_locf_last_purchase",
 )
 
 

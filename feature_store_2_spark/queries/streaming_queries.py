@@ -657,3 +657,89 @@ def fs_grants_forget_users(spark, sf_dir):
     forget = stored.filter(F.col("user_id") % 37 == 0).select("user_id", "feature")
     sharded_store.delete_keys(forget, grants_path, GRANT_KEYS, "user_id")
     return grants_snapshot(spark, grants_path)
+
+
+_LOCF_ORACLE = """
+SELECT event_id, user_id, ts,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_value
+FROM events
+"""
+
+
+@register(
+    "stream_locf_last_purchase",
+    _LOCF_ORACLE,
+    doc="STREAMING stateful forward fill: every event annotated with "
+    "the user's most recent purchase value, carried across "
+    "micro-batches in keyed state (applyInPandasWithState holds ONE "
+    "double per user — bounded, volume-independent). Within a batch "
+    "the user's events are sorted by (ts, event_id) and filled with "
+    "numpy; the carry-over seeds the next batch. Oracle = the batch "
+    "LOCF window (window_locf_forward_fill), proving the stateful "
+    "stream reproduces the unbounded-frame window exactly.",
+)
+def stream_locf_last_purchase(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    root = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(os.path.join(root, "events"))
+
+    state_schema = T.StructType([T.StructField("carry", T.DoubleType())])
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("last_purchase_value", T.DoubleType()),
+        ]
+    )
+
+    def fill(key, pdfs, state: GroupState):
+        carry = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        vals = pdf["value"].where(pdf["event_type"] == "purchase")
+        filled = vals.ffill()
+        if carry is not None:
+            filled = filled.fillna(carry)
+        last = vals.dropna()
+        if len(last):
+            carry = float(last.iloc[-1])
+        state.update((carry,))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"],
+                "last_purchase_value": filled,
+            }
+        )
+
+    annotated = (
+        stream.select("event_id", "ts", "user_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fill, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "fs2_stream_locf"
+    with _stream_shuffle(spark):
+        q = (
+            annotated.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
