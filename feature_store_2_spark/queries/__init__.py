@@ -140,6 +140,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "agg_mode_event_type",
     "agg_bitwise_flags",
     "stream_locf_last_purchase",
+    "sketch_countmin_users",
 )
 
 

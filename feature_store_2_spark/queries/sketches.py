@@ -86,3 +86,87 @@ def udaf_mad_quantity(spark, sf_dir):
         mad("l_quantity").alias("mad_qty"),
         med("l_quantity").alias("median_qty"),
     )
+
+
+
+# --- Count-Min sketch with an EXACT cross-engine oracle -----------------
+# Unlike HLL/GK (engine-internal layouts, rows-only checks), CMS is pure
+# integer arithmetic: md5-derived row hashes, counter sums, min-over-rows
+# estimate — so the sketch itself is bit-identical on both engines.
+_CMS_D, _CMS_W = 4, 64
+
+
+def _cms_idx_spark(j: int) -> F.Column:
+    key = F.concat(F.lit(f"{j}:"), F.col("user_id").cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
+        % _CMS_W
+    )
+
+
+def _cms_oracle() -> str:
+    from feature_store_2_spark.queries.llm_text import _hex_fold
+
+    idx = {
+        j: f"(({_hex_fold(repr(str(j) + ':') + ' || CAST(user_id AS VARCHAR)')}) % {_CMS_W})"
+        for j in range(_CMS_D)
+    }
+    cells = " UNION ALL ".join(
+        f"SELECT user_id, true_cnt, {j} AS j, {idx[j]} AS idx FROM counts"
+        for j in range(_CMS_D)
+    )
+    return f"""
+WITH counts AS (
+    SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id),
+cells AS ({cells}),
+counters AS (
+    SELECT j, idx, CAST(sum(true_cnt) AS BIGINT) AS c
+    FROM cells GROUP BY j, idx)
+SELECT cells.user_id, CAST(min(true_cnt) AS BIGINT) AS true_cnt,
+       min(c) AS cms_est
+FROM cells JOIN counters USING (j, idx)
+GROUP BY cells.user_id
+"""
+
+
+@register(
+    "sketch_countmin_users",
+    _cms_oracle(),
+    doc="Count-Min sketch (d=4 rows x w=64 counters) of per-user event "
+    "frequencies, with an EXACT oracle: the hash rows are md5-derived "
+    "integer arithmetic reproduced in SQL, counters are plain sums, "
+    "and the estimate is the min over rows — every cell and every "
+    "estimate hash-matches across engines (the guarantee the HLL/GK "
+    "entries structurally cannot give, which is why they are "
+    "rows-only). Output carries the true count next to the estimate; "
+    "CMS guarantees est >= true, pinned by pytest. Scale shape: the "
+    "sketch is a 256-cell table built in one map-side-combinable "
+    "aggregation — mergeable across partitions/streams by cell-wise "
+    "addition.",
+)
+def sketch_countmin_users(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    cells = counts.select(
+        "user_id",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_idx_spark(j).alias("idx")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "true_cnt", "cell.j", "cell.idx")
+    counters = cells.groupBy("j", "idx").agg(F.sum("true_cnt").alias("c"))
+    return (
+        cells.join(F.broadcast(counters), ["j", "idx"])
+        .groupBy("user_id")
+        .agg(
+            F.min("true_cnt").alias("true_cnt"),
+            F.min("c").alias("cms_est"),
+        )
+    )

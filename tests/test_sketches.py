@@ -62,3 +62,16 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert r2 > 0.2
     assert r2 <= r6 <= r10
     assert r10 == 1.0
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """CMS guarantee: estimate >= true count for every key (collisions
+    only ever ADD); and with 150 users in 4x64 cells, at least some
+    estimate should be exact."""
+    from feature_store_2_spark.queries import CATALOG
+
+    q = next(q for q in CATALOG if q.name == "sketch_countmin_users")
+    rows = q.fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
+    assert any(r["cms_est"] == r["true_cnt"] for r in rows)
