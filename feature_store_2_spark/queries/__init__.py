@@ -141,6 +141,8 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "agg_bitwise_flags",
     "stream_locf_last_purchase",
     "sketch_countmin_users",
+    "doc_chunk_overlap",
+    "doc_pack_token_budget",
 )
 
 

@@ -573,3 +573,91 @@ def doc_word_entropy(spark, sf_dir):
             6,
         ).alias("word_entropy"),
     )
+
+
+@register(
+    "doc_chunk_overlap",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+starts AS (
+    SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w), 1), 24)) AS s
+    FROM tok)
+SELECT doc_id,
+       CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+       array_to_string(w[s : least(s + 31, len(w))], ' ') AS chunk,
+       CAST(least(s + 31, len(w)) - s + 1 AS BIGINT) AS n_words
+FROM starts
+""",
+    doc="RAG-style overlapping chunking: 32-word windows with stride 24 "
+    "(8-word overlap) per document — sequence + slice + array_join, "
+    "all codegen, one row per chunk and no Python. The chunk id is "
+    "derivable from the start offset so chunks are globally "
+    "addressable (doc_id, chunk_idx) for retrieval indexing. "
+    "Complements doc_chunk_dedup (disjoint 8-word chunks for dedup) "
+    "with the overlapping retrieval variant.",
+)
+def doc_chunk_overlap(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    w = F.split("text", " ")
+    tok = d.select("doc_id", w.alias("w"))
+    starts = tok.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(24)
+            )
+        ).alias("s"),
+    )
+    end = F.least(F.col("s") + 31, F.size("w"))
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / 24).cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("s"), end - F.col("s") + 1), " "
+        ).alias("chunk"),
+        (end - F.col("s") + 1).cast("long").alias("n_words"),
+    )
+
+
+@register(
+    "doc_pack_token_budget",
+    """
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+    FROM t)
+SELECT doc_id, n_tokens,
+       CAST(coalesce(cum_before, 0) // 512 AS BIGINT) AS pack_id,
+       CAST(coalesce(cum_before, 0) % 512 AS BIGINT) AS pack_offset
+FROM c
+""",
+    doc="sequence packing for training batches: documents laid "
+    "head-to-tail in deterministic doc_id order and sliced into "
+    "512-token packs by integer division of the exclusive running "
+    "total — the concat-then-slice packing production pipelines use "
+    "(straddling docs split across pack boundaries; the offset column "
+    "says where). One window pass, exact integer arithmetic. At "
+    "100 TB the global ordered cumsum becomes per-shard cumsums "
+    "offset by a broadcast per-shard-total prefix scan — same "
+    "arithmetic, two passes.",
+)
+def doc_pack_token_budget(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("cum_before div 512").alias("pack_id"),
+        (F.col("cum_before") % 512).cast("long").alias("pack_offset"),
+    )
