@@ -143,6 +143,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "sketch_countmin_users",
     "doc_chunk_overlap",
     "doc_pack_token_budget",
+    "join_dpp_partitioned",
 )
 
 

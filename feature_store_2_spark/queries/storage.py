@@ -148,3 +148,42 @@ def scan_date_partitioned(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "join_dpp_partitioned",
+    """
+WITH mondays AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day
+    FROM events WHERE dayofweek(CAST(ts AS DATE)) = 1)
+SELECT mondays.day AS day, event_type, count(*) AS n
+FROM events JOIN mondays ON CAST(ts AS DATE) = mondays.day
+GROUP BY mondays.day, event_type
+""",
+    doc="dynamic partition pruning: the fact table is date-partitioned "
+    "and the filter lives on a separate dim (Mondays) — no static "
+    "predicate exists at plan time, so Catalyst injects a runtime "
+    "dynamicpruning subquery that opens only the dim's partitions "
+    "(pytest asserts the expression is in the scan). The "
+    "static-predicate twin is scan_date_partitioned; together they "
+    "cover both halves of the partition-elimination story at 100 TB.",
+)
+def join_dpp_partitioned(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="fs2_dpp_")
+    target = os.path.join(root, "events_by_day")
+    dim_path = os.path.join(root, "monday_dim")
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    ev.write.partitionBy("day").parquet(target)
+    # Dim staged UNFILTERED; the selective predicate stays in the query
+    # (DPP is only injected when the dim side has a plan-time selective
+    # filter whose qualifying values are unknown until runtime).
+    ev.select("day").distinct().write.parquet(dim_path)
+    part = spark.read.parquet(target)
+    dim = spark.read.parquet(dim_path).filter(F.dayofweek("day") == 2)
+    return (
+        part.join(F.broadcast(dim), "day")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"))
+    )

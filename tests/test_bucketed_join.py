@@ -87,3 +87,17 @@ def test_date_partition_pruning_reads_only_matching_days(spark, sf_dir, tmp_path
     # full month exists in the layout.
     assert pruned.select("day").distinct().count() == 3
     assert part.select("day").distinct().count() > 25
+
+
+def test_dpp_partitioned_join_prunes_at_runtime(spark, sf_dir):
+    """The date-partitioned fact scan must carry a dynamicpruning
+    expression (runtime partition elimination from the dim side), not
+    scan all ~30 day directories."""
+    from feature_store_2_spark.queries import CATALOG
+
+    q = next(q for q in CATALOG if q.name == "join_dpp_partitioned")
+    df = q.fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
