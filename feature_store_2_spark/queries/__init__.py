@@ -144,6 +144,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "doc_chunk_overlap",
     "doc_pack_token_budget",
     "join_dpp_partitioned",
+    "func_array_higher_order",
 )
 
 

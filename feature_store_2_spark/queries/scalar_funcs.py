@@ -286,3 +286,39 @@ def func_regexp_extract_all(spark, sf_dir):
             "pos", "tok"
         ),
     )
+
+
+@register(
+    "func_array_higher_order",
+    """
+WITH t AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), w -> strlen(w)) AS lens
+    FROM documents)
+SELECT doc_id,
+       CAST(len(lens) AS BIGINT) AS n_words,
+       CAST(len(list_filter(lens, x -> x > 3)) AS BIGINT) AS n_long,
+       len(list_filter(lens, x -> x > 8)) > 0 AS has_very_long,
+       CAST(list_aggregate(lens, 'sum') AS BIGINT) AS total_chars
+FROM t
+""",
+    doc="higher-order array lambdas (transform / filter / exists / "
+    "aggregate): per-document word-length vector folded without "
+    "exploding — the lambda pipeline runs inside codegen on the array "
+    "in place, no shuffle and no row multiplication (the explode "
+    "alternative multiplies rows by words before re-aggregating). "
+    "Integer arithmetic end-to-end so both engines agree exactly.",
+)
+def func_array_higher_order(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    lens = F.transform(F.split("text", " "), lambda w: F.length(w))
+    t = d.select("doc_id", lens.alias("lens"))
+    return t.select(
+        "doc_id",
+        F.size("lens").cast("long").alias("n_words"),
+        F.size(F.filter("lens", lambda x: x > 3)).cast("long").alias("n_long"),
+        F.exists("lens", lambda x: x > 8).alias("has_very_long"),
+        F.aggregate(
+            "lens", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+    )
