@@ -145,6 +145,8 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "doc_pack_token_budget",
     "join_dpp_partitioned",
     "func_array_higher_order",
+    "window_cume_dist_acctbal",
+    "func_try_arithmetic",
 )
 
 

@@ -322,3 +322,35 @@ def func_array_higher_order(spark, sf_dir):
             "lens", F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("total_chars"),
     )
+
+
+@register(
+    "func_try_arithmetic",
+    """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0.0 THEN NULL
+            ELSE l_extendedprice / l_discount END AS price_per_disc,
+       TRY_CAST(substring(l_returnflag, 1, 1) AS BIGINT) AS flag_as_int,
+       CASE WHEN l_discount = 0.0 THEN -1.0
+            ELSE l_extendedprice / l_discount END AS price_per_disc_filled
+FROM lineitem
+""",
+    doc="error-safe arithmetic (A10's total-division semantics as "
+    "functions): try_divide nulls instead of raising on zero "
+    "denominators and try_cast nulls on unparseable input — at 100 TB "
+    "one malformed row must cost itself, not a 10-hour job (the "
+    "ANSI-mode failure shape). DuckDB has no try_divide, so the oracle "
+    "spells the identical total semantics with CASE.",
+)
+def func_try_arithmetic(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    td = F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0)))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        td.alias("price_per_disc"),
+        F.try_to_number(F.substring("l_returnflag", 1, 1), F.lit("9"))
+        .cast("long")
+        .alias("flag_as_int"),
+        F.coalesce(td, F.lit(-1.0)).alias("price_per_disc_filled"),
+    )

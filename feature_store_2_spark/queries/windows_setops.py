@@ -541,3 +541,28 @@ def agg_bitwise_flags(spark, sf_dir):
         F.bit_or("b").alias("or_bits"),
         F.bit_xor("b").alias("xor_bits"),
     )
+
+
+@register(
+    "window_cume_dist_acctbal",
+    """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       cume_dist() OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS bal_cume
+FROM customer
+""",
+    doc="cume_dist per market segment: fraction of the segment at or "
+    "below each balance — the remaining ranking-family function "
+    "(rank/dense_rank/ntile/percent_rank covered earlier). Total order "
+    "via (balance, key) tie-break; the ratio is rows/partition-rows, "
+    "both integers, so the double is identical on both engines.",
+)
+def window_cume_dist_acctbal(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.cume_dist().over(w).alias("bal_cume"),
+    )
