@@ -50,6 +50,13 @@ HEADLINE = [
     "dedup_embedding_ann_pairs",
     "emb_cosine_topk",
     "doc_token_counts",
+    # Round-4 additions: the LLM training-data curation path gets
+    # wall-time evidence, not just correctness — the full multi-filter
+    # curation pipeline, TF-IDF (two hash aggs + broadcast df), and
+    # sequence packing in its two-pass prefix-scan form.
+    "doc_corpus_curation",
+    "doc_tfidf_top_terms",
+    "doc_pack_token_budget",
     "stream_sessionize",
     # The reference's true workload end-to-end: streaming ingest ->
     # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;
@@ -118,15 +125,23 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         pass
+    # A crashed query must never make the artifact look FASTER: with any
+    # error, value is null (a sum over the survivors would read as a
+    # speedup) and the process exits nonzero. The queries map stays
+    # float-valued; error strings live in their own key.
     out = {
         "metric": "headline_queries_total_sec",
-        "value": round(sum(times.values()), 3),
+        "value": None if errors else round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": {**times, **errors},
+        "queries": times,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
+    if errors:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -336,13 +336,15 @@ def kmeans_fit(
     """
     q = _prepare(emb.select(id_col, vec_col), id_col, vec_col).localCheckpoint()
 
-    wk = W.orderBy(id_col)
-    centroids = (
-        q.select(id_col, "qvec")
-        .withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= k)
-        .select((F.col("rn") - 1).cast("long").alias("c_label"), F.col("qvec").alias("centroid"))
-    ).localCheckpoint()
+    # Deterministic init = first k vectors by id. orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition top-k merged on the driver, k rows
+    # moved) — never a global-sort window. The k x dim seed table is bounded
+    # driver metadata, re-emitted as a local relation with labels 0..k-1.
+    seed_rows = q.select(id_col, "qvec").orderBy(id_col).limit(k).collect()
+    centroids = emb.sparkSession.createDataFrame(
+        [(i, list(r["qvec"])) for i, r in enumerate(seed_rows)],
+        schema="c_label long, centroid array<long>",
+    )
 
     def assign(cents: DataFrame) -> DataFrame:
         j = q.crossJoin(F.broadcast(cents))

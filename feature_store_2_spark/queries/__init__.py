@@ -44,78 +44,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver scores catalog entries in order and has a per-round budget
-# (~the first 50). Round-3 head, in three bands:
-#   1. MUST-SCORE — entries with no driver row yet (created late in r2)
-#      plus the four entries fixed this round (three TIMESTAMP_NTZ
-#      crashes under pyspark 4.1.2, one floor/ceil oracle-dtype
-#      mismatch): each needs a green CORRECTNESS_r03 row to count.
-#   2. NEW THIS ROUND — operators added in round 3.
-#   3. REGRESSION STAPLES — round-1 greens that rotated out of the head
-#      exactly when the runtime changed (the r2 lesson: three of them
-#      silently broke); re-scored under the current runtime.
-# Everything else keeps registration order after the priority block —
-# all of it was driver-green under THIS runtime in round 2.
+# (~the first 50). Round-4 head, in three bands (per the r3 verdict's
+# rotation plan):
+#   1. MUST-SCORE — the 31 entries added in round 3 that have never been
+#      driver-scored (they were parked in _NEXT_ROUND_HEAD while the r3
+#      head was frozen); each needs a green CORRECTNESS_r04 row.
+#   2. R2-ONLY GREENS — driver-green in round 2 but never re-scored under
+#      the current runtime; value-level drift (the func_math_lineitem
+#      class) only surfaces under the oracle, so re-score them.
+#   3. REGRESSION STAPLES — the core r3-green queries kept in the head
+#      every round as a runtime-drift canary.
+# Everything else keeps registration order after the priority block.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- band 1: never-scored (late-r2) --
-    "funnel_conversion",
-    "cohort_retention",
-    "feat_time_decay",
-    "resample_daily_gapfill",
-    "path_transitions",
-    "dedup_cluster_components",
-    "doc_stratified_sample",
-    "emb_quantize_int8",
-    "stream_stream_join",
-    # -- band 1: fixed this round --
-    "sessionize_events",  # NTZ crash fixed in load_table
-    "argmax_latest_event_per_user",  # NTZ crash fixed in load_table
-    "window_trailing_10min_count",  # NTZ crash fixed in load_table
-    "func_math_lineitem",  # oracle floor/ceil now CAST AS BIGINT
-    # -- band 2: new in round 3 --
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q19_bracketed_revenue",
-    "q22_idle_customers",
-    "agg_stats_moments",
-    "hist_order_price_buckets",
-    "join_range_binned",
-    "doc_tfidf_top_terms",
-    # -- band 3: regression staples (r1-green, never re-scored on 4.1.2) --
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "q7_nation_volume",
-    "q10_returned_revenue",
-    "q4_order_priority",
-    "fs_user_aggregates",
-    "fs_feature_grants",
-    "fs_purchase_allowlist",
-    "fs_windowed_denial_rate",
-    "window_rank_orders_per_customer",
-    "window_running_spend",
-    "window_lag_value_delta",
-    "window_numeric_range_frame",
-    "window_ntile_percentrank",
-    "join_broadcast_customer_geo",
-    "join_asof_purchase_last_signup",
-    "join_range_event_pairs",
-    "join_semi_customers_with_open_orders",
-    "join_anti_customers_without_pending",
-    "join_full_outer_nation_counts",
-    "join_shuffle_hash_orders",
-    "agg_rollup_lineitem",
-    "agg_median_quantiles",
-    "agg_conditional_stats",
-    "agg_distinct_exact",
-    "agg_first_last_per_user",
-    "explode_top_words",
-)
-
-# Entries created after this round's 50-entry head is frozen rotate into
-# the head next round (the judge verifies them locally via
-# tools/check_oracle.py in the meantime).
-_NEXT_ROUND_HEAD: tuple[str, ...] = (
+    # -- band 1: new in round 3, never driver-scored --
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
@@ -147,7 +88,33 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "func_array_higher_order",
     "window_cume_dist_acctbal",
     "func_try_arithmetic",
+    # -- band 2: r2-only greens, re-scored under the current runtime --
+    "func_json_events",
+    "func_null_handling",
+    "stream_grant_notifications",
+    "stream_static_join_enrich",
+    "join_salted_skew",
+    "pivot_event_type_counts",
+    "topk_orders_global",
+    "mm_decode_features",
+    "doc_corpus_curation",
+    "emb_lsh_ann_topk",
+    # -- band 3: regression staples (r3-green, kept as drift canary) --
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "fs_purchase_allowlist",
+    "fs_user_aggregates",
+    "stream_feature_grants",
+    "dedup_minhash_lsh",
+    "dedup_embedding_ann_pairs",
+    "sessionize_events",
 )
+
+# Entries created after this round's 50-entry head is frozen rotate into
+# the head next round (the judge verifies them locally via
+# tools/check_oracle.py in the meantime).
+_NEXT_ROUND_HEAD: tuple[str, ...] = ()
 
 
 def _load_all() -> None:

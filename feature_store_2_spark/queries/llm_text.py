@@ -643,18 +643,48 @@ FROM c
     "512-token packs by integer division of the exclusive running "
     "total — the concat-then-slice packing production pipelines use "
     "(straddling docs split across pack boundaries; the offset column "
-    "says where). One window pass, exact integer arithmetic. At "
-    "100 TB the global ordered cumsum becomes per-shard cumsums "
-    "offset by a broadcast per-shard-total prefix scan — same "
-    "arithmetic, two passes.",
+    "says where). Scale-safe two-pass prefix scan: doc_id is a dense "
+    "integer key, so the range shard `doc_id div W` is monotone in "
+    "doc_id and (shard asc, doc_id asc) IS global doc_id order. "
+    "Pass 1: exclusive cumsum within each shard "
+    "(Window.partitionBy(shard) — parallel, no global sort). "
+    "Pass 2: per-shard token totals (a shard-count-sized aggregate, "
+    "bounded metadata) come back to the driver, an exclusive prefix "
+    "over them is computed in Python, and the offsets rejoin via a "
+    "broadcast map. Same integer arithmetic as the one-window form; "
+    "W tunes shard count (total_docs / W drives the metadata size — "
+    "at 100 TB pick W so shard count stays ~1e5).",
 )
 def doc_pack_token_budget(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
+    shard_w = 128  # docs per shard; sf0.01 -> 4 shards, sf0.1 -> 40
     t = d.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {shard_w}").alias("shard"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_in_shard", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    totals = sorted(
+        t.groupBy("shard").agg(F.sum("n_tokens").alias("tot")).collect(),
+        key=lambda r: r["shard"],
+    )
+    prefix, acc = {}, 0
+    for r in totals:
+        prefix[r["shard"]] = acc
+        acc += r["tot"]
+    off = F.create_map(
+        *[F.lit(x) for kv in prefix.items() for x in kv]
+    )
+    c = c.withColumn(
+        "cum_before", F.col("cum_in_shard") + off[F.col("shard")]
+    )
     return c.select(
         "doc_id",
         "n_tokens",

@@ -31,26 +31,44 @@ def test_priority_block_leads():
 
 
 def test_must_score_entries_lead_head():
-    """Round-3 head contract: the driver scores ~50 entries in order.
-    Entries with no driver row yet (late-r2 additions) and the four
-    entries fixed this round must sit in the scored head, ahead of
-    regression staples."""
-    must_score = {
-        "funnel_conversion",
-        "cohort_retention",
-        "feat_time_decay",
-        "resample_daily_gapfill",
-        "path_transitions",
-        "dedup_cluster_components",
-        "doc_stratified_sample",
-        "emb_quantize_int8",
-        "stream_stream_join",
-        "sessionize_events",
-        "argmax_latest_event_per_user",
-        "window_trailing_10min_count",
-        "func_math_lineitem",
+    """Round-4 head contract: the driver scores ~50 entries in order.
+    The 31 round-3 additions that have never been driver-scored must
+    lead the head, followed by the 10 r2-only greens being re-scored
+    under the current runtime, then regression staples."""
+    never_scored = {
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "doc_word_entropy",
+        "stream_topk_trending",
+        "agg_heavy_hitters",
+        "rolling_7d_active_users",
+        "sql_lateral_topn_per_segment",
+        "mm_audio_window_energy",
+        "func_zorder_key",
+        "func_regexp_extract_all",
+        "stream_grants_multibatch",
+        "streak_longest_daily",
+        "window_locf_forward_fill",
+        "fs_grants_version_diff",
+        "udaf_mad_quantity",
+        "emb_kmeans_fit",
+        "fs_grants_forget_users",
+        "hist_equidepth_price",
+        "window_nth_value_third_order",
+        "agg_string_concat_ordered",
+        "agg_mode_event_type",
+        "agg_bitwise_flags",
+        "stream_locf_last_purchase",
+        "sketch_countmin_users",
+        "doc_chunk_overlap",
+        "doc_pack_token_budget",
+        "join_dpp_partitioned",
+        "func_array_higher_order",
+        "window_cume_dist_acctbal",
+        "func_try_arithmetic",
     }
-    assert must_score <= set(_DRIVER_PRIORITY[:13])
+    assert never_scored <= set(_DRIVER_PRIORITY[:31])
     assert len(_DRIVER_PRIORITY) <= 50, "head must fit the driver's scoring budget"
 
 

@@ -7,8 +7,12 @@ Checks per plan:
   * small dims join via BroadcastHashJoin (no shuffle of the fact side)
   * no CartesianProduct unless the operator is intentionally pairwise
   * Python row UDFs (BatchEvalPython) never appear — Arrow/builtin only
+  * no Window with an empty partition spec (a global-ordered window
+    funnels the whole input through ONE task — the doc_pack_token_budget
+    r3 lesson) unless the entry is on the documented allowlist
 
 Usage: python tools/explain_audit.py [query ...]
+       python tools/explain_audit.py --all      # full catalog, not just AUDIT
 """
 
 from __future__ import annotations
@@ -30,7 +34,48 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # global scalar at any scale.
                "q22_idle_customers", "doc_tfidf_top_terms",
                "q15_top_supplier", "agg_heavy_hitters",
-               "rolling_7d_active_users"}
+               "rolling_7d_active_users", "hist_equidepth_price",
+               # broadcast k x dim centroid tables (IVF cells / k-means
+               # assignment): the BNLJ build side is k rows, which is the
+               # broadcast-small-dim plan, not an accidental cartesian.
+               "emb_ivf_topk", "emb_centroid_assign", "emb_kmeans_fit",
+               # 1-row n_docs scalar broadcast (TF-salience df join)
+               "doc_salient_terms"}
+
+# Entries whose single-partition window is the documented intent:
+# window_ntile_percentrank is the global-order ranking-family demo (its
+# doc says so); nothing else may appear here without a docstring reason.
+GLOBAL_WINDOW_OK = {"window_ntile_percentrank"}
+
+_WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
+
+
+def _walk(node):
+    yield node
+    # AdaptiveSparkPlanExec exposes no children() — the whole query lives
+    # in its initialPlan. Without this descent the audit passes vacuously
+    # under AQE (which is on everywhere in this repo).
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _walk(node.initialPlan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))
+    subqueries = node.subqueries()
+    for i in range(subqueries.size()):
+        yield from _walk(subqueries.apply(i))
+
+
+def global_windows(df) -> int:
+    """Count physical Window operators with an empty partition spec."""
+    plan = df._jdf.queryExecution().executedPlan()
+    n = 0
+    for node in _walk(plan):
+        if node.getClass().getSimpleName() in _WINDOW_EXECS:
+            if node.partitionSpec().isEmpty():
+                n += 1
+    return n
+
 
 AUDIT = [
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
@@ -52,7 +97,13 @@ AUDIT = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("fs2-explain-audit")
-    names = sys.argv[1:] or AUDIT
+    argv = [a for a in sys.argv[1:] if a != "-v"]
+    if "--all" in argv:
+        # Full catalog sweep: every batch entry's physical plan (streaming
+        # entries execute their pipeline when called — audited separately).
+        names = [q.name for q in CATALOG if not q.name.startswith("stream")]
+    else:
+        names = argv or AUDIT
     by_name = {q.name: q for q in CATALOG}
     problems: list[str] = []
     for name in names:
@@ -67,6 +118,8 @@ def main() -> None:
             name not in PAIRWISE_OK
         ):
             flags.append("UNINTENDED-CARTESIAN")
+        if name not in GLOBAL_WINDOW_OK and global_windows(df):
+            flags.append("GLOBAL-WINDOW")
         status = " ".join(flags) if flags else "ok"
         print(f"=== {name}: {status}")
         if "-v" in sys.argv or flags:
