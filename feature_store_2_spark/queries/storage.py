@@ -36,6 +36,23 @@ from feature_store_2_spark.streaming import sharded_store
 
 LOOKUP_USERS = (1, 2, 3, 5, 8)
 
+# Staged layouts (date-partitioned copies, serving stores) are pure
+# functions of the immutable sf_dir parquet, so stage ONCE per process
+# per (kind, sf_dir). Without this every invocation — including the
+# schema-only analysis the catalog canary does for every entry — leaked
+# a fresh mkdtemp copy of the events table.
+_STAGING_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _staged_root(kind: str, sf_dir: str) -> tuple[str, bool]:
+    """Return (root, already_staged) for this kind+sf_dir."""
+    key = (kind, os.path.abspath(sf_dir))
+    if key in _STAGING_CACHE:
+        return _STAGING_CACHE[key], True
+    root = tempfile.mkdtemp(prefix=f"fs2_{kind}_")
+    _STAGING_CACHE[key] = root
+    return root, False
+
 
 @register(
     "join_bucketed_colocated",
@@ -99,9 +116,13 @@ WHERE user_id IN {LOOKUP_USERS}
     "with user_id pushed into the store's parquet scan",
 )
 def fs_point_lookup(spark, sf_dir):
-    grants = feature_grants_long(load_table(spark, "events", sf_dir), DEFAULT_CONFIG)
-    store = os.path.join(tempfile.mkdtemp(prefix="fs2_store_"), "grants")
-    sharded_store.upsert(grants, store, ("user_id", "feature"), "user_id")
+    root, ready = _staged_root("store", sf_dir)
+    store = os.path.join(root, "grants")
+    if not ready:
+        grants = feature_grants_long(
+            load_table(spark, "events", sf_dir), DEFAULT_CONFIG
+        )
+        sharded_store.upsert(grants, store, ("user_id", "feature"), "user_id")
     # Serving read: hash the lookup keys to their shards, open ONLY those
     # shard directories, then push the IN-list into the parquet scan.
     shards = {
@@ -133,12 +154,13 @@ GROUP BY 1, 2
     "difference between scanning 3 days and scanning 3 years",
 )
 def scan_date_partitioned(spark, sf_dir):
-    root = tempfile.mkdtemp(prefix="fs2_datepart_")
+    root, ready = _staged_root("datepart", sf_dir)
     target = os.path.join(root, "events_by_day")
-    ev = load_table(spark, "events", sf_dir).withColumn(
-        "day", F.col("ts").cast("date")
-    )
-    ev.write.partitionBy("day").parquet(target)
+    if not ready:
+        ev = load_table(spark, "events", sf_dir).withColumn(
+            "day", F.col("ts").cast("date")
+        )
+        ev.write.partitionBy("day").parquet(target)
     part = spark.read.parquet(target)
     pruned = part.filter(
         (F.col("day") >= F.lit("2024-01-10").cast("date"))
@@ -169,17 +191,18 @@ GROUP BY mondays.day, event_type
     "cover both halves of the partition-elimination story at 100 TB.",
 )
 def join_dpp_partitioned(spark, sf_dir):
-    root = tempfile.mkdtemp(prefix="fs2_dpp_")
+    root, ready = _staged_root("dpp", sf_dir)
     target = os.path.join(root, "events_by_day")
     dim_path = os.path.join(root, "monday_dim")
-    ev = load_table(spark, "events", sf_dir).withColumn(
-        "day", F.col("ts").cast("date")
-    )
-    ev.write.partitionBy("day").parquet(target)
-    # Dim staged UNFILTERED; the selective predicate stays in the query
-    # (DPP is only injected when the dim side has a plan-time selective
-    # filter whose qualifying values are unknown until runtime).
-    ev.select("day").distinct().write.parquet(dim_path)
+    if not ready:
+        ev = load_table(spark, "events", sf_dir).withColumn(
+            "day", F.col("ts").cast("date")
+        )
+        ev.write.partitionBy("day").parquet(target)
+        # Dim staged UNFILTERED; the selective predicate stays in the query
+        # (DPP is only injected when the dim side has a plan-time selective
+        # filter whose qualifying values are unknown until runtime).
+        ev.select("day").distinct().write.parquet(dim_path)
     part = spark.read.parquet(target)
     dim = spark.read.parquet(dim_path).filter(F.dayofweek("day") == 2)
     return (

@@ -262,11 +262,15 @@ WITH s AS (
                     * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
     FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, n,
-       (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
-       sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
-       (n * sxy - sx * sy) / (n * (n - 1)) AS covar_price_qty,
+       CASE WHEN n > 1
+            THEN (n * sxx - sx * sx) / (n * (n - 1)) END AS var_qty,
+       CASE WHEN n > 1
+            THEN sqrt((n * sxx - sx * sx) / (n * (n - 1))) END AS stddev_qty,
+       CASE WHEN n > 1
+            THEN (n * sxy - sx * sy) / (n * (n - 1)) END AS covar_price_qty,
        (n * sxy - sx * sy)
-           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_price_qty
+           / sqrt(nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0))
+           AS corr_price_qty
 FROM s
 """,
     doc="second-moment statistics (variance/stddev/covariance/"
@@ -291,9 +295,14 @@ def agg_stats_moments(spark, sf_dir):
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
-    var_q = (n * sxx - sx * sx) / (n * (n - 1))
-    cov = (n * sxy - sx * sy) / (n * (n - 1))
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # Degenerate groups pinned identically on both engines: a 1-row group
+    # divides by n*(n-1)=0, where Spark yields NULL but DuckDB (IEEE
+    # float ops) yields inf/NaN — so both sides guard with n > 1 / nullif
+    # and agree on NULL. Same for a zero-variance corr denominator.
+    var_q = F.when(n > 1, (n * sxx - sx * sx) / (n * (n - 1)))
+    cov = F.when(n > 1, (n * sxy - sx * sy) / (n * (n - 1)))
+    corr_den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    corr = (n * sxy - sx * sy) / F.sqrt(F.nullif(corr_den, F.lit(0.0)))
     return s.select(
         "l_returnflag",
         "n",

@@ -180,7 +180,10 @@ def upsert(
     """
     spark = new.sparkSession
     manifest = _read_manifest(path) or {}
-    version = (current_version(path) if manifest else None)
+    # Version off _LATEST, not manifest truthiness: a delete_keys that
+    # emptied every shard leaves a committed EMPTY manifest, and the next
+    # upsert must continue the version chain, not restart at v0.
+    version = current_version(path)
     next_version = (version + 1) if version is not None else 0
 
     if SHARD_COL not in new.columns:
@@ -306,6 +309,10 @@ def delete_keys(
         keys = keys.withColumn(SHARD_COL, shard_of(shard_key, n_shards))
     keys = keys.select(*key_cols, SHARD_COL).distinct()
     touched = {r[0] for r in keys.select(SHARD_COL).distinct().collect()}
+    # Only shards the store actually holds can be rewritten — keys hashing
+    # to never-written shards would otherwise make read_store return None
+    # below (and a no-op deletion should cost zero rewrites).
+    touched &= set(manifest)
     if not touched:
         return 0
 
@@ -316,7 +323,14 @@ def delete_keys(
 
     new_manifest = dict(manifest)
     for s in touched:
-        new_manifest[s] = next_version
+        # A shard whose every row was deleted writes no partition
+        # directory; referencing next_version for it would point readers
+        # at a parquet-less path (schema inference fails). Drop it from
+        # the manifest instead — the shard now holds zero rows.
+        if os.path.isdir(os.path.join(target, f"{SHARD_COL}={s}")):
+            new_manifest[s] = next_version
+        else:
+            new_manifest.pop(s, None)
     with open(_manifest_path(path, next_version), "w") as f:
         json.dump({"shards": {str(k): v for k, v in new_manifest.items()}}, f)
     tmp = _latest_path(path) + ".tmp"

@@ -195,3 +195,108 @@ def test_upsert_is_idempotent_on_replay(spark, tmp_path):
     sharded_store.upsert(batch, path, ("user_id", "feature"), "user_id")  # replay
     second = sorted(map(tuple, sharded_store.snapshot(spark, path).collect()))
     assert first == second
+
+
+def _parquet_inventory(root):
+    import glob
+
+    return {
+        p: (os.path.getmtime(p), os.path.getsize(p))
+        for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    }
+
+
+def test_one_key_upsert_rewrites_one_shard_file_on_disk(spark, tmp_path):
+    """The MERGE scaling claim, proven at the filesystem level: a 1-key
+    upsert into a 64-shard store writes parquet under exactly ONE shard
+    partition directory (the key's shard), and every data file of the
+    previous version is left byte-untouched — write amplification is
+    O(keys touched), never O(table size)."""
+    path = str(tmp_path / "store")
+    base = grants_df(spark, [(u, "purchase", True) for u in range(2000)])
+    ss.upsert(base, path, ("user_id", "feature"), "user_id", n_shards=64)
+    v0 = os.path.join(path, "data", "v0")
+    v0_before = _parquet_inventory(v0)
+    assert len({d for d in os.listdir(v0) if d.startswith(ss.SHARD_COL)}) == 64
+
+    ss.upsert(
+        grants_df(spark, [(7, "purchase", False)]),
+        path, ("user_id", "feature"), "user_id", n_shards=64,
+    )
+    v1 = os.path.join(path, "data", "v1")
+    shard_dirs = [d for d in os.listdir(v1) if d.startswith(ss.SHARD_COL + "=")]
+    assert shard_dirs == [f"{ss.SHARD_COL}={ss.xxhash64_long(7) % 64}"]
+    assert _parquet_inventory(v0) == v0_before  # old files never rewritten
+    assert snapshot(spark, path)[(7, "purchase")] is False
+
+
+def test_delete_emptying_a_shard_drops_it_from_manifest(spark, tmp_path):
+    """If a deletion removes EVERY row of a touched shard, the shard
+    leaves the manifest (no pointer at a parquet-less partition dir) and
+    the store stays fully readable."""
+    path = str(tmp_path / "store")
+    # Two users on distinct shards; each is its whole shard's contents.
+    u1, u2 = 1, 2
+    assert ss.xxhash64_long(u1) % 16 != ss.xxhash64_long(u2) % 16
+    ss.upsert(
+        grants_df(spark, [(u1, "purchase", True), (u2, "purchase", True)]),
+        path, ("user_id", "feature"), "user_id",
+    )
+    n = ss.delete_keys(
+        spark.createDataFrame([(u1, "purchase")], "user_id long, feature string"),
+        path, ("user_id", "feature"), "user_id",
+    )
+    assert n == 1
+    manifest = ss._read_manifest(path)
+    assert ss.xxhash64_long(u1) % 16 not in manifest
+    assert snapshot(spark, path) == {(u2, "purchase"): True}
+
+
+def test_delete_key_on_absent_shard_is_noop(spark, tmp_path):
+    """Keys hashing to shards the store never wrote must cost zero
+    rewrites (and not crash on read_store returning None)."""
+    path = str(tmp_path / "store")
+    ss.upsert(
+        grants_df(spark, [(1, "purchase", True)]),
+        path, ("user_id", "feature"), "user_id",
+    )
+    target_shard = ss.xxhash64_long(1) % 16
+    absent_user = next(
+        u for u in range(2, 1000) if ss.xxhash64_long(u) % 16 != target_shard
+    )
+    v = ss.current_version(path)
+    n = ss.delete_keys(
+        spark.createDataFrame(
+            [(absent_user, "purchase")], "user_id long, feature string"
+        ),
+        path, ("user_id", "feature"), "user_id",
+    )
+    assert n == 0
+    assert ss.current_version(path) == v
+    assert snapshot(spark, path) == {(1, "purchase"): True}
+
+
+def test_delete_everything_then_upsert_continues_version_chain(spark, tmp_path):
+    """Purging the whole store leaves a committed EMPTY manifest; the
+    next upsert must continue the version chain (not restart at v0) and
+    the store must serve the new rows."""
+    path = str(tmp_path / "store")
+    ss.upsert(
+        grants_df(spark, [(1, "purchase", True), (2, "purchase", True)]),
+        path, ("user_id", "feature"), "user_id",
+    )
+    ss.delete_keys(
+        spark.createDataFrame(
+            [(1, "purchase"), (2, "purchase")], "user_id long, feature string"
+        ),
+        path, ("user_id", "feature"), "user_id",
+    )
+    assert ss._read_manifest(path) == {}
+    assert ss.read_store(spark, path) is None
+    v_after_purge = ss.current_version(path)
+    ss.upsert(
+        grants_df(spark, [(3, "message", True)]),
+        path, ("user_id", "feature"), "user_id",
+    )
+    assert ss.current_version(path) == v_after_purge + 1
+    assert snapshot(spark, path) == {(3, "message"): True}
