@@ -459,6 +459,81 @@ def embedding_srp_near_pairs(
     )
 
 
+def embedding_srp_knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    n_bits: int = SRP_BITS,
+    band_bits: int = SRP_BAND_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus x corpus approximate k-NN JOIN: every vector's top-k
+    neighbors by exact quantized cosine, candidates restricted to SRP
+    band-bucket collisions — the dedup-graph / semantic-clustering
+    precursor (each doc's nearest neighbors, not a broadcast query set).
+
+    Scale shape: the ONLY join is the band-bucket equi-join (directed:
+    both (a,b) and (b,a) survive, since top-k is per query side), then a
+    per-query top-k window partitioned by query id — no all-pairs theta
+    join anywhere, and the window never sees more rows per key than that
+    key's bucket co-occupants. Precision is exact on the candidate set
+    (full-precision re-rank); recall follows the SRP band bound, floor
+    pytest-pinned against brute_force_topk. Same md5-parity hyperplanes
+    as embedding_srp_near_pairs, so the DuckDB oracle rebuilds the
+    identical candidate set and ranking."""
+    from pyspark.sql import Window as W
+
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    base = (
+        emb.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("v"))
+        .withColumn("n2", qnorm2(F.col("v")))
+        .persist()
+    )
+    bands = (
+        base.select(
+            "vid",
+            F.posexplode(
+                srp_band_keys_arrow(n_bits, band_bits, dim)(F.col("v"))
+            ).alias("band", "bkey"),
+        )
+        .repartition(n_parts, "band", "bkey")
+        .persist()
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("query_id"), F.col("b.vid").alias("neighbor_id"))
+        .repartition(n_parts, "query_id", "neighbor_id")
+        .distinct()
+    )
+    va = base.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    vb = base.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    cos = cosine_from_parts(qdot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    scored = (
+        cand.join(va, "query_id")
+        .join(vb, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 SIMHASH_BITS = 32
 
 

@@ -114,7 +114,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # Entries created after this round's 50-entry head is frozen rotate into
 # the head next round (the judge verifies them locally via
 # tools/check_oracle.py in the meantime).
-_NEXT_ROUND_HEAD: tuple[str, ...] = ()
+_NEXT_ROUND_HEAD: tuple[str, ...] = (
+    "emb_knn_join_ann",
+)
 
 
 def _load_all() -> None:

@@ -279,6 +279,77 @@ def dedup_embedding_ann_pairs(spark, sf_dir):
     return embedding_srp_near_pairs(e, threshold=0.45)
 
 
+_KNN_JOIN_ORACLE = f"""
+WITH r AS (
+    SELECT h.h AS h, i.i AS i,
+           CASE WHEN ascii(substr(md5(CAST(h.h AS VARCHAR) || ':' ||
+                                       CAST(i.i AS VARCHAR)), 1, 1)) % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM generate_series(0, 31) h(h) CROSS JOIN generate_series(1, {DIM}) i(i)
+),
+qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+bits AS (
+    SELECT q.vec_id, r.h,
+           CASE WHEN sum(r.s * q.v[r.i]) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM qv q CROSS JOIN r
+    GROUP BY q.vec_id, r.h
+),
+bands AS (
+    SELECT vec_id, h // 4 AS band,
+           CAST(sum(bit * (1 << (h % 4))) AS BIGINT) AS bkey
+    FROM bits GROUP BY vec_id, h // 4
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+),
+norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
+          FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
+dots AS (
+    SELECT c.query_id, c.neighbor_id,
+           CAST(sum(a.v[i.i] * b.v[i.i]) AS BIGINT) AS dot
+    FROM cand c
+    JOIN qv a ON c.query_id = a.vec_id
+    JOIN qv b ON c.neighbor_id = b.vec_id
+    CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           CAST(d.dot AS DOUBLE) /
+           (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN norms na ON d.query_id = na.vec_id
+    JOIN norms nb ON d.neighbor_id = nb.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register(
+    "emb_knn_join_ann",
+    _KNN_JOIN_ORACLE,
+    doc="corpus x corpus approximate k-NN JOIN (every vector's top-5 "
+    "neighbors, not a broadcast query set): SRP band buckets generate "
+    "directed candidates via one equi-join, exact quantized cosine "
+    "re-ranks, per-query top-k window — the dedup-graph/semantic-"
+    "clustering precursor and the last scale-shaped gap in the "
+    "similarity family (its exact twin was the intentionally all-pairs "
+    "dedup_embedding_cosine). Oracle rebuilds the identical md5-parity "
+    "hyperplanes, candidate set, and tie-breaks; recall floor vs "
+    "brute_force_topk is pytest-pinned.",
+)
+def emb_knn_join_ann(spark, sf_dir):
+    from feature_store_2_spark.operators.dedup import embedding_srp_knn_join
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return embedding_srp_knn_join(e, k=5)
+
+
 @register(
     "emb_centroid_assign",
     f"""

@@ -259,3 +259,30 @@ def test_kmeans_fit_converges_and_is_layout_invariant(spark, sf_dir):
     refit = kmeans_fit(emb.repartition(7, "vec_id"), k=4, max_iter=25)
     rows2 = {r["vec_id"]: (r["cluster"], r["dist2_q"]) for r in refit.collect()}
     assert rows == rows2, "fit depends on input partitioning"
+
+def test_knn_join_recall_floor_and_ranking_exactness(spark, sf_dir):
+    """Corpus x corpus SRP k-NN join vs brute force over EVERY vector:
+    (a) emitted neighbors are ranked by the exact cosine with the
+    brute-force tie-break (any emitted (q, n) pair at rank r has
+    cosine <= the exact rank-r cosine), and (b) recall@5 clears a
+    deterministic floor (md5-parity hyperplanes, 8 bands x 4 bits).
+    Floor pins regressions, not aspiration."""
+    from feature_store_2_spark.operators.dedup import embedding_srp_knn_join
+
+    e = load_table(spark, "embeddings", sf_dir)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, e, k=5).collect()
+    }
+    ann_rows = embedding_srp_knn_join(e, k=5).collect()
+    ann = {(r.query_id, r.neighbor_id) for r in ann_rows}
+    assert ann  # every band bucket is non-trivially occupied
+    assert len(ann & bf) / len(bf) >= 0.5
+    by_query = {}
+    for r in ann_rows:
+        by_query.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for q, rows in by_query.items():
+        ranks = sorted(rows)
+        assert [x[0] for x in ranks] == list(range(1, len(ranks) + 1)), q
+        cosines = [x[1] for x in ranks]
+        assert cosines == sorted(cosines, reverse=True), q
