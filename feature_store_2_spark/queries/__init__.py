@@ -116,6 +116,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # tools/check_oracle.py in the meantime).
 _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "emb_knn_join_ann",
+    "dedup_fuzzy_levenshtein",
+    "dq_constraint_audit",
+    "rollup_time_hierarchy_events",
 )
 
 
@@ -136,6 +139,7 @@ def _load_all() -> None:
         "behavior",
         "llm_text",
         "llm_curation",
+        "quality",
         "llm_similarity",
         "multimodal",
         "storage",

@@ -1,0 +1,156 @@
+"""Data-quality + time-hierarchy query family (round-4 coverage
+widening): the validation pass a 100 TB ingest runs before training-data
+jobs trust a table, and the hypertable-style multi-granularity rollup.
+
+Reference parity: the reference validates events at ingest with a strict
+schema and quarantines failures (/root/reference/services/ingest.py via
+Pydantic); `dq_constraint_audit` is the batch analog — one scan scoring
+every constraint instead of row-by-row exceptions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+
+def dec(col: str, prec: str = "decimal(12,2)") -> F.Column:
+    return F.col(col).cast(prec)
+
+
+@register(
+    "dq_constraint_audit",
+    """
+WITH base AS (
+    SELECT o.*, c.c_custkey AS fk_hit
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT 'o_orderkey_not_null' AS constraint_name,
+       count(*) FILTER (WHERE o_orderkey IS NULL) AS n_violations,
+       count(*) AS n_rows
+FROM base
+UNION ALL
+SELECT 'o_totalprice_positive',
+       count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0),
+       count(*)
+FROM base
+UNION ALL
+SELECT 'o_orderstatus_in_domain',
+       count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+       count(*)
+FROM base
+UNION ALL
+SELECT 'o_orderdate_in_range',
+       count(*) FILTER (WHERE o_orderdate IS NULL
+                           OR o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+                           OR o_orderdate >= TIMESTAMP '2026-01-01 00:00:00'),
+       count(*)
+FROM base
+UNION ALL
+SELECT 'o_custkey_fk_customer',
+       count(*) FILTER (WHERE fk_hit IS NULL),
+       count(*)
+FROM base
+UNION ALL
+SELECT 'o_orderkey_unique',
+       (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+       count(*)
+FROM base
+""",
+    doc="one-pass data-quality constraint audit over orders: null "
+    "checks, positivity, domain membership, date range, FK integrity "
+    "against customer (broadcast dim -> null probe = orphan), and key "
+    "uniqueness — each as a conditional aggregate, so the whole audit "
+    "is ONE scan + one broadcast join + one tiny distinct agg, never a "
+    "pass per constraint. The batch analog of the reference's ingest "
+    "schema validation/quarantine; at 100 TB this is the gate a table "
+    "passes before training jobs may read it.",
+)
+def dq_constraint_audit(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("fk_hit")
+    )
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.fk_hit, "left"
+    )
+    n_rows = F.count("*")
+
+    def violations(cond: F.Column) -> F.Column:
+        return F.count_if(cond)
+
+    checks = {
+        "o_orderkey_not_null": F.col("o_orderkey").isNull(),
+        "o_totalprice_positive": F.col("o_totalprice").isNull()
+        | (F.col("o_totalprice") <= 0),
+        "o_orderstatus_in_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        "o_orderdate_in_range": F.col("o_orderdate").isNull()
+        | (F.col("o_orderdate") < "1992-01-01")
+        | (F.col("o_orderdate") >= "2026-01-01"),
+        "o_custkey_fk_customer": F.col("fk_hit").isNull(),
+    }
+    agg = base.agg(
+        n_rows.alias("n_rows"),
+        *[violations(c).alias(name) for name, c in checks.items()],
+    )
+    uniq = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("o_orderkey_unique"),
+    )
+    long = agg.crossJoin(F.broadcast(uniq)).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("constraint_name"),
+                        F.col(name).alias("n_violations"),
+                        F.col("n_rows").alias("n_rows"),
+                    )
+                    for name in [*checks, "o_orderkey_unique"]
+                ]
+            )
+        ).alias("r")
+    )
+    return long.select("r.constraint_name", "r.n_violations", "r.n_rows")
+
+
+@register(
+    "rollup_time_hierarchy_events",
+    """
+SELECT CAST(year(ts) AS BIGINT) AS y,
+       CAST(month(ts) AS BIGINT) AS m,
+       CAST(day(ts) AS BIGINT) AS d,
+       CAST(grouping(year(ts)) * 4 + grouping(month(ts)) * 2
+            + grouping(day(ts)) AS BIGINT) AS gid,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+""",
+    doc="hypertable-style time-hierarchy rollup: year -> month -> day "
+    "materialized in ONE pass via GROUP BY ROLLUP on calendar parts "
+    "(Spark computes all grains in a single Expand + hash agg — one "
+    "shuffle for every granularity, vs one scan per grain when done "
+    "naively). grouping_id disambiguates subtotal rows from genuine "
+    "NULL keys. Decimal-exact value sums; the day grain is what "
+    "resample_daily_gapfill serves, coarser grains serve dashboards.",
+)
+def rollup_time_hierarchy_events(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    y, m, d = F.year("ts"), F.month("ts"), F.dayofmonth("ts")
+    return (
+        ev.rollup(y.alias("y"), m.alias("m"), d.alias("d"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.sum(dec("value", "decimal(28,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("y").cast("long").alias("y"),
+            F.col("m").cast("long").alias("m"),
+            F.col("d").cast("long").alias("d"),
+            "gid",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -40,7 +40,9 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # broadcast-small-dim plan, not an accidental cartesian.
                "emb_ivf_topk", "emb_centroid_assign", "emb_kmeans_fit",
                # 1-row n_docs scalar broadcast (TF-salience df join)
-               "doc_salient_terms"}
+               "doc_salient_terms",
+               # 1-row audit-aggregate x 1-row uniqueness-aggregate join
+               "dq_constraint_audit"}
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
