@@ -119,6 +119,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "dedup_fuzzy_levenshtein",
     "dq_constraint_audit",
     "rollup_time_hierarchy_events",
+    "stats_column_profile",
 )
 
 

@@ -3,9 +3,10 @@ widening): the validation pass a 100 TB ingest runs before training-data
 jobs trust a table, and the hypertable-style multi-granularity rollup.
 
 Reference parity: the reference validates events at ingest with a strict
-schema and quarantines failures (/root/reference/services/ingest.py via
-Pydantic); `dq_constraint_audit` is the batch analog — one scan scoring
-every constraint instead of row-by-row exceptions.
+Pydantic schema and rejects failures per row
+(/root/reference/app.py:17-44, /root/reference/models/event.py:8-25);
+`dq_constraint_audit` is the batch analog — one scan scoring every
+constraint instead of row-by-row exceptions.
 """
 
 from __future__ import annotations
@@ -153,4 +154,84 @@ def rollup_time_hierarchy_events(spark, sf_dir):
             "n_events",
             "total_value",
         )
+    )
+
+
+@register(
+    "stats_column_profile",
+    """
+SELECT 'l_quantity' AS column_name,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE l_quantity IS NULL) AS n_null,
+       count(DISTINCT l_quantity) AS n_distinct,
+       CAST(min(l_quantity) AS DOUBLE) AS min_val,
+       CAST(max(l_quantity) AS DOUBLE) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*),
+       count(*) FILTER (WHERE l_extendedprice IS NULL),
+       count(DISTINCT l_extendedprice),
+       CAST(min(l_extendedprice) AS DOUBLE),
+       CAST(max(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*),
+       count(*) FILTER (WHERE l_discount IS NULL),
+       count(DISTINCT l_discount),
+       CAST(min(l_discount) AS DOUBLE),
+       CAST(max(l_discount) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', count(*),
+       count(*) FILTER (WHERE l_orderkey IS NULL),
+       count(DISTINCT l_orderkey),
+       CAST(min(l_orderkey) AS DOUBLE),
+       CAST(max(l_orderkey) AS DOUBLE)
+FROM lineitem
+""",
+    doc="ANALYZE-style column statistics (the CBO stats path): per-column "
+    "row count, null count, exact NDV, min, max over lineitem in ONE "
+    "aggregate pass (Spark expands multi-distinct into a single Expand "
+    "+ two-phase agg — still one scan, no pass per column), then "
+    "unpivoted to one row per column. These are the statistics "
+    "`ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` feeds the "
+    "cost-based optimizer for join reordering and broadcast decisions; "
+    "at 100 TB NDV would switch to approx_count_distinct (HLL), the "
+    "exact form is the oracle-able twin.",
+)
+def stats_column_profile(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"]
+    agg = li.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            x
+            for c in cols
+            for x in (
+                F.count_if(F.col(c).isNull()).alias(f"{c}__null"),
+                F.countDistinct(c).alias(f"{c}__ndv"),
+                F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+                F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+            )
+        ],
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"{c}__null").alias("n_null"),
+                        F.col(f"{c}__ndv").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_val"),
+                        F.col(f"{c}__max").alias("max_val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("r")
+    ).select(
+        "r.column_name", "r.n_rows", "r.n_null", "r.n_distinct",
+        "r.min_val", "r.max_val",
     )
