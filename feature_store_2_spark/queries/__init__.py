@@ -120,6 +120,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "dq_constraint_audit",
     "rollup_time_hierarchy_events",
     "stats_column_profile",
+    "join_null_safe_eq",
 )
 
 

@@ -238,3 +238,51 @@ def join_salted_skew(spark, sf_dir):
     return salted_equi_join(
         ev, dim, on="event_type", salt_src="event_id", n_salts=8
     ).select("event_id", "event_type", "type_avg")
+
+
+@register(
+    "join_null_safe_eq",
+    """
+WITH a AS (
+    SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+    FROM customer),
+b AS (
+    SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 'suppressed'
+                ELSE lower(c_mktsegment) END AS seg_label
+    FROM customer)
+SELECT seg_label, count(*) AS n_customers,
+       CAST(sum(CAST(a.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+GROUP BY seg_label
+""",
+    doc="null-safe equi join (Spark `<=>` / SQL IS NOT DISTINCT FROM): "
+    "NULL keys match each other instead of silently dropping — the "
+    "semantics dimension-join pipelines need when 'unknown' is a "
+    "legitimate key (here a suppressed segment). Spark plans eqNullSafe "
+    "as a genuine equi-join key (hash/sort-merge, broadcast here), NOT "
+    "a theta join — same shuffle shape as a plain equi join at 100 TB.",
+)
+def join_null_safe_eq(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir)
+    a = c.select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg"),
+        "c_acctbal",
+    )
+    b = c.select(
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("bseg"),
+        F.when(F.col("c_mktsegment") == "BUILDING", "suppressed")
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg_label"),
+    ).distinct()
+    return (
+        a.join(F.broadcast(b), a.seg.eqNullSafe(b.bseg))
+        .groupBy("seg_label")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
