@@ -93,6 +93,10 @@ AUDIT = [
     "join_range_binned", "agg_stats_moments", "rolling_7d_active_users",
     "doc_tfidf_top_terms", "streak_longest_daily", "window_locf_forward_fill",
     "func_zorder_key", "q22_idle_customers",
+    # round-4 additions
+    "doc_pack_token_budget", "emb_knn_join_ann", "dedup_fuzzy_levenshtein",
+    "dq_constraint_audit", "rollup_time_hierarchy_events",
+    "stats_column_profile", "join_null_safe_eq",
 ]
 
 
