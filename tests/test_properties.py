@@ -250,3 +250,112 @@ def test_prefix_jaccard_equals_exact_on_random_docs(spark, docs, threshold):
         for r in ngram_jaccard_pairs_prefix(df, threshold).collect()
     }
     assert prefix == exact
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.integers(0, 700), min_size=1, max_size=60),
+)
+def test_two_pass_prefix_scan_equals_global_cumsum(spark, toks):
+    """doc_pack_token_budget's scale form (per-shard cumsum + broadcast
+    exclusive prefix of shard totals) must reproduce the naive global
+    ordered cumsum bit-for-bit on arbitrary token counts — including
+    shard-boundary straddles and zero-token docs. Uses a small shard
+    width so multiple shards actually occur at test sizes."""
+    from pyspark.sql import Window
+
+    rows = [(i, n) for i, n in enumerate(toks)]
+    t = spark.createDataFrame(rows, "doc_id long, n_tokens long").withColumn(
+        "shard", F.expr("doc_id div 7")
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_in_shard", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    totals = sorted(
+        t.groupBy("shard").agg(F.sum("n_tokens").alias("tot")).collect(),
+        key=lambda r: r["shard"],
+    )
+    prefix, acc = {}, 0
+    for r in totals:
+        prefix[r["shard"]] = acc
+        acc += r["tot"]
+    off = F.create_map(*[F.lit(x) for kv in prefix.items() for x in kv])
+    got = {
+        r["doc_id"]: r["cum_before"]
+        for r in c.withColumn(
+            "cum_before", F.col("cum_in_shard") + off[F.col("shard")]
+        ).collect()
+    }
+    running, want = 0, {}
+    for i, n in enumerate(toks):
+        want[i] = running
+        running += n
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.text(alphabet="abcd ", min_size=1, max_size=80),
+    edits=st.lists(
+        st.tuples(st.integers(0, 59), st.sampled_from("xyzq")),
+        min_size=0,
+        max_size=4,
+    ),
+)
+def test_fuzzy_blocking_complete_for_substitution_edits(spark, base, edits):
+    """Pigeonhole guarantee of dedup_fuzzy_levenshtein's candidate
+    generation: a pair whose 60-char keys differ by <= 4 SUBSTITUTIONS
+    always shares one intact aligned segment, so the operator must emit
+    it. Build doc2 from doc1 by substituting <= 4 positions and assert
+    the pair surfaces with the right distance."""
+    from feature_store_2_spark.queries.llm_text import dedup_fuzzy_levenshtein
+    import feature_store_2_spark.sources.tables as tables
+
+    key = (base.lower() + " " * 60)[:60]
+    edited = list(key)
+    for pos, ch in edits:
+        edited[pos] = ch
+    edited = "".join(edited)
+    n_subs = sum(1 for a, b in zip(key, edited) if a != b)
+
+    docs = spark.createDataFrame(
+        [(0, key), (1, edited)], "doc_id long, text string"
+    )
+    original = tables.load_table
+    try:
+        tables.load_table = lambda _s, _t, _d: docs
+        # the query module binds load_table at import time
+        import feature_store_2_spark.queries.llm_text as llm_text
+
+        saved = llm_text.load_table
+        llm_text.load_table = lambda _s, _t, _d: docs
+        try:
+            pairs = {
+                (r["doc1"], r["doc2"]): r["edit_distance"]
+                for r in dedup_fuzzy_levenshtein(spark, "unused").collect()
+            }
+        finally:
+            llm_text.load_table = saved
+    finally:
+        tables.load_table = original
+    # Completeness: lev <= n_subs <= 4, so the pair must always surface.
+    # (lev can be < n_subs when indels reach the edited key cheaper than
+    # the substitutions did — e.g. rotations — so assert the bound, not
+    # equality.)
+    assert (0, 1) in pairs, (key, edited)
+    assert pairs[(0, 1)] <= n_subs
+    if n_subs == 0:
+        assert pairs[(0, 1)] == 0
