@@ -121,6 +121,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "rollup_time_hierarchy_events",
     "stats_column_profile",
     "join_null_safe_eq",
+    "func_map_higher_order",
 )
 
 

@@ -354,3 +354,52 @@ def func_try_arithmetic(spark, sf_dir):
         .alias("flag_as_int"),
         F.coalesce(td, F.lit(-1.0)).alias("price_per_disc_filled"),
     )
+
+
+@register(
+    "func_map_higher_order",
+    """
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       coalesce(string_agg(
+           CASE WHEN n * 2 > 4 THEN event_type || ':' || CAST(n * 2 AS VARCHAR) END,
+           ',' ORDER BY event_type), '') AS hot_summary
+FROM c GROUP BY user_id
+""",
+    doc="map higher-order lambdas, the map half of the lambda family "
+    "(func_array_higher_order covers arrays): per-user event-type "
+    "counts materialized as a map<string,bigint> via map_from_entries("
+    "collect_list(struct)), then transform_values (scale), map_filter "
+    "(keep hot types), map_entries -> sorted 'k:v' rendering. All "
+    "map ops fold in-place per row — zero extra shuffles beyond the "
+    "count agg. The oracle reproduces the RESULT relationally "
+    "(string_agg ordered by key); event-type keys are prefix-free so "
+    "whole-string sort == key sort on both engines.",
+)
+def func_map_higher_order(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("em")
+    )
+    doubled = F.transform_values("em", lambda _k, v: v * 2)
+    hot = F.map_filter(doubled, lambda _k, v: v > 4)
+    rendered = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(hot),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            )
+        ),
+        ",",
+    )
+    return m.select(
+        "user_id",
+        F.size("em").cast("long").alias("n_types"),
+        rendered.alias("hot_summary"),
+    )
