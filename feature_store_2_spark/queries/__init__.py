@@ -122,6 +122,7 @@ _NEXT_ROUND_HEAD: tuple[str, ...] = (
     "stats_column_profile",
     "join_null_safe_eq",
     "func_map_higher_order",
+    "explode_outer_doc_tail",
 )
 
 

@@ -286,3 +286,43 @@ def join_null_safe_eq(spark, sf_dir):
             .alias("total_bal"),
         )
     )
+
+
+@register(
+    "explode_outer_doc_tail",
+    """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ')[61:] AS tail
+    FROM documents)
+SELECT doc_id,
+       CAST(u.pos AS BIGINT) AS pos,
+       u.word AS word
+FROM t LEFT JOIN LATERAL (
+    SELECT generate_subscripts(tail, 1) AS pos, unnest(tail) AS word) u
+  ON true
+""",
+    doc="OUTER explode semantics (posexplode_outer): flatten each "
+    "document's tail beyond word 60 to one row per word, but PRESERVE "
+    "documents with no tail as a single NULL row — plain explode "
+    "silently drops them, which breaks 'every input row is accounted "
+    "for' audits after flattening. Inner/plain explode is covered by "
+    "explode_top_words/posexplode_doc_leading_words; this is the "
+    "row-preserving half of the family. Oracle = LEFT JOIN LATERAL "
+    "unnest (1-based subscripts on both sides).",
+)
+def explode_outer_doc_tail(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(
+        "doc_id",
+        F.expr(
+            "slice(split(text, ' '), 61,"
+            " greatest(size(split(text, ' ')) - 60, 0))"
+        ).alias("tail"),
+    )
+    return t.select(
+        "doc_id", F.posexplode_outer("tail").alias("pos0", "word")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "word",
+    )
