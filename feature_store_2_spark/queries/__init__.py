@@ -44,62 +44,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver scores catalog entries in order and has a per-round budget
-# (~the first 50). Round-4 head, in three bands (per the r3 verdict's
-# rotation plan):
-#   1. MUST-SCORE — the 31 entries added in round 3 that have never been
-#      driver-scored (they were parked in _NEXT_ROUND_HEAD while the r3
-#      head was frozen); each needs a green CORRECTNESS_r04 row.
-#   2. R2-ONLY GREENS — driver-green in round 2 but never re-scored under
-#      the current runtime; value-level drift (the func_math_lineitem
-#      class) only surfaces under the oracle, so re-score them.
-#   3. REGRESSION STAPLES — the core r3-green queries kept in the head
-#      every round as a runtime-drift canary.
-# Everything else keeps registration order after the priority block.
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- band 1: new in round 3, never driver-scored --
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "doc_word_entropy",
-    "stream_topk_trending",
-    "agg_heavy_hitters",
-    "rolling_7d_active_users",
-    "sql_lateral_topn_per_segment",
-    "mm_audio_window_energy",
-    "func_zorder_key",
-    "func_regexp_extract_all",
-    "stream_grants_multibatch",
-    "streak_longest_daily",
-    "window_locf_forward_fill",
-    "fs_grants_version_diff",
-    "udaf_mad_quantity",
-    "emb_kmeans_fit",
-    "fs_grants_forget_users",
-    "hist_equidepth_price",
-    "window_nth_value_third_order",
-    "agg_string_concat_ordered",
-    "agg_mode_event_type",
-    "agg_bitwise_flags",
-    "stream_locf_last_purchase",
-    "sketch_countmin_users",
-    "doc_chunk_overlap",
-    "doc_pack_token_budget",
-    "join_dpp_partitioned",
-    "func_array_higher_order",
-    "window_cume_dist_acctbal",
-    "func_try_arithmetic",
-    # -- band 2: r2-only greens, re-scored under the current runtime --
-    "func_json_events",
-    "func_null_handling",
-    "stream_grant_notifications",
-    "stream_static_join_enrich",
-    "join_salted_skew",
-    "pivot_event_type_counts",
-    "topk_orders_global",
-    "mm_decode_features",
-    "doc_corpus_curation",
-    "emb_lsh_ann_topk",
-    # -- band 3: regression staples (r3-green, kept as drift canary) --
+# (~the first 50). The head is DERIVED, not hand-maintained (the r4
+# verdict's rotation ask): never-driver-scored entries can't silt up
+# because they sort first automatically.
+#
+# Head construction (size _HEAD_SIZE):
+#   1. NEVER-SCORED — entries with no row in any CORRECTNESS_r0*.json,
+#      in registration order. Every new entry lands here until it earns
+#      a driver row.
+#   2. REGRESSION STAPLES — core queries kept in the head every round as
+#      a runtime-drift canary.
+#   3. STALEST RE-SCORE — remaining head slots filled with the entries
+#      whose most recent driver row is oldest (round ascending, then
+#      registration order), so the whole catalog re-scores over rounds.
+# Everything else keeps registration order after the head.
+_HEAD_SIZE = 50
+
+_STAPLES: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
@@ -111,19 +72,52 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sessionize_events",
 )
 
-# Entries created after this round's 50-entry head is frozen rotate into
-# the head next round (the judge verifies them locally via
-# tools/check_oracle.py in the meantime).
-_NEXT_ROUND_HEAD: tuple[str, ...] = (
-    "emb_knn_join_ann",
-    "dedup_fuzzy_levenshtein",
-    "dq_constraint_audit",
-    "rollup_time_hierarchy_events",
-    "stats_column_profile",
-    "join_null_safe_eq",
-    "func_map_higher_order",
-    "explode_outer_doc_tail",
-)
+
+def _scored_rounds() -> dict[str, int]:
+    """name -> most recent round with a driver CORRECTNESS row.
+
+    Reads CORRECTNESS_r0*.json from the repo root (two levels above this
+    package). Any row counts as scored — red rows still mean the driver
+    reached the entry, and staleness rotation will bring it back anyway.
+    Unreadable files are skipped: a corrupt artifact must not take down
+    catalog import (entries then just count as never-scored, which only
+    promotes them in the head — safe direction).
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, -1), rnd)
+    return latest
+
+
+def _derive_head(names_in_order: list[str]) -> list[str]:
+    scored = _scored_rounds()
+    order = {n: i for i, n in enumerate(names_in_order)}
+    never = [n for n in names_in_order if n not in scored]
+    head = list(never)
+    head += [s for s in _STAPLES if s in order and s not in set(head)]
+    taken = set(head)
+    stale = sorted(
+        (n for n in names_in_order if n not in taken),
+        key=lambda n: (scored.get(n, -1), order[n]),
+    )
+    head += stale[: max(0, _HEAD_SIZE - len(head))]
+    return head
 
 
 def _load_all() -> None:
@@ -152,11 +146,13 @@ def _load_all() -> None:
         __import__(f"feature_store_2_spark.queries.{mod}")
 
     by_name = {q.name: q for q in CATALOG}
-    missing = [n for n in _DRIVER_PRIORITY if n not in by_name]
+    missing = [s for s in _STAPLES if s not in by_name]
     if missing:
-        raise RuntimeError(f"_DRIVER_PRIORITY names not registered: {missing}")
-    rest = [q for q in CATALOG if q.name not in set(_DRIVER_PRIORITY)]
-    CATALOG[:] = [by_name[n] for n in _DRIVER_PRIORITY] + rest
+        raise RuntimeError(f"_STAPLES names not registered: {missing}")
+    head = _derive_head([q.name for q in CATALOG])
+    head_set = set(head)
+    rest = [q for q in CATALOG if q.name not in head_set]
+    CATALOG[:] = [by_name[n] for n in head] + rest
 
 
 _load_all()

