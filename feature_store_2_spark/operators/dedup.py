@@ -193,11 +193,13 @@ def ngram_jaccard_pairs_prefix(
     )
     a_sh = sh.select(F.col(id_col).alias("doc1"), "shingle")
     b_sh = sh.select(F.col(id_col).alias("doc2"), "shingle")
-    # Surviving candidates are a small fraction of the corpus ->
-    # broadcast them into the shingle scan; the remaining join is an
-    # equi-join on (doc2, shingle).
+    # Surviving candidates are typically a small fraction of the corpus,
+    # but their cardinality is data-dependent (adversarially near-dup
+    # corpora blow it up) — so no forced broadcast: the join is keyed by
+    # doc1 and AQE broadcasts the candidate side only when it measures
+    # small. The remaining join is an equi-join on (doc2, shingle).
     common = (
-        a_sh.join(F.broadcast(cand), "doc1")
+        a_sh.join(cand, "doc1")
         .join(b_sh, ["doc2", "shingle"])
         .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("n_common"))

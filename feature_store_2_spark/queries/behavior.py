@@ -115,8 +115,10 @@ GROUP BY 1, 2
     "week of a user's first event; n_users = distinct users from that "
     "cohort active k weeks later. Two shuffles (per-user min, then the "
     "distinct-count over (cohort, offset)); the per-user first-event "
-    "table is tiny relative to the log, so the enrich join broadcasts "
-    "at 100 TB once users << events",
+    "table is users-cardinality — smaller than the log but UNBOUNDED, "
+    "so the enrich join is a plain equi-join on user_id (AQE broadcasts "
+    "it only when it measures small; a forced broadcast would OOM at "
+    "billions of users)",
 )
 def cohort_retention(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -124,7 +126,7 @@ def cohort_retention(spark, sf_dir):
     first_ev = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
     activity = ev.select("user_id", wk(F.col("ts")).alias("act_week")).distinct()
     return (
-        activity.join(F.broadcast(first_ev), "user_id")
+        activity.join(first_ev, "user_id")
         .select(
             "cohort_week",
             (F.datediff("act_week", "cohort_week") / 7)

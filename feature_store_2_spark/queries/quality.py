@@ -61,9 +61,10 @@ FROM base
 """,
     doc="one-pass data-quality constraint audit over orders: null "
     "checks, positivity, domain membership, date range, FK integrity "
-    "against customer (broadcast dim -> null probe = orphan), and key "
-    "uniqueness — each as a conditional aggregate, so the whole audit "
-    "is ONE scan + one broadcast join + one tiny distinct agg, never a "
+    "against customer (left-join null probe = orphan; AQE-chosen "
+    "strategy — customer is scale-factor-sized, never force-broadcast), "
+    "and key uniqueness — each as a conditional aggregate, so the whole "
+    "audit is ONE scan + one FK join + one tiny distinct agg, never a "
     "pass per constraint. The batch analog of the reference's ingest "
     "schema validation/quarantine; at 100 TB this is the gate a table "
     "passes before training jobs may read it.",
@@ -73,9 +74,10 @@ def dq_constraint_audit(spark, sf_dir):
     cust = load_table(spark, "customer", sf_dir).select(
         F.col("c_custkey").alias("fk_hit")
     )
-    base = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.fk_hit, "left"
-    )
+    # FK probe side is customer — a scale-factor table, NOT a bounded dim,
+    # so no forced broadcast (r4 verdict weak-spot class): both sides are
+    # keyed by custkey and AQE picks broadcast only when it measures small.
+    base = orders.join(cust, orders.o_custkey == cust.fk_hit, "left")
     n_rows = F.count("*")
 
     def violations(cond: F.Column) -> F.Column:

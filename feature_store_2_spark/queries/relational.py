@@ -89,12 +89,13 @@ def q3_top_revenue_orders(spark, sf_dir):
     )
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
-    # customer is the small filtered side -> broadcast it into orders,
-    # then the orders->lineitem join shuffles on orderkey once. Top-k is
-    # TakeOrderedAndProject (no global sort).
+    # customer (segment-filtered) is the small side, but it still grows
+    # with SF -> AQE-chosen join (broadcast at test scale, shuffle past
+    # ~SF1k), then the orders->lineitem join shuffles on orderkey once.
+    # Top-k is TakeOrderedAndProject (no global sort).
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -133,14 +134,14 @@ def q5_region_revenue(spark, sf_dir):
     supp = load_table(spark, "supplier", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
     region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
-    # region/nation/supplier are broadcast dims; lineitem-orders is the
-    # one big shuffle join (AQE picks broadcast automatically for the
-    # small sides, hints make it explicit).
+    # region/nation are fixed-cardinality broadcast dims; supplier and
+    # customer grow with SF so their joins are AQE-chosen; lineitem-orders
+    # is the one unavoidable big shuffle join.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

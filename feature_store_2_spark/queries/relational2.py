@@ -86,13 +86,14 @@ def q7_nation_volume(spark, sf_dir):
     sn = nation.select(
         F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
     )
-    # Fact-fact joins shuffle on their keys; every dim (customer,
-    # supplier, nation x2) broadcasts. The asymmetric nation-pair filter
-    # halves the pair space before the agg.
+    # Fact-fact joins shuffle on their keys; nation x2 (fixed 25 rows)
+    # broadcasts by hint, customer/supplier are SF-growing so AQE picks
+    # their strategy. The asymmetric nation-pair filter halves the pair
+    # space before the agg.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
         .filter(F.col("cust_nation") < F.col("supp_nation"))

@@ -197,10 +197,11 @@ SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.event_type
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """,
     doc="stream-static join: the event stream enriched against the "
-    "static customer dimension via a broadcast hash join per "
-    "micro-batch — stateless (append mode), the standard dimension- "
-    "enrichment shape (static side re-broadcast per batch, no shuffle "
-    "of the stream)",
+    "static customer table per micro-batch — stateless (append mode), "
+    "the standard dimension-enrichment shape. The static side is NOT "
+    "force-broadcast: customer is scale-factor-sized, so the planner "
+    "picks broadcast per batch only when it measures small (a forced "
+    "hint would OOM every micro-batch at 100 TB).",
 )
 def stream_static_join_enrich(spark, sf_dir):
     root = _stage_events(spark, sf_dir)
@@ -212,7 +213,7 @@ def stream_static_join_enrich(spark, sf_dir):
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    joined = stream.join(F.broadcast(cust), "user_id").select(
+    joined = stream.join(cust, "user_id").select(
         "event_id", "user_id", "segment", "event_type"
     )
     name = "fs2_stream_static_join"

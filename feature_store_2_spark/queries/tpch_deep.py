@@ -62,9 +62,10 @@ def q8_market_share(spark, sf_dir):
     nat = load_table(spark, "nation", sf_dir)
     reg = load_table(spark, "region", sf_dir)
     supp = load_table(spark, "supplier", sf_dir)
-    # Customer side: restrict to ASIA via broadcast dims, then join the
-    # fact chain. nation appears twice (customer's and supplier's) —
-    # aliased copies, both broadcast.
+    # Customer side: restrict to ASIA via broadcast dims (nation/region
+    # are fixed-cardinality, 25/5 rows). nation appears twice (customer's
+    # and supplier's) — aliased copies, both broadcast. supplier-derived
+    # supp_nat grows with SF, so its join is left to AQE.
     cn = nat.alias("cn")
     sn = nat.alias("sn")
     asia_cust = (
@@ -80,7 +81,7 @@ def q8_market_share(spark, sf_dir):
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             volume.alias("volume"),
@@ -135,15 +136,16 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY ship_year
 """,
     doc="TPC-H Q14 analog: PROMO parts' revenue share per ship year — "
-    "conditional aggregation over a fact-dim join (part broadcastable "
-    "until ~SF1k; after that the orderkey-side shuffle dominates).",
+    "conditional aggregation over a fact-dim join (part is broadcastable "
+    "until ~SF1k, so the strategy is AQE-chosen, never forced — past "
+    "that the partkey-side shuffle join takes over automatically).",
 )
 def q14_promo_revenue(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
     volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_type")),
+        part.select("p_partkey", "p_type"),
         li.l_partkey == F.col("p_partkey"),
     ).select(
         F.year("l_shipdate").cast("long").alias("ship_year"),
@@ -180,7 +182,7 @@ def q19_bracketed_revenue(spark, sf_dir):
     part = load_table(spark, "part", sf_dir)
     volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     j = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        part.select("p_partkey", "p_brand", "p_size"),
         li.l_partkey == F.col("p_partkey"),
     )
     bracket = (
@@ -437,7 +439,7 @@ def q15_top_supplier(spark, sf_dir):
     )
     mx = srev.agg(F.max("total_rev").alias("m"))
     return (
-        srev.join(F.broadcast(supp), srev.l_suppkey == supp.s_suppkey)
+        srev.join(supp, srev.l_suppkey == supp.s_suppkey)
         .crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("m"))
         .select("s_suppkey", "s_name", "total_rev")
@@ -481,9 +483,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(
-                part.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
-            ),
+            part.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")),
             li.l_partkey == part.p_partkey,
         )
         .join(pa, li.l_partkey == pa.pk)

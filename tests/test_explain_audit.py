@@ -32,6 +32,35 @@ def test_checker_passes_partitioned_window(spark):
     assert global_windows(df) == 0
 
 
+def test_broadcast_lint_clean():
+    """Every F.broadcast in the package must target a provably bounded
+    input registered in BROADCAST_ALLOWLIST (r4 verdict weak-spot #1:
+    a forced broadcast of the vocabulary-sized df table overrode AQE's
+    size check and would OOM at web-corpus scale)."""
+    from tools.explain_audit import broadcast_lint
+
+    assert broadcast_lint() == []
+
+
+def test_broadcast_allowlist_no_stale_entries():
+    """Allowlist entries must correspond to live F.broadcast call sites
+    — stale rows would quietly re-authorize a removed pattern."""
+    import re
+    from pathlib import Path
+
+    from tools.explain_audit import BROADCAST_ALLOWLIST
+
+    pkg = Path(__file__).resolve().parents[1] / "feature_store_2_spark"
+    rx = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    live = set()
+    for f in pkg.rglob("*.py"):
+        rel = f.relative_to(pkg).as_posix()
+        for m in rx.finditer(f.read_text()):
+            live.add((rel, m.group(1)))
+    stale = [k for k in BROADCAST_ALLOWLIST if k not in live]
+    assert not stale, stale
+
+
 def test_catalog_has_no_unlisted_global_window(spark, sf_dir):
     """Full-catalog sweep: no batch entry may compile to a physical plan
     with a non-partitioned Window unless it is on the documented

@@ -79,6 +79,76 @@ def global_windows(df) -> int:
     return n
 
 
+# ---------------------------------------------------------------------------
+# Forced-broadcast lint (r4 verdict weak-spot #1, generalized).
+#
+# `F.broadcast(x)` OVERRIDES AQE's size check: on an input whose
+# cardinality grows with the data (vocabulary, per-user aggregates,
+# SF-growing TPC-H tables, data-dependent candidate sets) it trades a
+# graceful shuffle join for a driver/executor OOM at 100 TB. The rule:
+# a forced broadcast is only allowed on a PROVABLY BOUNDED input —
+# fixed-cardinality dims (nation=25, region=5), 1-row scalar
+# aggregates, k-row centroid/bucket/counter tables, bounded domains,
+# and bounded external sets (eval suites, subscription maps, query
+# workloads documented as small).
+#
+# Every allowed site is registered below as (relative file, first
+# identifier inside the call). Adding a new F.broadcast anywhere else
+# fails the lint (and the pytest wrapping it) until it is justified
+# here with a boundedness reason.
+BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("queries/relational.py", "nation"): "fixed dim (25 rows)",
+    ("queries/relational.py", "region"): "fixed dim (5 rows)",
+    ("queries/relational2.py", "cn"): "nation alias (25 rows)",
+    ("queries/relational2.py", "sn"): "nation alias (25 rows)",
+    ("queries/relational2.py", "nation"): "fixed dim (25 rows)",
+    ("queries/tpch_deep.py", "cn"): "nation alias (25 rows)",
+    ("queries/tpch_deep.py", "sn"): "nation alias (25 rows)",
+    ("queries/tpch_deep.py", "reg"): "fixed dim (5 rows)",
+    ("queries/tpch_deep.py", "thr"): "1-row scalar aggregate",
+    ("queries/tpch_deep.py", "mx"): "1-row scalar aggregate",
+    ("queries/behavior.py", "tot"): "1-row scalar aggregate",
+    ("queries/behavior.py", "mx"): "1-row scalar aggregate",
+    ("queries/quality.py", "uniq"): "1-row scalar aggregate",
+    ("queries/llm_text.py", "n"): "1-row n_docs aggregate",
+    ("queries/windows_setops.py", "b"): "equi-depth bucket bounds (k rows)",
+    ("queries/setops_misc.py", "b"): "mktsegment domain distinct (~5 rows)",
+    ("queries/sketches.py", "counters"): "Count-Min d x w counter table",
+    ("queries/storage.py", "dim"): "day dimension (bounded calendar)",
+    ("operators/curation.py", "bench"): "eval-suite shingles (MB-scale)",
+    ("operators/curation.py", "n_docs"): "1-row scalar aggregate",
+    ("operators/similarity.py", "qry"): "query workload (documented small)",
+    ("operators/similarity.py", "probes"): "query workload x nprobe cells",
+    ("operators/similarity.py", "cents"): "k x dim centroid table",
+    ("operators/similarity.py", "centroids"): "k x dim centroid table",
+    ("streaming/grants_store.py", "sub_map"): "subscription map (bounded)",
+}
+
+_BROADCAST_RE = None  # compiled lazily
+
+
+def broadcast_lint() -> list[str]:
+    """Return violations: forced broadcasts not in BROADCAST_ALLOWLIST."""
+    import re
+    from pathlib import Path
+
+    global _BROADCAST_RE
+    if _BROADCAST_RE is None:
+        _BROADCAST_RE = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    pkg = Path(__file__).resolve().parents[1] / "feature_store_2_spark"
+    out: list[str] = []
+    for f in sorted(pkg.rglob("*.py")):
+        rel = f.relative_to(pkg).as_posix()
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            for m in _BROADCAST_RE.finditer(line):
+                if (rel, m.group(1)) not in BROADCAST_ALLOWLIST:
+                    out.append(
+                        f"{rel}:{i}: F.broadcast({m.group(1)}...) not in "
+                        "BROADCAST_ALLOWLIST — prove boundedness or drop the hint"
+                    )
+    return out
+
+
 AUDIT = [
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
     "q7_nation_volume", "q10_returned_revenue", "q4_order_priority",
@@ -102,6 +172,9 @@ AUDIT = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    lint = broadcast_lint()
+    for v in lint:
+        print(f"BROADCAST-LINT {v}")
     spark = get_spark("fs2-explain-audit")
     argv = [a for a in sys.argv[1:] if a != "-v"]
     if "--all" in argv:
@@ -132,6 +205,7 @@ def main() -> None:
             print(plan)
         if flags:
             problems.append(f"{name}: {status}")
+    problems.extend(lint)
     print("\n" + (f"{len(problems)} problem(s): {problems}" if problems else "all plans clean"))
 
 
