@@ -674,11 +674,12 @@ FROM c
     "Pass 1: exclusive cumsum within each shard "
     "(Window.partitionBy(shard) — parallel, no global sort). "
     "Pass 2: per-shard token totals (a shard-count-sized aggregate, "
-    "bounded metadata) come back to the driver, an exclusive prefix "
-    "over them is computed in Python, and the offsets rejoin via a "
-    "broadcast map. Same integer arithmetic as the one-window form; "
-    "W tunes shard count (total_docs / W drives the metadata size — "
-    "at 100 TB pick W so shard count stays ~1e5).",
+    "bounded metadata — W tunes it, at 100 TB pick W so shard count "
+    "stays ~1e5), an exclusive prefix over THAT metadata table via an "
+    "ordered window (global, but over shard-count rows, never the "
+    "corpus), and a broadcast join back on shard. Zero driver "
+    "materialization — no collect(), no literal map in the plan "
+    "(the r4 residual).",
 )
 def doc_pack_token_budget(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
@@ -696,19 +697,17 @@ def doc_pack_token_budget(spark, sf_dir):
     c = t.withColumn(
         "cum_in_shard", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
     )
-    totals = sorted(
-        t.groupBy("shard").agg(F.sum("n_tokens").alias("tot")).collect(),
-        key=lambda r: r["shard"],
+    totals = t.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+    # Exclusive prefix over the shard-totals METADATA table: the ordered
+    # window is global, but its input is one row per shard (bounded by
+    # construction), never the corpus — GLOBAL_WINDOW_OK-listed.
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_prefix = totals.select(
+        "shard",
+        F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias("shard_prefix"),
     )
-    prefix, acc = {}, 0
-    for r in totals:
-        prefix[r["shard"]] = acc
-        acc += r["tot"]
-    off = F.create_map(
-        *[F.lit(x) for kv in prefix.items() for x in kv]
-    )
-    c = c.withColumn(
-        "cum_before", F.col("cum_in_shard") + off[F.col("shard")]
+    c = c.join(F.broadcast(shard_prefix), "shard").withColumn(
+        "cum_before", F.col("cum_in_shard") + F.col("shard_prefix")
     )
     return c.select(
         "doc_id",

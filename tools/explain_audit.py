@@ -46,8 +46,12 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
-# doc says so); nothing else may appear here without a docstring reason.
-GLOBAL_WINDOW_OK = {"window_ntile_percentrank"}
+# doc says so); doc_pack_token_budget's global window runs over the
+# per-shard totals METADATA table (one row per shard, W-tuned to ~1e5
+# rows at 100 TB), never the corpus — its corpus-side cumsum stays
+# partitioned by shard. Nothing else may appear here without a
+# docstring reason.
+GLOBAL_WINDOW_OK = {"window_ntile_percentrank", "doc_pack_token_budget"}
 
 _WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
 
@@ -111,6 +115,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/behavior.py", "mx"): "1-row scalar aggregate",
     ("queries/quality.py", "uniq"): "1-row scalar aggregate",
     ("queries/llm_text.py", "n"): "1-row n_docs aggregate",
+    ("queries/llm_text.py", "shard_prefix"): "shard-totals prefix (1 row/shard, W-tuned ~1e5)",
     ("queries/windows_setops.py", "b"): "equi-depth bucket bounds (k rows)",
     ("queries/setops_misc.py", "b"): "mktsegment domain distinct (~5 rows)",
     ("queries/sketches.py", "counters"): "Count-Min d x w counter table",
