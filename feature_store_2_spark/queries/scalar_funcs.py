@@ -373,11 +373,14 @@ FROM c GROUP BY user_id
     "(func_array_higher_order covers arrays): per-user event-type "
     "counts materialized as a map<string,bigint> via map_from_entries("
     "collect_list(struct)), then transform_values (scale), map_filter "
-    "(keep hot types), map_entries -> sorted 'k:v' rendering. All "
-    "map ops fold in-place per row — zero extra shuffles beyond the "
-    "count agg. The oracle reproduces the RESULT relationally "
-    "(string_agg ordered by key); event-type keys are prefix-free so "
-    "whole-string sort == key sort on both engines.",
+    "(keep hot types), map_entries sorted BY KEY -> 'k:v' rendering. "
+    "All map ops fold in-place per row — zero extra shuffles beyond "
+    "the count agg. The oracle reproduces the RESULT relationally "
+    "(string_agg ordered by key); entries are sorted as structs BEFORE "
+    "rendering, so both engines order by key — no prefix-freeness "
+    "assumption on the key domain (r4 advisor finding: sorting the "
+    "rendered 'k:v' strings diverges when one key is a prefix of "
+    "another with next char below ':').",
 )
 def func_map_higher_order(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -389,12 +392,13 @@ def func_map_higher_order(spark, sf_dir):
     )
     doubled = F.transform_values("em", lambda _k, v: v * 2)
     hot = F.map_filter(doubled, lambda _k, v: v > 4)
+    # Sort the entry structs by key FIRST (struct order = field order,
+    # key leads; map keys are unique so no tie-break needed), then
+    # render — key order survives any key domain.
     rendered = F.array_join(
-        F.array_sort(
-            F.transform(
-                F.map_entries(hot),
-                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
-            )
+        F.transform(
+            F.array_sort(F.map_entries(hot)),
+            lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
         ),
         ",",
     )

@@ -36,22 +36,38 @@ from feature_store_2_spark.streaming import sharded_store
 
 LOOKUP_USERS = (1, 2, 3, 5, 8)
 
-# Staged layouts (date-partitioned copies, serving stores) are pure
-# functions of the immutable sf_dir parquet, so stage ONCE per process
-# per (kind, sf_dir). Without this every invocation — including the
-# schema-only analysis the catalog canary does for every entry — leaked
-# a fresh mkdtemp copy of the events table.
+# Staged layouts (date-partitioned copies, serving stores, bucketed
+# tables) are pure functions of the immutable sf_dir parquet, so stage
+# ONCE per process per (kind, sf_dir). Without this every invocation —
+# including the schema-only analysis the catalog canary does for every
+# entry — leaked a fresh mkdtemp copy of the events table.
+#
+# Two-phase protocol (r4 advisor finding): the cache records a root only
+# AFTER the caller's staging writes succeed, via _commit_staging. If the
+# first staging attempt throws (disk full, interrupted job), the key is
+# never recorded, so the next call re-stages into a fresh root instead
+# of silently serving an empty/partial tree as if it were complete.
 _STAGING_CACHE: dict[tuple[str, str], str] = {}
 
 
+def _staging_key(kind: str, sf_dir: str) -> tuple[str, str]:
+    return (kind, os.path.abspath(sf_dir))
+
+
 def _staged_root(kind: str, sf_dir: str) -> tuple[str, bool]:
-    """Return (root, already_staged) for this kind+sf_dir."""
-    key = (kind, os.path.abspath(sf_dir))
+    """Return (root, already_staged). When already_staged is False the
+    caller must run its staging writes and then _commit_staging — until
+    it does, the root is not cached."""
+    key = _staging_key(kind, sf_dir)
     if key in _STAGING_CACHE:
         return _STAGING_CACHE[key], True
-    root = tempfile.mkdtemp(prefix=f"fs2_{kind}_")
-    _STAGING_CACHE[key] = root
-    return root, False
+    return tempfile.mkdtemp(prefix=f"fs2_{kind}_"), False
+
+
+def _commit_staging(kind: str, sf_dir: str, root: str) -> None:
+    """Record ``root`` as fully staged — call ONLY after every staging
+    write for this kind+sf_dir has completed successfully."""
+    _STAGING_CACHE[_staging_key(kind, sf_dir)] = root
 
 
 @register(
@@ -67,18 +83,28 @@ GROUP BY c.c_custkey
     "(write-time shuffle amortized over every downstream query)",
 )
 def join_bucketed_colocated(spark, sf_dir):
-    root = tempfile.mkdtemp(prefix="fs2_bucketed_")
-    cust, orders = bucketed_pair(
-        spark,
-        load_table(spark, "customer", sf_dir),
-        load_table(spark, "orders", sf_dir),
-        "fs2_b_customer",
-        "fs2_b_orders",
-        root,
-        "c_custkey",
-        "o_custkey",
-        n_buckets=8,
-    )
+    # One bucketed layout per (sf_dir, process); table names carry an
+    # sf_dir digest so two scale factors in one catalog never collide.
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    cust_name, orders_name = f"fs2_b_customer_{tag}", f"fs2_b_orders_{tag}"
+    root, ready = _staged_root("bucketed", sf_dir)
+    if ready and spark.catalog.tableExists(cust_name):
+        cust, orders = spark.table(cust_name), spark.table(orders_name)
+    else:
+        cust, orders = bucketed_pair(
+            spark,
+            load_table(spark, "customer", sf_dir),
+            load_table(spark, "orders", sf_dir),
+            cust_name,
+            orders_name,
+            root,
+            "c_custkey",
+            "o_custkey",
+            n_buckets=8,
+        )
+        _commit_staging("bucketed", sf_dir, root)
     # merge hint: without it the tiny test-scale dim broadcasts (its own
     # BroadcastExchange); bucketed SMJ is the zero-exchange plan and the
     # one a fact-fact join takes at 100 TB regardless of hints.
@@ -123,6 +149,7 @@ def fs_point_lookup(spark, sf_dir):
             load_table(spark, "events", sf_dir), DEFAULT_CONFIG
         )
         sharded_store.upsert(grants, store, ("user_id", "feature"), "user_id")
+        _commit_staging("store", sf_dir, root)
     # Serving read: hash the lookup keys to their shards, open ONLY those
     # shard directories, then push the IN-list into the parquet scan.
     shards = {
@@ -161,6 +188,7 @@ def scan_date_partitioned(spark, sf_dir):
             "day", F.col("ts").cast("date")
         )
         ev.write.partitionBy("day").parquet(target)
+        _commit_staging("datepart", sf_dir, root)
     part = spark.read.parquet(target)
     pruned = part.filter(
         (F.col("day") >= F.lit("2024-01-10").cast("date"))
@@ -203,6 +231,7 @@ def join_dpp_partitioned(spark, sf_dir):
         # (DPP is only injected when the dim side has a plan-time selective
         # filter whose qualifying values are unknown until runtime).
         ev.select("day").distinct().write.parquet(dim_path)
+        _commit_staging("dpp", sf_dir, root)
     part = spark.read.parquet(target)
     dim = spark.read.parquet(dim_path).filter(F.dayofweek("day") == 2)
     return (

@@ -77,17 +77,30 @@ class StateMetricsListener(StreamingQueryListener):
 
 
 @contextmanager
-def capture_progress(spark, settle_secs: float = 5.0):
+def capture_progress(spark, settle_secs: float = 5.0, quiet_secs: float = 0.5):
     """Attach a StateMetricsListener for the duration of a block that
     runs streaming queries; detach afterwards. Listener delivery is
-    asynchronous, so on exit we poll briefly until at least one progress
-    event lands (or the settle window passes) before detaching."""
+    asynchronous, so on exit we poll until the progress list is
+    QUIESCENT — no new events for ``quiet_secs`` after at least one has
+    landed — bounded by ``settle_secs`` overall. Polling only until the
+    first event (the previous behavior) dropped progress for later
+    batches of multi-batch / multi-query blocks, under-reporting
+    state_rows() and making bound assertions flaky (r4 advisor
+    finding)."""
     listener = StateMetricsListener()
     spark.streams.addListener(listener)
     try:
         yield listener
         deadline = time.monotonic() + settle_secs
-        while not listener.progress and time.monotonic() < deadline:
+        last_n = -1
+        quiet_since = time.monotonic()
+        while time.monotonic() < deadline:
+            n = len(listener.progress)
+            if n != last_n:
+                last_n = n
+                quiet_since = time.monotonic()
+            elif n > 0 and time.monotonic() - quiet_since >= quiet_secs:
+                break
             time.sleep(0.1)
     finally:
         spark.streams.removeListener(listener)

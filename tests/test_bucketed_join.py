@@ -101,3 +101,44 @@ def test_dpp_partitioned_join_prunes_at_runtime(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_staging_cache_commits_only_after_success(spark, sf_dir, monkeypatch):
+    """r4 advisor finding: _staged_root must NOT cache a root before the
+    caller's staging writes succeed — a failed first staging must leave
+    no cache entry, so the next call re-stages instead of silently
+    reading a partial tree."""
+    from feature_store_2_spark.queries import storage
+
+    key = storage._staging_key("failtest", sf_dir)
+    storage._STAGING_CACHE.pop(key, None)
+
+    root1, ready1 = storage._staged_root("failtest", sf_dir)
+    assert not ready1
+    # Simulate the caller's staging write throwing: no commit happens.
+    assert key not in storage._STAGING_CACHE
+    root2, ready2 = storage._staged_root("failtest", sf_dir)
+    assert not ready2 and root2 != root1
+    storage._commit_staging("failtest", sf_dir, root2)
+    root3, ready3 = storage._staged_root("failtest", sf_dir)
+    assert ready3 and root3 == root2
+    storage._STAGING_CACHE.pop(key, None)
+
+
+def test_bucketed_entry_stages_once_per_process(spark, sf_dir):
+    """join_bucketed_colocated must reuse one bucketed layout per
+    (sf_dir, process) instead of writing a fresh mkdtemp copy per
+    invocation (r4 verdict hygiene item)."""
+    import glob as _glob
+    import tempfile as _tempfile
+
+    from feature_store_2_spark.queries import CATALOG, storage
+
+    q = next(q for q in CATALOG if q.name == "join_bucketed_colocated")
+    q.fn(spark, sf_dir).count()
+    key = storage._staging_key("bucketed", sf_dir)
+    assert key in storage._STAGING_CACHE
+    before = set(_glob.glob(os.path.join(_tempfile.gettempdir(), "fs2_bucketed_*")))
+    q.fn(spark, sf_dir).count()
+    after = set(_glob.glob(os.path.join(_tempfile.gettempdir(), "fs2_bucketed_*")))
+    assert before == after, "second invocation staged a new bucketed copy"
