@@ -40,6 +40,93 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         assert abs(r["approx_med"] - r["exact_med"]) / r["exact_med"] < 0.02
 
 
+def test_approx_percentile_gk_rank_error_contract(spark, sf_dir):
+    """Pin the Greenwald-Khanna CONTRACT, not a loose value-distance:
+    approx_percentile(col, q, B) must return an ELEMENT of the group
+    whose rank is within eps*n of q*n, eps = 1/B. Value-distance can
+    pass on skewed data where the rank is wildly off; rank error is the
+    sketch's actual guarantee, so any semantic drift in the entry's
+    aggregation fails here (r4 verdict item 7)."""
+    B = 10_000
+    eps = 1.0 / B
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_extendedprice"
+    )
+    for q in (0.5, 0.9):
+        approx = li.groupBy("l_returnflag").agg(
+            F.approx_percentile("l_extendedprice", F.lit(q), F.lit(B)).alias("v")
+        )
+        # rank bounds of the returned value within its own group
+        j = li.join(approx, "l_returnflag")
+        stats = (
+            j.groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("l_extendedprice") < F.col("v")).cast("long")).alias(
+                    "r_lt"
+                ),
+                F.sum((F.col("l_extendedprice") <= F.col("v")).cast("long")).alias(
+                    "r_le"
+                ),
+            )
+            .collect()
+        )
+        for r in stats:
+            n, r_lt, r_le = r["n"], r["r_lt"], r["r_le"]
+            # membership: the value is an element of the group
+            assert r_le > r_lt, (q, r)
+            target = q * n
+            slack = eps * n + 1  # +1 for rank discreteness
+            # the value's rank interval [r_lt+1, r_le] must intersect
+            # [target - eps*n, target + eps*n]
+            assert r_lt + 1 <= target + slack, (q, r)
+            assert r_le >= target - slack, (q, r)
+
+
+def test_stream_denial_rate_equals_batch_same_spec(spark, sf_dir):
+    """stream_denial_rate is rows-only at the driver (HLL has no DuckDB
+    analog), but HLL++ is deterministic and merge-order-independent, so
+    the streaming result must EQUAL a batch computation of the same
+    sliding-window + approx_count_distinct spec. Per (window, key) the
+    stream's final update is compared; HLL estimates are monotone
+    non-decreasing under inserts, so max-over-updates is the final
+    value even if the source split into multiple micro-batches
+    (r4 verdict item 7 — strictly stronger than the rows-only check)."""
+    from feature_store_2_spark.queries import CATALOG
+
+    q = next(q for q in CATALOG if q.name == "stream_denial_rate")
+    streamed = (
+        q.fn(spark, sf_dir)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.max("total_users").alias("total_users"),
+            F.max("denied_users").alias("denied_users"),
+        )
+    )
+    ev = load_table(spark, "events", sf_dir)
+    batch = (
+        ev.withColumn("__denied", F.col("value") < 2.0)
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.approx_count_distinct("user_id").alias("b_total"),
+            F.approx_count_distinct(
+                F.when(F.col("__denied"), F.col("user_id"))
+            ).alias("b_denied"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "b_total", "b_denied")
+    )
+    cmp = streamed.join(batch, ["window_start", "event_type"], "full_outer").collect()
+    assert cmp
+    bad = [
+        r
+        for r in cmp
+        if r["total_users"] != r["b_total"] or r["denied_users"] != r["b_denied"]
+    ]
+    assert not bad, bad[:5]
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
     q = e.filter(F.col("vec_id") < 10)
