@@ -57,6 +57,11 @@ HEADLINE = [
     "doc_corpus_curation",
     "doc_tfidf_top_terms",
     "doc_pack_token_budget",
+    # Round-5 addition: bucketed fact-fact SMJ on the two largest tables
+    # (lineitem x orders, zero-Exchange join+agg). First attempt pays the
+    # one-time bucketed write (staging cache); min-of-3 therefore times
+    # the amortized exchange-free read path, which is the claim.
+    "join_bucketed_fact_fact",
     "stream_sessionize",
     # The reference's true workload end-to-end: streaming ingest ->
     # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;

@@ -142,3 +142,17 @@ def test_bucketed_entry_stages_once_per_process(spark, sf_dir):
     q.fn(spark, sf_dir).count()
     after = set(_glob.glob(os.path.join(_tempfile.gettempdir(), "fs2_bucketed_*")))
     assert before == after, "second invocation staged a new bucketed copy"
+
+
+def test_bucketed_fact_fact_join_no_exchange(spark, sf_dir):
+    """The lineitem-orders bucketed entry must plan join + same-key agg
+    with zero Exchange — the write-time shuffle is the only one, which
+    is the whole claim at 100 TB where neither fact side broadcasts."""
+    from feature_store_2_spark.queries import CATALOG
+    from feature_store_2_spark.sources.bucketed import physical_plan
+
+    q = next(q for q in CATALOG if q.name == "join_bucketed_fact_fact")
+    df = q.fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
