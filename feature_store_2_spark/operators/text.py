@@ -89,3 +89,36 @@ def normalized_fingerprint(text: Column | str) -> Column:
     return F.md5(
         F.regexp_replace(F.lower(text), "\\s+", " ").cast("binary")
     )
+
+
+# --- PII detection / redaction ------------------------------------------
+# Patterns restricted to the Java-regex / RE2 common subset (no
+# lookaround, no backrefs) so Spark's regexp_* and DuckDB's regexp_*
+# compile them identically — the cross-engine determinism requirement
+# for the oracle gate. Ordered dict: redaction applies in this order.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern — a pure codegen projection
+    (regexp_extract_all + size), zero shuffles at any scale."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0))
+    ).cast("long")
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Text with every PII_PATTERNS match replaced by [KIND] — applied
+    in dict order (email first so phone/ssn digit runs inside addresses
+    are already gone; order is part of the operator contract and the
+    oracle mirrors it)."""
+    out = F.col(text) if isinstance(text, str) else text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out

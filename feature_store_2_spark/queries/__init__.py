@@ -130,6 +130,7 @@ def _load_all() -> None:
         "relational",
         "relational2",
         "tpch_deep",
+        "tpch_complete",
         "setops_misc",
         "sketches",
         "windows_setops",

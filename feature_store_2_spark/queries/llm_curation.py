@@ -178,3 +178,62 @@ def doc_stratified_sample(spark, sf_dir):
         d.select("doc_id", "lang", "source", bucket.alias("bucket"), rate.alias("rate_pct"))
         .filter(F.col("bucket") < F.col("rate_pct"))
     )
+
+
+_PII = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+_PII_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII["phone"]}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_PII["ssn"]}')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       len(regexp_extract_all(text, '{_PII["email"]}'))
+         + len(regexp_extract_all(text, '{_PII["phone"]}'))
+         + len(regexp_extract_all(text, '{_PII["ssn"]}'))
+         + len(regexp_extract_all(text, '{_PII["ipv4"]}')) > 0 AS has_pii,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII["email"]}', '[EMAIL]', 'g'),
+           '{_PII["phone"]}', '[PHONE]', 'g'),
+           '{_PII["ssn"]}', '[SSN]', 'g'),
+           '{_PII["ipv4"]}', '[IPV4]', 'g') AS redacted
+FROM documents
+"""
+
+
+@register(
+    "doc_pii_scan",
+    _PII_ORACLE,
+    doc="PII detection + redaction, the filter every public-corpus "
+    "training pipeline runs before anything else: per-document match "
+    "counts for email/phone/SSN/IPv4 plus the redacted text. Pure "
+    "codegen projections (regexp_extract_all + regexp_replace, "
+    "patterns limited to the Java-regex/RE2 common subset) — a "
+    "single-pass zero-shuffle scan at any scale. The synthetic corpus "
+    "contains no PII (all counts 0, redacted == text — still "
+    "value-hash-checked); positive matches and redaction order are "
+    "pinned by tests/test_llm_operators.py on crafted rows.",
+)
+def doc_pii_scan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from feature_store_2_spark.operators.text import pii_count, pii_redact
+
+    d = load_table(spark, "documents", sf_dir)
+    counts = {k: pii_count("text", k) for k in ("email", "phone", "ssn", "ipv4")}
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ssn"].alias("n_ssn"),
+        counts["ipv4"].alias("n_ipv4"),
+        (total > 0).alias("has_pii"),
+        pii_redact("text").alias("redacted"),
+    )

@@ -286,3 +286,78 @@ def test_knn_join_recall_floor_and_ranking_exactness(spark, sf_dir):
         assert [x[0] for x in ranks] == list(range(1, len(ranks) + 1)), q
         cosines = [x[1] for x in ranks]
         assert cosines == sorted(cosines, reverse=True), q
+
+
+def test_pii_detection_and_redaction_positive_cases(spark):
+    """The synthetic corpus has zero PII, so the oracle row for
+    doc_pii_scan only proves the all-zero path; positive matches and
+    the redaction ORDER (email first, so digit runs inside addresses
+    are gone before phone/ssn) are pinned here on crafted rows."""
+    from feature_store_2_spark.operators.text import pii_count, pii_redact
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk for details"),
+        (2, "call 555-123-4567 or 555.987.6543 now"),
+        (3, "ssn 123-45-6789 leaked"),
+        (4, "server at 10.0.255.1 responded"),
+        (5, "mixed: a@b.io and 111-22-3333 and 1.2.3.4"),
+        (6, "clean text with numbers 12345 and words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pii_count("text", "email").alias("e"),
+            pii_count("text", "phone").alias("p"),
+            pii_count("text", "ssn").alias("s"),
+            pii_count("text", "ipv4").alias("i"),
+            pii_redact("text").alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["p"], out[1]["s"], out[1]["i"]) == (1, 0, 0, 0)
+    assert out[1]["red"] == "contact [EMAIL] for details"
+    assert out[2]["p"] == 2 and out[2]["red"] == "call [PHONE] or [PHONE] now"
+    assert out[3]["s"] == 1 and out[3]["red"] == "ssn [SSN] leaked"
+    assert out[4]["i"] == 1 and out[4]["red"] == "server at [IPV4] responded"
+    assert (out[5]["e"], out[5]["s"], out[5]["i"]) == (1, 1, 1)
+    assert out[5]["red"] == "mixed: [EMAIL] and [SSN] and [IPV4]"
+    assert out[6]["red"] == rows[5][1], "clean text must pass through unchanged"
+
+
+def test_pii_scan_matches_duckdb_on_crafted_rows(spark, tmp_path):
+    """Cross-engine pin on rows that actually MATCH: write crafted docs
+    to parquet, run the doc_pii_scan Spark plan and its DuckDB oracle
+    on them, compare values — covers the regex-dialect risk the all-
+    zero synthetic corpus cannot."""
+    import duckdb
+
+    from feature_store_2_spark.queries import CATALOG
+
+    rows = [
+        (1, "reach x.y@corp.example.com or 999-555-1234", "en", "src0", 40),
+        (2, "ssn 987-65-4321 ip 192.168.1.100", "en", "src0", 32),
+        (3, "nothing sensitive here at all", "en", "src1", 29),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    q = next(q for q in CATALOG if q.name == "doc_pii_scan")
+    got = {
+        r["doc_id"]: (
+            r["n_email"], r["n_phone"], r["n_ssn"], r["n_ipv4"],
+            r["has_pii"], r["redacted"],
+        )
+        for r in q.fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    exp = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(q.oracle).fetchall()
+    }
+    assert got == exp, (got, exp)

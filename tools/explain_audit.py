@@ -33,6 +33,7 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # aggregate row, which is the collect-free way to apply a
                # global scalar at any scale.
                "q22_idle_customers", "doc_tfidf_top_terms",
+               "q11_important_parts",
                "q15_top_supplier", "agg_heavy_hitters",
                "rolling_7d_active_users", "hist_equidepth_price",
                # broadcast k x dim centroid tables (IVF cells / k-means
@@ -110,6 +111,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/tpch_deep.py", "sn"): "nation alias (25 rows)",
     ("queries/tpch_deep.py", "reg"): "fixed dim (5 rows)",
     ("queries/tpch_deep.py", "thr"): "1-row scalar aggregate",
+    ("queries/tpch_complete.py", "tot"): "1-row scalar aggregate",
     ("queries/tpch_deep.py", "mx"): "1-row scalar aggregate",
     ("queries/behavior.py", "tot"): "1-row scalar aggregate",
     ("queries/behavior.py", "mx"): "1-row scalar aggregate",
