@@ -744,3 +744,106 @@ def stream_locf_last_purchase(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_stream_left_outer",
+    """
+WITH mx AS (
+    SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'click')) AS m),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           epoch_us(p.ts) AS p_ts_us, c.event_id AS click_id
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts)
+SELECT purchase_id, user_id, p_ts_us, click_id,
+       click_id IS NOT NULL AS matched
+FROM j, mx
+WHERE p_ts_us < epoch_us(m)
+""",
+    doc="STREAM-STREAM LEFT OUTER interval join — the null-padded half "
+    "the inner entry (stream_stream_join) can't show: purchases with "
+    "no click in the preceding 30 minutes still emit, padded null, "
+    "once the watermark passes the end of their match window and the "
+    "join state is evicted. State stays range-bounded exactly as in "
+    "the inner form; the outer rows ride the state EVICTION path "
+    "(emitted by the closing no-data micro-batch), which is the part "
+    "of the state machine inner joins never exercise. Oracle = batch "
+    "left interval join; both sides exclude purchases at or past the "
+    "TERMINAL QUERY WATERMARK = least(max purchase ts, max click ts) "
+    "(multipleWatermarkPolicy min, the default): rows at that boundary "
+    "are exactly the state a finished run never evicts, so their outer "
+    "result is not yet determined when the stream stops.",
+)
+def stream_stream_left_outer(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    path = os.path.join(root, "events")
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    joined = purchases.join(
+        clicks,
+        [
+            purchases.user_id == clicks.user_id,
+            F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"),
+            F.col("c_ts") <= F.col("p_ts"),
+        ],
+        "left_outer",
+    ).select(
+        "purchase_id",
+        purchases.user_id.alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        "click_id",
+        F.col("click_id").isNotNull().alias("matched"),
+    )
+    name = "fs2_stream_stream_left_outer"
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    ev = load_table(spark, "events", sf_dir)
+    mx = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        ).alias("m")
+    ).select(F.unix_micros("m").alias("mx_us"))
+    out = spark.table(name)
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .filter(F.col("p_ts_us") < F.col("mx_us"))
+        .select("purchase_id", "user_id", "p_ts_us", "click_id", "matched")
+    )
