@@ -348,3 +348,43 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 def sql_q6_forecast_revenue(spark, sf_dir):
     load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
     return spark.sql(_Q6_SQL)
+
+
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE spine(month_start) AS (
+    SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM orders
+    UNION ALL
+    SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+    WHERE month_start < (SELECT CAST(date_trunc('month', max(o_orderdate))
+                                     AS DATE) FROM orders)
+),
+m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY 1
+)
+SELECT spine.month_start AS month_start,
+       CAST(coalesce(m.n_orders, 0) AS BIGINT) AS n_orders,
+       coalesce(m.total_price, 0.0) AS total_price
+FROM spine LEFT JOIN m ON spine.month_start = m.month_start
+"""
+
+
+@register(
+    "sql_recursive_month_spine",
+    _RECURSIVE_SPINE_SQL,
+    doc="WITH RECURSIVE through the ANSI-SQL facade (new engine surface "
+    "in Spark 4): a complete monthly calendar spine generated "
+    "recursively from min to max order month, left-joined to monthly "
+    "order aggregates so gap months appear as explicit zero rows — "
+    "the gap-filling shape reports need that a plain GROUP BY cannot "
+    "produce. The SAME SQL text runs on spark.sql and DuckDB. The "
+    "recursion depth is months-of-history (bounded metadata, ~10^3 at "
+    "a century), never data-sized; the fact table is touched once by "
+    "the aggregate.",
+)
+def sql_recursive_month_spine(spark, sf_dir):
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)

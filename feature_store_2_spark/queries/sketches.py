@@ -170,3 +170,53 @@ def sketch_countmin_users(spark, sf_dir):
             F.min("c").alias("cms_est"),
         )
     )
+
+
+@register(
+    "udf_grouped_minmax_scale",
+    """
+WITH w AS (
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+           min(l_quantity) OVER (PARTITION BY l_returnflag) AS mn,
+           max(l_quantity) OVER (PARTITION BY l_returnflag) AS mx
+    FROM lineitem)
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       CASE WHEN mx = mn THEN 0.0
+            ELSE (l_quantity - mn) / (mx - mn) END AS scaled
+FROM w
+""",
+    doc="pandas GROUPED-MAP surface (applyInPandas — the batch twin of "
+    "the streaming applyInPandasWithState path, and the UDF-family row "
+    "GROUPED_AGG/mapInPandas entries don't cover): per-return-flag "
+    "min-max feature scaling, each group handed to an Arrow-batched "
+    "pandas function that returns the transformed rows. Min-max (not "
+    "z-score) on purpose: min/max/subtract/divide are single IEEE ops, "
+    "so the result is bit-identical to the SQL window oracle — a "
+    "variance-based scaler would drift by summation order. Plan shows "
+    "FlatMapGroupsInPandas (one shuffle on the group key), never "
+    "BatchEvalPython. At 100 TB each group must fit one executor's "
+    "Arrow batch — fine for per-category scalers; per-user grains use "
+    "the windowed form instead.",
+)
+def udf_grouped_minmax_scale(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["l_quantity"]
+        mn, mx = v.min(), v.max()
+        scaled = (v - mn) / (mx - mn) if mx != mn else v * 0.0
+        return pd.DataFrame(
+            {
+                "l_returnflag": pdf["l_returnflag"],
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "scaled": scaled,
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        scale,
+        "l_returnflag string, l_orderkey long, l_linenumber long, scaled double",
+    )

@@ -300,3 +300,65 @@ def join_dpp_partitioned(spark, sf_dir):
         .groupBy("day", "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "scan_csv_quarantine",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_parsed,
+       CAST(3 AS BIGINT) AS n_quarantined,
+       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+""",
+    doc="CSV source family + schema-validated quarantine (A2's parse/"
+    "quarantine semantics on the text-file path): the events table is "
+    "staged once as CSV with 3 deliberately malformed lines appended, "
+    "then read back under an explicit schema in PERMISSIVE mode with "
+    "columnNameOfCorruptRecord — well-formed rows parse to typed "
+    "columns, malformed rows land whole in the corrupt column "
+    "(quarantine), nothing throws and nothing is silently dropped. "
+    "Doubles round-trip exactly (Java Double.toString) and timestamps "
+    "are written/read at microsecond precision, so the decimal value "
+    "sum over the parsed rows equals the parquet oracle bit-for-bit. "
+    "At 100 TB this is the CSV-landing-zone ingest gate: schema "
+    "enforcement at scan time, per-file parallel, quarantine rows "
+    "routed to a dead-letter table instead of poisoning the pipeline.",
+)
+def scan_csv_quarantine(spark, sf_dir):
+    root, ready = _staged_root("csv", sf_dir)
+    target = os.path.join(root, "events_csv")
+    if not ready:
+        ev = load_table(spark, "events", sf_dir)
+        (
+            ev.write.option("header", "false")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .csv(target)
+        )
+        # Three malformed lines: wrong arity, non-numeric id, empty.
+        with open(os.path.join(target, "part-zz-malformed.csv"), "w") as f:
+            f.write("this,is,not,an,event\nnot_a_number,x\n,,,,,\n")
+        _commit_staging("csv", sf_dir, root)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string, _corrupt string"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(target)
+    )
+    # A malformed line parses with _corrupt set; ",,,,,"-style all-null
+    # lines parse "clean" but violate the NOT-NULL contract on the key
+    # columns, so the quarantine predicate checks both.
+    bad = F.col("_corrupt").isNotNull() | F.col("event_id").isNull()
+    return raw.agg(
+        F.sum((~bad).cast("long")).alias("n_parsed"),
+        F.sum(bad.cast("long")).alias("n_quarantined"),
+        F.sum(F.when(~bad, F.col("value").cast("decimal(28,2)")))
+        .cast("double")
+        .alias("total_value"),
+        F.count_distinct(F.when(~bad, F.col("user_id"))).alias("n_users"),
+    )

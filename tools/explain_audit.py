@@ -129,6 +129,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "cents"): "k x dim centroid table",
     ("operators/similarity.py", "centroids"): "k x dim centroid table",
     ("streaming/grants_store.py", "sub_map"): "subscription map (bounded)",
+    ("queries/streaming_queries.py", "mx"): "1-row terminal-watermark aggregate",
 }
 
 _BROADCAST_RE = None  # compiled lazily
