@@ -57,11 +57,14 @@ HEADLINE = [
     "doc_corpus_curation",
     "doc_tfidf_top_terms",
     "doc_pack_token_budget",
-    # Round-5 addition: bucketed fact-fact SMJ on the two largest tables
-    # (lineitem x orders, zero-Exchange join+agg). First attempt pays the
-    # one-time bucketed write (staging cache); min-of-3 therefore times
-    # the amortized exchange-free read path, which is the claim.
+    # Round-5 additions: bucketed fact-fact SMJ on the two largest tables
+    # (lineitem x orders, zero-Exchange join+agg; first attempt pays the
+    # one-time bucketed write via the staging cache, min-of-3 therefore
+    # times the amortized exchange-free read path, which is the claim),
+    # and the heaviest new TPC-H shape — Q21's decorrelated
+    # EXISTS/NOT-EXISTS (two orderkey shuffles of lineitem).
     "join_bucketed_fact_fact",
+    "q21_waiting_orders",
     "stream_sessionize",
     # The reference's true workload end-to-end: streaming ingest ->
     # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;
