@@ -414,3 +414,53 @@ def window_locf_forward_fill(spark, sf_dir):
         "ts",
         F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@register(
+    "anomaly_daily_event_volume",
+    """
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+    FROM events GROUP BY 1),
+m AS (
+    SELECT median(n_events) AS med,
+           median(abs(n_events - (SELECT median(n_events) FROM d))) AS mad
+    FROM d)
+SELECT day, n_events,
+       n_events - med AS deviation,
+       abs(n_events - med) > 3 * mad AS is_anomaly
+FROM d, m
+""",
+    doc="robust daily-volume anomaly flag: |count - median| > 3*MAD "
+    "over the daily event counts. Median/MAD (not mean/stddev) on "
+    "purpose twice over: robust statistics are the correct detector "
+    "when the anomalies themselves would poison the baseline, AND "
+    "medians of integer counts are exact (worst case one IEEE "
+    "midpoint average), so the oracle hashes bit-for-bit where a "
+    "variance would drift by summation order. Shape: one day-grain "
+    "agg (bounded: rows = days of history), a 2-row-pass median on "
+    "that METADATA table, 1-row broadcast back — the fact table is "
+    "scanned once regardless of scale.",
+)
+def anomaly_daily_event_volume(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    med = d.agg(F.median("n_events").alias("med"))
+    mad = (
+        d.crossJoin(F.broadcast(med))
+        .agg(F.median(F.abs(F.col("n_events") - F.col("med"))).alias("mad"))
+    )
+    stats = med.crossJoin(F.broadcast(mad))
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            "n_events",
+            (F.col("n_events") - F.col("med")).alias("deviation"),
+            (F.abs(F.col("n_events") - F.col("med")) > 3 * F.col("mad")).alias(
+                "is_anomaly"
+            ),
+        )
+    )

@@ -237,3 +237,69 @@ def doc_pii_scan(spark, sf_dir):
         (total > 0).alias("has_pii"),
         pii_redact("text").alias("redacted"),
     )
+
+
+_BIGRAM_CTE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 1, 0)),
+               i -> w[i] || ' ' || w[i+1]))) AS bigram
+    FROM tok),
+df AS (SELECT bigram, count(*) AS df FROM bg GROUP BY bigram)
+"""
+
+
+@register(
+    "doc_bigram_novelty",
+    _BIGRAM_CTE
+    + """
+SELECT bg.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS novelty
+FROM bg JOIN df ON bg.bigram = df.bigram
+GROUP BY bg.doc_id
+""",
+    doc="bigram novelty score — the integer-exact stand-in for an LM "
+    "perplexity filter: the fraction of a document's distinct bigrams "
+    "that occur in NO other document. Low novelty flags boilerplate/"
+    "template text that repeats corpus-common phrasing; high novelty "
+    "flags gibberish — both tails are curation cut candidates "
+    "(KenLM-style filters draw the same two-sided cut on perplexity). "
+    "All counts are integers and the score is one IEEE division, so "
+    "the oracle hashes exactly where a log-prob would drift. Shape: "
+    "explode to distinct (doc, bigram), bigram-df hash agg, join back "
+    "on bigram (vocabulary-keyed, AQE-chosen strategy — never a "
+    "forced broadcast), per-doc agg: two shuffles plus the join at "
+    "any scale.",
+)
+def doc_bigram_novelty(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from feature_store_2_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    bg = d.select("doc_id", F.explode(grams).alias("bigram"))
+    df_ = bg.groupBy("bigram").agg(F.count("*").alias("df"))
+    novel = (F.col("df") == 1).cast("long")
+    return (
+        bg.join(df_, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count("*")).alias("novelty"),
+        )
+    )

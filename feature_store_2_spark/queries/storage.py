@@ -362,3 +362,53 @@ def scan_csv_quarantine(spark, sf_dir):
         .alias("total_value"),
         F.count_distinct(F.when(~bad, F.col("user_id"))).alias("n_users"),
     )
+
+
+@register(
+    "scan_schema_evolution",
+    """
+SELECT event_type,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_batch_tag,
+       count(DISTINCT CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN 'v2' END) AS n_schema_versions_new
+FROM events
+GROUP BY event_type
+""",
+    doc="schema-evolution read (mergeSchema): the event log is staged "
+    "as two parquet batches — an early batch with the original schema "
+    "and a later batch that ADDED a batch_tag column (the additive "
+    "evolution every long-lived 100 TB table undergoes). A single "
+    "mergeSchema=true read reconciles both: old files surface the new "
+    "column as NULL, no rewrite of historical data, no reader fork. "
+    "The entry aggregates per event_type counting rows that carry the "
+    "new column — matching the parquet oracle proves old-batch rows "
+    "read back null-tagged, not dropped or defaulted. At scale, "
+    "mergeSchema's footer-union cost is per-FILE metadata; production "
+    "pins the merged schema in a catalog instead, but the read "
+    "semantics exercised here are identical.",
+)
+def scan_schema_evolution(spark, sf_dir):
+    root, ready = _staged_root("schemaevo", sf_dir)
+    target = os.path.join(root, "events_evolved")
+    split_day = "2024-01-16"
+    if not ready:
+        ev = load_table(spark, "events", sf_dir)
+        old = ev.filter(F.col("ts").cast("date") < split_day)
+        new = ev.filter(F.col("ts").cast("date") >= split_day).withColumn(
+            "batch_tag", F.lit("v2")
+        )
+        old.write.parquet(os.path.join(target, "batch=old"))
+        new.write.parquet(os.path.join(target, "batch=new"))
+        _commit_staging("schemaevo", sf_dir, root)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(target, "batch=old"), os.path.join(target, "batch=new")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("batch_tag").isNotNull().cast("long")).alias(
+            "n_with_batch_tag"
+        ),
+        F.count_distinct("batch_tag").alias("n_schema_versions_new"),
+    )

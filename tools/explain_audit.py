@@ -36,6 +36,7 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "q11_important_parts",
                "q15_top_supplier", "agg_heavy_hitters",
                "rolling_7d_active_users", "hist_equidepth_price",
+               "anomaly_daily_event_volume",
                # broadcast k x dim centroid tables (IVF cells / k-means
                # assignment): the BNLJ build side is k rows, which is the
                # broadcast-small-dim plan, not an accidental cartesian.
@@ -115,6 +116,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/tpch_deep.py", "mx"): "1-row scalar aggregate",
     ("queries/behavior.py", "tot"): "1-row scalar aggregate",
     ("queries/behavior.py", "mx"): "1-row scalar aggregate",
+    ("queries/behavior.py", "med"): "1-row scalar aggregate",
+    ("queries/behavior.py", "mad"): "1-row scalar aggregate",
+    ("queries/behavior.py", "stats"): "1-row scalar aggregate",
     ("queries/quality.py", "uniq"): "1-row scalar aggregate",
     ("queries/llm_text.py", "n"): "1-row n_docs aggregate",
     ("queries/llm_text.py", "shard_prefix"): "shard-totals prefix (1 row/shard, W-tuned ~1e5)",
