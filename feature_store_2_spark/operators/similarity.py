@@ -391,3 +391,66 @@ def kmeans_fit(
     if stats is not None:
         stats["rounds"] = rounds
     return labels
+
+
+def matryoshka_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    prefix_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style two-stage top-k (Kusupati et al. 2022: MRL
+    embeddings carry a usable coarse representation in their prefix):
+
+      stage 1 — cosine over only the first ``prefix_dims`` components
+      prunes the corpus to ``m`` candidates per query (4x cheaper dot
+      products here at 64->16 dims; with real MRL vectors the prefix can
+      live in a separate, smaller column so the full vector is never
+      even SCANNED for non-candidates — the I/O win at 100 TB);
+      stage 2 — exact full-dimension re-rank of the m survivors to k.
+
+    Both stages use exact quantized-integer dots with (score DESC, id)
+    tie-breaks, so the pipeline is deterministic end-to-end and
+    oracle-gateable despite being an approximation of brute force.
+    """
+    q_all = quantize(F.col(vec_col))
+    q_pre = F.slice(q_all, 1, prefix_dims)
+    cand = emb.select(
+        F.col(id_col),
+        q_all.alias("qvec"),
+        qnorm2(q_all).alias("qn2"),
+        q_pre.alias("pvec"),
+        qnorm2(q_pre).alias("pn2"),
+    )
+    qry = emb.select(
+        F.col(id_col).alias("query_id"),
+        q_all.alias("q_qvec"),
+        qnorm2(q_all).alias("q_qn2"),
+        q_pre.alias("q_pvec"),
+        qnorm2(q_pre).alias("q_pn2"),
+    ).join(queries.select(F.col(id_col).alias("query_id")), "query_id")
+    pairs = cand.join(F.broadcast(qry), F.col(id_col) != F.col("query_id"))
+    coarse = pairs.withColumn(
+        "t_cosine",
+        cosine_from_parts(
+            qdot(F.col("q_pvec"), F.col("pvec")), F.col("q_pn2"), F.col("pn2")
+        ),
+    )
+    w_t = W.partitionBy("query_id").orderBy(F.desc("t_cosine"), id_col)
+    survivors = coarse.withColumn("t_rank", F.row_number().over(w_t)).filter(
+        F.col("t_rank") <= m
+    )
+    rer = survivors.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_from_parts(
+            qdot(F.col("q_qvec"), F.col("qvec")), F.col("q_qn2"), F.col("qn2")
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return rer.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

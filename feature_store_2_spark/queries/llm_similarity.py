@@ -454,3 +454,77 @@ def emb_kmeans_fit(spark, sf_dir):
     from feature_store_2_spark.operators.similarity import kmeans_fit
 
     return kmeans_fit(load_table(spark, "embeddings", sf_dir), k=8)
+
+
+_MRL_PRE, _MRL_M, _MRL_K = 16, 20, 5
+
+
+@register(
+    "emb_matryoshka_rerank",
+    f"""
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
+          FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
+tnorms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
+           FROM qv CROSS JOIN generate_series(1, {_MRL_PRE}) i(i) GROUP BY vec_id),
+tpairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(sum(q.v[i.i] * c.v[i.i]) AS BIGINT) AS tdot
+    FROM qv q JOIN qv c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    CROSS JOIN generate_series(1, {_MRL_PRE}) i(i)
+    GROUP BY 1, 2),
+tcos AS (
+    SELECT query_id, neighbor_id,
+           CAST(tdot AS DOUBLE)
+               / (sqrt(CAST(tq.n2 AS DOUBLE)) * sqrt(CAST(tc.n2 AS DOUBLE)))
+               AS t_cosine
+    FROM tpairs JOIN tnorms tq ON tpairs.query_id = tq.vec_id
+                JOIN tnorms tc ON tpairs.neighbor_id = tc.vec_id),
+surv AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY t_cosine DESC, neighbor_id) AS tr
+        FROM tcos) WHERE tr <= {_MRL_M}),
+fdot AS (
+    SELECT s.query_id, s.neighbor_id,
+           CAST(sum(q.v[i.i] * c.v[i.i]) AS BIGINT) AS dot
+    FROM surv s JOIN qv q ON s.query_id = q.vec_id
+                JOIN qv c ON s.neighbor_id = c.vec_id
+    CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY 1, 2),
+scored AS (
+    SELECT f.query_id, f.neighbor_id,
+           CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+               AS cosine
+    FROM fdot f JOIN norms nq ON f.query_id = nq.vec_id
+                JOIN norms nc ON f.neighbor_id = nc.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored)
+WHERE rank <= {_MRL_K}
+""",
+    doc=f"Matryoshka two-stage ANN (MRL, Kusupati et al. 2022): stage 1 "
+    f"scores only the first {_MRL_PRE} of {DIM} dims to prune to "
+    f"{_MRL_M} candidates per query, stage 2 re-ranks survivors with "
+    f"full-dimension exact cosine to top-{_MRL_K}. With real MRL "
+    "vectors the prefix lives in its own (4x smaller) column, so "
+    "stage 1 never even scans the full vectors — the I/O-side ANN "
+    "strategy, complementary to the LSH/IVF bucketing entries. Both "
+    "stages are exact quantized-integer dots with (score DESC, id) "
+    "tie-breaks, so this approximate operator is still value-hash "
+    "oracle-gateable; recall-vs-brute-force is pinned separately in "
+    "tests/test_sketches.py.",
+)
+def emb_matryoshka_rerank(spark, sf_dir):
+    from feature_store_2_spark.operators.similarity import matryoshka_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return matryoshka_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        k=_MRL_K,
+        m=_MRL_M,
+        prefix_dims=_MRL_PRE,
+    ).select("query_id", "neighbor_id", "cosine", "rank")

@@ -162,3 +162,34 @@ def test_countmin_never_underestimates(spark, sf_dir):
     assert rows
     assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
     assert any(r["cms_est"] == r["true_cnt"] for r in rows)
+
+
+def test_matryoshka_recall_monotone_and_exhaustive(spark, sf_dir):
+    """MRL two-stage contract: recall@5 vs brute force is monotone in
+    the stage-1 candidate budget m, nonzero at a small budget, and
+    equals 1.0 when m covers the whole corpus (prefix pruning becomes a
+    no-op and stage 2 IS brute force)."""
+    from feature_store_2_spark.operators.similarity import (
+        brute_force_topk,
+        matryoshka_topk,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    n = e.count()
+
+    def recall(m):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in matryoshka_topk(e, q, k=5, m=m, prefix_dims=16).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_small, r_mid, r_full = recall(20), recall(100), recall(n)
+    assert r_small > 0.2
+    assert r_small <= r_mid <= r_full
+    assert r_full == 1.0

@@ -27,6 +27,11 @@ from feature_store_2_spark.session import get_spark
 
 # Queries where a cartesian/BNLJ pair join is the intended algorithm.
 PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk",
+               # MRL stage-1 prefix scoring is the brute-force shape by
+               # design (the win is 4x-cheaper dots / prefix-only I/O,
+               # not candidate bucketing) — query set broadcast as in
+               # emb_cosine_topk.
+               "emb_matryoshka_rerank",
                "emb_lsh_ann_topk", "join_cross_region_nation", "join_range_event_pairs",
                # 1-row broadcast scalar subqueries (threshold / n_docs /
                # global max / total): the BNLJ build side is a single
