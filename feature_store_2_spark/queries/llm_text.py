@@ -794,3 +794,48 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
     return cand.filter(dist <= 4).select(
         "doc1", "doc2", dist.cast("long").alias("edit_distance")
     )
+
+
+@register(
+    "dedup_incremental_new_docs",
+    """
+WITH fp AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents),
+old AS (SELECT fingerprint FROM fp WHERE doc_id % 5 <> 0),
+new AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 5 = 0)
+SELECT n.doc_id, n.fingerprint,
+       o.fingerprint IS NOT NULL AS dup_of_existing
+FROM new n LEFT JOIN (SELECT DISTINCT fingerprint FROM old) o
+       ON n.fingerprint = o.fingerprint
+""",
+    doc="INCREMENTAL ingestion dedup — the shape a daily pipeline "
+    "actually runs (dedup the new batch against the standing corpus, "
+    "never re-dedup the corpus against itself): new docs (doc_id%5=0 "
+    "stands in for today's batch) fingerprint-checked against the "
+    "existing corpus via a join on the normalized-md5 key. Only the "
+    "NEW batch is fingerprinted fresh; the standing side would be the "
+    "stored fingerprint column at 100 TB (write once, reuse daily) "
+    "and the join prunes to fingerprint equality — cost scales with "
+    "the batch, not the corpus history. Flag (not drop) so downstream "
+    "chooses quarantine vs skip; left join + IS NOT NULL keeps every "
+    "new doc exactly once (a semi/anti pair would need two passes).",
+)
+def dedup_incremental_new_docs(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    fp = d.select(
+        "doc_id", normalized_fingerprint("text").alias("fingerprint")
+    )
+    old = (
+        fp.filter(F.col("doc_id") % 5 != 0)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    new = fp.filter(F.col("doc_id") % 5 == 0)
+    return new.join(old, "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.col("hit").isNotNull().alias("dup_of_existing"),
+    )

@@ -566,3 +566,28 @@ def window_cume_dist_acctbal(spark, sf_dir):
         "c_acctbal",
         F.cume_dist().over(w).alias("bal_cume"),
     )
+
+
+@register(
+    "agg_salted_distinct",
+    """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+    doc="skew-safe EXACT distinct count: event_type has ~5 values, so a "
+    "plain count_distinct funnels every row of the hottest type "
+    "through one task's dedup (count-distinct cannot map-side combine "
+    "the way sums do). Two-phase form: salt = pmod(hash(user_id), 32) "
+    "PARTITIONS the user space into disjoint classes, so per-(type, "
+    "salt) exact distinct counts are disjoint and their per-type SUM "
+    "is the exact global distinct — 32-way parallel on the skewed "
+    "key, bit-identical answer. The aggregation twin of "
+    "join_salted_skew; same answer as the naive plan, which is the "
+    "oracle.",
+)
+def agg_salted_distinct(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    per_salt = ev.groupBy(
+        "event_type", F.pmod(F.hash("user_id"), F.lit(32)).alias("salt")
+    ).agg(F.count_distinct("user_id").alias("d"))
+    return per_salt.groupBy("event_type").agg(F.sum("d").alias("n_users"))
