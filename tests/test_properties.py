@@ -359,3 +359,76 @@ def test_fuzzy_blocking_complete_for_substitution_edits(spark, base, edits):
     assert pairs[(0, 1)] <= n_subs
     if n_subs == 0:
         assert pairs[(0, 1)] == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # user_id (collisions likely)
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salted_distinct_equals_naive(spark, rows):
+    """Disjoint-salt two-phase distinct must equal naive count_distinct
+    for ANY data: salt = pmod(hash(user), 32) partitions users into
+    disjoint classes, so per-(key, salt) distincts sum exactly."""
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    naive = {
+        r["event_type"]: r["n"]
+        for r in df.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    per_salt = df.groupBy(
+        "event_type", F.pmod(F.hash("user_id"), F.lit(32)).alias("salt")
+    ).agg(F.count_distinct("user_id").alias("d"))
+    salted = {
+        r["event_type"]: r["n"]
+        for r in per_salt.groupBy("event_type")
+        .agg(F.sum("d").alias("n"))
+        .collect()
+    }
+    assert salted == naive
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"),
+                whitelist_characters=" .@-",
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pii_redaction_idempotent_and_clean(spark, texts):
+    """Redaction is idempotent (the [KIND] placeholders contain no
+    PII-matchable substrings) and redacted text never still matches any
+    PII pattern — for arbitrary input."""
+    from feature_store_2_spark.operators.text import (
+        PII_PATTERNS,
+        pii_count,
+        pii_redact,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = df.select("doc_id", pii_redact("text").alias("text"))
+    counts_after = once.select(
+        *[pii_count("text", k).alias(k) for k in PII_PATTERNS]
+    ).collect()
+    for r in counts_after:
+        assert all(r[k] == 0 for k in PII_PATTERNS), r
+    twice = once.select("doc_id", pii_redact("text").alias("text"))
+    assert [r["text"] for r in once.collect()] == [
+        r["text"] for r in twice.collect()
+    ]
