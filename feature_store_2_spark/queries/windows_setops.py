@@ -591,3 +591,48 @@ def agg_salted_distinct(spark, sf_dir):
         "event_type", F.pmod(F.hash("user_id"), F.lit(32)).alias("salt")
     ).agg(F.count_distinct("user_id").alias("d"))
     return per_salt.groupBy("event_type").agg(F.sum("d").alias("n_users"))
+
+
+@register(
+    "agg_trimmed_mean_quantity",
+    """
+WITH b AS (
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.05), 6) AS lo,
+           round(quantile_cont(l_quantity, 0.95), 6) AS hi
+    FROM lineitem GROUP BY l_returnflag)
+SELECT lineitem.l_returnflag,
+       count(*) AS n_kept,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+            / count(*) AS DOUBLE) AS trimmed_mean
+FROM lineitem JOIN b ON lineitem.l_returnflag = b.l_returnflag
+WHERE l_quantity >= lo AND l_quantity <= hi
+GROUP BY lineitem.l_returnflag
+""",
+    doc="5-95% trimmed mean per return flag — the robust-aggregation "
+    "complement to median/MAD: exact interpolated percentile bounds "
+    "per group (one agg pass), joined back on the group key (a "
+    "groups-sized table — bounded, joins map-side), then a "
+    "decimal-exact mean over the kept rows. Two passes over the fact "
+    "table total, no sort. Bounds rounded to 6 dp on both engines "
+    "(same convention as hist_equidepth_price) so boundary membership "
+    "is cross-engine stable; quantities are integral so sums are "
+    "exact in DECIMAL.",
+)
+def agg_trimmed_mean_quantity(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    b = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.round(F.expr("percentile(l_quantity, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("hi"),
+    )
+    return (
+        li.join(b, li.l_returnflag == b.rf)
+        .filter((F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") <= F.col("hi")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_kept"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*"))
+            .cast("double")
+            .alias("trimmed_mean"),
+        )
+    )
