@@ -20,6 +20,7 @@ import os
 import tempfile
 from contextlib import contextmanager
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.queries import register
@@ -846,4 +847,85 @@ def stream_stream_left_outer(spark, sf_dir):
         out.crossJoin(F.broadcast(mx))
         .filter(F.col("p_ts_us") < F.col("mx_us"))
         .select("purchase_id", "user_id", "p_ts_us", "click_id", "matched")
+    )
+
+
+@register(
+    "stream_kafka_shaped_ingest",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+    doc="Kafka-SHAPED ingest path (no broker in this container — the "
+    "wire format is real, the transport is a staged file stream): the "
+    "events table is re-staged in Kafka's exact record schema (key "
+    "binary, value binary, topic string, partition int, offset long, "
+    "timestamp) with value = the JSON a producer would publish, "
+    "key = the user id bytes, partition = pmod(hash(key), 4) as a "
+    "keyed producer partitions. The query then runs the UNCHANGED "
+    "consumer pipeline a real `spark.readStream.format('kafka')` "
+    "deployment uses — cast value to string, from_json against the "
+    "event schema, aggregate — so swapping in a broker changes ONE "
+    "line (the source format), which is the honest claim for an "
+    "env-blocked connector. Oracle = batch aggregation of the same "
+    "events.",
+)
+def stream_kafka_shaped_ingest(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="fs2_kafka_")
+    topic_dir = os.path.join(root, "topic_events")
+    ev = load_table(spark, "events", sf_dir)
+    value_json = F.to_json(
+        F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    key = F.col("user_id").cast("string")
+    (
+        ev.select(
+            key.cast("binary").alias("key"),
+            value_json.cast("binary").alias("value"),
+            F.lit("events").alias("topic"),
+            F.pmod(F.hash(key), F.lit(4)).cast("int").alias("partition"),
+            F.row_number()
+            .over(
+                Window.partitionBy(F.pmod(F.hash(key), F.lit(4))).orderBy(
+                    "ts", "event_id"
+                )
+            )
+            .cast("long")
+            .alias("offset"),
+            F.col("ts").alias("timestamp"),
+        ).write.parquet(topic_dir)
+    )
+    stream = spark.readStream.schema(
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp"
+    ).parquet(topic_dir)
+    event_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    parsed = stream.select(
+        F.from_json(F.col("value").cast("string"), event_schema).alias("e")
+    ).select("e.*")
+    name = "fs2_kafka_shaped"
+    with _stream_shuffle(spark):
+        q = (
+            parsed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # Exact distinct runs on the materialized sink (unsupported in
+    # streaming aggs); the in-stream agg form is covered by
+    # stream_denial_rate / stream_topk_trending.
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
     )
