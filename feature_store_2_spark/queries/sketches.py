@@ -220,3 +220,139 @@ def udf_grouped_minmax_scale(spark, sf_dir):
         scale,
         "l_returnflag string, l_orderkey long, l_linenumber long, scaled double",
     )
+
+
+# --- Bloom filter with an EXACT cross-engine oracle ---------------------
+# Same portability trick as the Count-Min entry: md5-derived
+# Kirsch-Mitzenmacher double hashing, bit positions as pure integer
+# arithmetic, the filter as bit_or-aggregated 32-bit words — every step
+# reproducible in DuckDB, so even the false positives match exactly.
+_BLOOM_BITS, _BLOOM_K = 1024, 4
+# 32-bit words: DuckDB range-checks BIGINT << 63 (Spark wraps), so keep
+# the shift strictly below the sign bit on both engines.
+_BLOOM_WORDS = _BLOOM_BITS // 32
+
+
+def _bloom_halves_spark():
+    m = F.md5(F.col("user_id").cast("string").cast("binary"))
+    h1 = F.conv(F.substring(m, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 15, 14), 16, 10).cast("long")
+    return h1, h2
+
+
+def _hex_fold_n(expr: str, n: int) -> str:
+    """DuckDB: first ``n`` hex chars of md5(expr) -> BIGINT."""
+    v = "CAST(0 AS BIGINT)"
+    for k in range(1, n + 1):
+        digit = f"(strpos('0123456789abcdef', substring(md5({expr}), {k}, 1)) - 1)"
+        v = f"(({v}) * 16 + {digit})"
+    return v
+
+
+def _bloom_oracle() -> str:
+    h1 = _hex_fold_n("CAST(user_id AS VARCHAR)", 14)
+    h2 = (
+        "CAST(0 AS BIGINT)"  # fold chars 15..28
+    )
+    for k in range(15, 29):
+        digit = (
+            f"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), {k}, 1)) - 1)"
+        )
+        h2 = f"(({h2}) * 16 + {digit})"
+    pos = {
+        i: f"(({h1}) + {i} * ({h2})) % {_BLOOM_BITS}" for i in range(_BLOOM_K)
+    }
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, ({pos[i]}) // 32 AS word_idx, ({pos[i]}) % 32 AS bit"
+        " FROM all_users"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH members AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+all_users AS (SELECT DISTINCT user_id FROM events),
+build_pos AS ({probes.replace("all_users", "members")}),
+words AS (
+    SELECT word_idx, bit_or(CAST(1 AS BIGINT) << CAST(bit AS INT)) AS w
+    FROM build_pos GROUP BY word_idx),
+probe_pos AS ({probes}),
+checks AS (
+    SELECT p.user_id,
+           bool_and(coalesce(w.w, 0) & (CAST(1 AS BIGINT) << CAST(p.bit AS INT))
+                    <> 0) AS maybe_present
+    FROM probe_pos p
+    LEFT JOIN words w ON p.word_idx = w.word_idx
+    GROUP BY p.user_id)
+SELECT c.user_id, c.maybe_present,
+       m.user_id IS NOT NULL AS actually_present,
+       c.maybe_present AND m.user_id IS NULL AS is_false_positive
+FROM checks c LEFT JOIN members m ON c.user_id = m.user_id
+"""
+
+
+@register(
+    "sketch_bloom_membership",
+    _bloom_oracle(),
+    doc=f"Bloom-filter membership with an EXACT oracle (like the "
+    f"Count-Min entry, unlike engine-internal HLL/GK): the purchase-"
+    f"user set is folded into {_BLOOM_BITS} bits ({_BLOOM_WORDS} "
+    f"bit_or-aggregated 32-bit words) via md5 Kirsch-Mitzenmacher "
+    f"double hashing, k={_BLOOM_K} probes per key; every user is then "
+    "probed against the filter. Pure integer arithmetic end-to-end, so "
+    "both engines produce the SAME false positives and the value hash "
+    "gates the sketch itself. No-false-negative guarantee pinned by "
+    "pytest. At 100 TB this is the pre-join filter shape: the words "
+    "table is bytes-sized, broadcast to prune a fact scan before an "
+    "expensive shuffle join (Catalyst's runtime bloom pruning does the "
+    "same internally; this is the explicit, storable variant).",
+)
+def sketch_bloom_membership(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    members = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    all_users = ev.select("user_id").distinct()
+    h1, h2 = _bloom_halves_spark()
+    ks = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i")
+    pos = F.pmod(F.col("h1") + F.col("i") * F.col("h2"), F.lit(_BLOOM_BITS))
+    build = (
+        members.select("user_id", h1.alias("h1"), h2.alias("h2"))
+        .select("user_id", "h1", "h2", ks)
+        .select(
+            (pos / 32).cast("long").alias("word_idx"),
+            F.pmod(pos, F.lit(32)).cast("int").alias("bit"),
+        )
+    )
+    # shiftleft's Python API takes only a literal shift; the SQL form
+    # accepts a column expression.
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    words = build.groupBy("word_idx").agg(F.bit_or(mask).alias("w"))
+    probe = (
+        all_users.select("user_id", h1.alias("h1"), h2.alias("h2"))
+        .select("user_id", "h1", "h2", ks)
+        .select(
+            "user_id",
+            (pos / 32).cast("long").alias("word_idx"),
+            F.pmod(pos, F.lit(32)).cast("int").alias("bit"),
+        )
+    )
+    checks = (
+        probe.join(F.broadcast(words), "word_idx", "left")
+        .select(
+            "user_id",
+            (F.coalesce(F.col("w"), F.lit(0)).bitwiseAND(mask) != 0).alias(
+                "hit"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.bool_and("hit").alias("maybe_present"))
+    )
+    mem = members.withColumn("is_member", F.lit(True))
+    return checks.join(mem, "user_id", "left").select(
+        "user_id",
+        "maybe_present",
+        F.coalesce(F.col("is_member"), F.lit(False)).alias("actually_present"),
+        (F.col("maybe_present") & F.col("is_member").isNull()).alias(
+            "is_false_positive"
+        ),
+    )

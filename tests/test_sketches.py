@@ -193,3 +193,20 @@ def test_matryoshka_recall_monotone_and_exhaustive(spark, sf_dir):
     assert r_small > 0.2
     assert r_small <= r_mid <= r_full
     assert r_full == 1.0
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every actual member must read maybe_present
+    (bits only ever turn ON); false positives are allowed and exact-
+    oracle-matched, false negatives never."""
+    from feature_store_2_spark.queries import CATALOG
+
+    q = next(q for q in CATALOG if q.name == "sketch_bloom_membership")
+    rows = q.fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["maybe_present"] for r in rows if r["actually_present"])
+    # sanity: the flag derivation is internally consistent
+    for r in rows:
+        assert r["is_false_positive"] == (
+            r["maybe_present"] and not r["actually_present"]
+        )

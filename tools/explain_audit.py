@@ -130,6 +130,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/windows_setops.py", "b"): "equi-depth bucket bounds (k rows)",
     ("queries/setops_misc.py", "b"): "mktsegment domain distinct (~5 rows)",
     ("queries/sketches.py", "counters"): "Count-Min d x w counter table",
+    ("queries/sketches.py", "words"): "Bloom word table (m/32 rows, bytes-sized)",
     ("queries/storage.py", "dim"): "day dimension (bounded calendar)",
     ("operators/curation.py", "bench"): "eval-suite shingles (MB-scale)",
     ("operators/curation.py", "n_docs"): "1-row scalar aggregate",
