@@ -407,3 +407,42 @@ def func_map_higher_order(spark, sf_dir):
         F.size("em").cast("long").alias("n_types"),
         rendered.alias("hot_summary"),
     )
+
+
+@register(
+    "func_interval_calendar",
+    """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_day,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                      CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE))
+            AS BIGINT) AS days_to_month_end
+FROM orders
+WHERE o_orderkey <= 2000
+""",
+    doc="calendar-interval arithmetic pinned cross-engine — the "
+    "date-family corner where engines classically diverge: +1 MONTH "
+    "end-of-month clamping (Jan 31 -> Feb 29), last_day, quarter "
+    "truncation, ISO week numbers, day differences. Spark add_months "
+    "and DuckDB + INTERVAL 1 MONTH both clamp to month end; both "
+    "weekofyear implementations are ISO-8601 — asserted by the value "
+    "hash over six years of order dates, so any engine upgrade that "
+    "changes a calendar rule trips the gate. Pure projection, "
+    "pushdown-friendly.",
+)
+def func_interval_calendar(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_day"),
+        F.add_months(d, 1).alias("plus_month"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.datediff(F.last_day(d), d).cast("long").alias("days_to_month_end"),
+    )

@@ -636,3 +636,39 @@ def agg_trimmed_mean_quantity(spark, sf_dir):
             .alias("trimmed_mean"),
         )
     )
+
+
+@register(
+    "window_running_distinct_types",
+    """
+SELECT user_id, event_id,
+       CAST(count(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS distinct_types_so_far
+FROM events
+""",
+    doc="running DISTINCT count over a window — a real engine gap: "
+    "Spark does not support count(DISTINCT) OVER, so the idiom is "
+    "size(collect_set() OVER (...running frame)) — the set dedups "
+    "in-frame and size() is the distinct count. (ts, event_id) is a "
+    "total order so frames are identical cross-engine. Scale note: "
+    "the set is bounded by the event-type DOMAIN (small), so state "
+    "per row is tiny; for high-cardinality columns the right tool is "
+    "approx_count_distinct over windows or an offline rollup, not "
+    "this idiom.",
+)
+def window_running_distinct_types(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("distinct_types_so_far"),
+    )
