@@ -388,3 +388,38 @@ FROM spine LEFT JOIN m ON spine.month_start = m.month_start
 def sql_recursive_month_spine(spark, sf_dir):
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+@register(
+    "sql_pipe_syntax_revenue",
+    """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+""",
+    doc="SQL PIPE syntax (|>, new Spark 4 surface): the linear "
+    "FROM |> WHERE |> AGGREGATE form of a filtered revenue rollup — "
+    "reads top-to-bottom in dataflow order like the DataFrame API, "
+    "compiles to the identical plan as the nested ANSI form (which is "
+    "the oracle, since DuckDB has no pipe parser). Same determinism "
+    "contract as every revenue entry: DECIMAL accumulation, one cast "
+    "to DOUBLE.",
+)
+def sql_pipe_syntax_revenue(spark, sf_dir):
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+|> AGGREGATE CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                 AS revenue,
+             count(*) AS n_rows
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, revenue, n_rows
+"""
+    )
