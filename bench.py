@@ -65,6 +65,12 @@ HEADLINE = [
     # EXISTS/NOT-EXISTS (two orderkey shuffles of lineitem).
     "join_bucketed_fact_fact",
     "q21_waiting_orders",
+    # Round-5 additions: the training-data assembly family's two new
+    # plan shapes — skew-safe (bucket x md5-shard) windowed batching,
+    # and BPE pair counting over the word vocabulary (two hash aggs +
+    # per-vocab-entry expansion).
+    "doc_length_bucket_batches",
+    "vocab_bpe_merge_step",
     "stream_sessionize",
     # The reference's true workload end-to-end: streaming ingest ->
     # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;

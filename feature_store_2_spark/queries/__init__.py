@@ -138,6 +138,7 @@ def _load_all() -> None:
         "behavior",
         "llm_text",
         "llm_curation",
+        "training_data",
         "quality",
         "llm_similarity",
         "multimodal",

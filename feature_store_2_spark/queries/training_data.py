@@ -1,0 +1,361 @@
+"""Training-data assembly query family — the operators that sit between
+a curated corpus and the actual training job: deterministic sampling
+(per-group reservoir, temperature-weighted source mixing), batch
+construction (length-bucketed batching), vocabulary induction (one BPE
+merge step), retrieval-index build (inverted index), and per-domain
+corpus profiling.
+
+Reference scope analog: the reference's pipeline ends at feature
+serving (`/root/reference/services/user_feature.py`); these extend the
+same engine surface to the data-loading side of an LLM training
+pipeline, the north-star workload for the 100 TB deployment.
+
+Every entry carries an exact DuckDB oracle. Determinism recipe shared
+by the family: all sampling/sharding decisions come from md5(id)
+buckets (never rand()), ratios are single IEEE-exact divisions of
+integer aggregates (sqrt/div are correctly rounded on both engines),
+and counts stay integers end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+
+def _md5_bucket(col, mod: int):
+    """Deterministic uniform bucket in [0, mod): first two md5 bytes of
+    the id rendered as decimal — the cross-engine-stable hash idiom used
+    by doc_stratified_sample (ascii(hex char) matches on both engines)."""
+    m = F.md5(col.cast("string").cast("binary"))
+    return (
+        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1)))
+        .cast("long")
+        % mod
+    )
+
+
+def _md5_order(col):
+    """Full md5 hex string — a deterministic uniform shuffle key for
+    order-based sampling (rank by hash == uniform without replacement)."""
+    return F.md5(col.cast("string").cast("binary"))
+
+
+_MD5_BUCKET_SQL = (
+    "CAST(ascii(substr(md5(CAST({id} AS VARCHAR)), 1, 1)) * 256 "
+    "+ ascii(substr(md5(CAST({id} AS VARCHAR)), 2, 1)) AS BIGINT) % {mod}"
+)
+
+
+@register(
+    "sample_group_reservoir",
+    """
+WITH r AS (
+    SELECT user_id, event_id, event_type,
+           CAST(row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+           ) AS BIGINT) AS sample_rank
+    FROM events)
+SELECT user_id, event_id, event_type, sample_rank
+FROM r WHERE sample_rank <= 3
+""",
+    doc="deterministic per-group reservoir sample: exactly min(k, n) "
+    "events per user, k=3, chosen uniformly by ranking on md5(event_id) "
+    "— rank-by-hash IS a uniform sample without replacement, but unlike "
+    "reservoir state or rand() it is reproducible across engines, "
+    "retries, and partitionings. One window over user_id (high-"
+    "cardinality key — no skew funnel) and the rank<=k filter cuts "
+    "output to k rows/group before anything downstream.",
+)
+def sample_group_reservoir(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(_md5_order(F.col("event_id")), "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 3)
+    )
+
+
+@register(
+    "doc_length_bucket_batches",
+    f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           {_MD5_BUCKET_SQL.format(id="doc_id", mod=4)} AS shard
+    FROM documents),
+b AS (
+    SELECT doc_id, n_tokens, shard,
+           (n_tokens + 31) // 32 AS bucket,
+           CAST(row_number() OVER (
+               PARTITION BY (n_tokens + 31) // 32, shard
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS rn
+    FROM t)
+SELECT bucket, shard, (rn - 1) // 8 AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(n_tokens) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * bucket * 32 - sum(n_tokens) AS BIGINT) AS pad_waste
+FROM b GROUP BY bucket, shard, (rn - 1) // 8
+""",
+    doc="length-bucketed batch construction — the padding-efficiency "
+    "step of a training data loader: docs are bucketed by "
+    "ceil(tokens/32), sharded 4 ways by md5(doc_id), deterministically "
+    "ordered within (bucket, shard) by md5, and grouped into batches of "
+    "8; per batch the pad waste vs the bucket cap is exact integer "
+    "arithmetic. The shard key is the scale design: window partitions "
+    "are (bucket x shard), so no low-cardinality bucket ever funnels "
+    "through one task (the doc_corpus_curation r4 lesson), and batch "
+    "ids are local to a shard exactly as a distributed loader numbers "
+    "them. Everything is integers — the oracle hashes bit-for-bit.",
+)
+def doc_length_bucket_batches(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        _md5_bucket(F.col("doc_id"), 4).alias("shard"),
+    ).withColumn("bucket", F.floor((F.col("n_tokens") + 31) / 32).cast("long"))
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        _md5_order(F.col("doc_id")), "doc_id"
+    )
+    b = t.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "batch_id", F.floor((F.col("rn") - 1) / 8).cast("long")
+    )
+    return b.groupBy("bucket", "shard", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.count("*") * F.col("bucket") * 32 - F.sum("n_tokens"))
+        .cast("long")
+        .alias("pad_waste"),
+    )
+
+
+_HEX = "0123456789abcdef"
+# Uniform fraction in [0, 1) from the first 4 md5 hex digits: each digit
+# parsed via position() (1-based, identical on both engines) -> a value
+# in 0..65535 over a power-of-two denominator, so the division is exact.
+_MD5_FRAC_SQL = (
+    "(((CAST(position(substr(md5(CAST({id} AS VARCHAR)), 1, 1) IN '{hx}') AS BIGINT) - 1) * 4096"
+    " + (CAST(position(substr(md5(CAST({id} AS VARCHAR)), 2, 1) IN '{hx}') AS BIGINT) - 1) * 256"
+    " + (CAST(position(substr(md5(CAST({id} AS VARCHAR)), 3, 1) IN '{hx}') AS BIGINT) - 1) * 16"
+    " + (CAST(position(substr(md5(CAST({id} AS VARCHAR)), 4, 1) IN '{hx}') AS BIGINT) - 1)"
+    ") / 65536.0)"
+)
+
+
+def _md5_frac(col):
+    """Spark twin of _MD5_FRAC_SQL: uniform [0, 1) fraction of an id."""
+    m = F.md5(col.cast("string").cast("binary"))
+
+    def v(i: int):
+        return F.position(F.substring(m, i, 1), F.lit(_HEX)).cast("long") - 1
+
+    val = ((v(1) * 16 + v(2)) * 16 + v(3)) * 16 + v(4)
+    return val / F.lit(65536.0)
+
+
+@register(
+    "doc_mixture_temperature_sample",
+    f"""
+WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+mn AS (SELECT min(n_lang) AS n_min FROM c),
+h AS (
+    SELECT doc_id, lang,
+           {_MD5_FRAC_SQL.format(id="doc_id", hx=_HEX)} AS frac
+    FROM documents)
+SELECT doc_id, h.lang, n_lang,
+       sqrt(CAST(n_min AS DOUBLE)) / sqrt(CAST(n_lang AS DOUBLE)) AS keep_rate
+FROM h JOIN c USING (lang) CROSS JOIN mn
+WHERE frac < sqrt(CAST(n_min AS DOUBLE)) / sqrt(CAST(n_lang AS DOUBLE))
+""",
+    doc="temperature-weighted language mixing (alpha=0.5), the data-"
+    "mixture step every multilingual training run applies (Conneau et "
+    "al. 2019 XLM-R): per-language keep-rate sqrt(n_min/n_lang) "
+    "rebalances the expected mixture toward n_lang^0.5 — the dominant "
+    "language downsampled hardest, the smallest kept whole (the "
+    "synthetic corpus is source-balanced but language-SKEWED, so the "
+    "cut genuinely fires). Keep decisions are uniform md5(doc_id) "
+    "fractions (4 hex digits over a power-of-two denominator — exact) "
+    "vs a rate built from two integer counts by IEEE-correctly-rounded "
+    "sqrt/div, so both engines keep the IDENTICAL set and the double "
+    "column itself hashes exactly. Shape: one per-language count agg "
+    "(bounded domain), a 1-row n_min broadcast, an equi-join back on "
+    "lang — the corpus scan itself never shuffles.",
+)
+def doc_mixture_temperature_sample(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    c = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    mn = c.agg(F.min("n_lang").alias("n_min"))
+    rate = F.sqrt(F.col("n_min").cast("double")) / F.sqrt(
+        F.col("n_lang").cast("double")
+    )
+    h = d.select(
+        "doc_id",
+        "lang",
+        _md5_frac(F.col("doc_id")).alias("frac"),
+    )
+    return (
+        h.join(c, "lang")
+        .crossJoin(F.broadcast(mn))
+        .filter(F.col("frac") < rate)
+        .select("doc_id", "lang", "n_lang", rate.alias("keep_rate"))
+    )
+
+
+@register(
+    "search_inverted_index",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+dtok AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT term, doc_id // 100 AS segment,
+       CAST(count(*) AS BIGINT) AS seg_df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM dtok GROUP BY term, doc_id // 100
+""",
+    doc="inverted-index build (term -> sorted posting list) — the "
+    "retrieval-side dual of doc-side tokenization and the core of a "
+    "corpus search/contamination service. Posting lists are emitted as "
+    "doc-range SEGMENTS (doc_id div 100): every output row is bounded "
+    "by the segment width BY CONSTRUCTION, so a stop-word's corpus-"
+    "sized posting list can never materialize as one giant row/task — "
+    "the same segmented layout Lucene/Sparrow-style distributed "
+    "indexes persist, and segment ranges make index MERGES and "
+    "incremental re-index of a doc-id range embarrassingly parallel. "
+    "One shuffle on (term, segment); list construction is sort_array + "
+    "concat_ws codegen, no Python.",
+)
+def search_inverted_index(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    dtok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).distinct()
+    return dtok.groupBy(
+        "term", F.expr("doc_id DIV 100").alias("segment")
+    ).agg(
+        F.count("*").alias("seg_df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+
+
+@register(
+    "vocab_bpe_merge_step",
+    """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+wc AS (SELECT word, count(*) AS c FROM tok
+       WHERE len(word) >= 2 GROUP BY word),
+pairs AS (
+    SELECT substr(word, i, 1) || '|' || substr(word, i + 1, 1) AS pair, c
+    FROM wc, unnest(generate_series(1, len(word) - 1)) AS t(i)),
+agg AS (SELECT pair, CAST(sum(c) AS BIGINT) AS pair_n
+        FROM pairs GROUP BY pair)
+SELECT pair, pair_n FROM agg
+ORDER BY pair_n DESC, pair LIMIT 20
+""",
+    doc="one BPE merge step — the corpus-wide statistic tokenizer "
+    "training iterates (Sennrich et al. 2016): count every adjacent "
+    "symbol pair inside every word occurrence (weighted by word "
+    "frequency) and take the top candidates. The scale trick is "
+    "aggregating to the WORD VOCABULARY first (one hash agg), then "
+    "expanding pairs over vocab entries — pair work scales with "
+    "distinct words, not corpus tokens, exactly how production BPE "
+    "trainers precompute word counts. Pure integer counts; top-20 is "
+    "TakeOrderedAndProject (tie-break on pair), never a global sort.",
+)
+def vocab_bpe_merge_step(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    wc = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    # substring with a column position needs SQL substr(word, i, 1)
+    pairs = (
+        wc.select(
+            "word",
+            "c",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            F.concat_ws(
+                "|",
+                F.expr("substr(word, i, 1)"),
+                F.expr("substr(word, i + 1, 1)"),
+            ).alias("pair"),
+            "c",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("pair_n"))
+        .orderBy(F.desc("pair_n"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "doc_domain_quality_profile",
+    """
+WITH tot AS (SELECT count(*) AS n_total FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+           AS dup_frac,
+       CAST(count(*) AS DOUBLE) / n_total AS corpus_share
+FROM documents CROSS JOIN tot
+GROUP BY source, n_total
+""",
+    doc="per-domain corpus profile — the C4/RefinedWeb-style source "
+    "scorecard that decides per-domain curation policy: doc count, "
+    "language spread, mean length, exact-duplicate fraction (md5 "
+    "fingerprints), and corpus share. One hash agg over source "
+    "(bounded domain) with a 1-row total broadcast; ratios are single "
+    "divisions of exact integer counts, so the doubles hash "
+    "identically on both engines. At 100 TB this is the dashboard "
+    "query that runs after every crawl snapshot.",
+)
+def doc_domain_quality_profile(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    tot = d.agg(F.count("*").alias("n_total"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_total")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            F.countDistinct(F.md5(F.col("text").cast("binary"))).alias(
+                "n_unique_texts"
+            ),
+            (
+                (F.count("*") - F.countDistinct(F.md5(F.col("text").cast("binary"))))
+                .cast("double")
+                / F.count("*")
+            ).alias("dup_frac"),
+            (F.count("*").cast("double") / F.col("n_total")).alias("corpus_share"),
+        )
+        .drop("n_total")
+    )

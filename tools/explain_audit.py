@@ -48,6 +48,9 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "emb_ivf_topk", "emb_centroid_assign", "emb_kmeans_fit",
                # 1-row n_docs scalar broadcast (TF-salience df join)
                "doc_salient_terms",
+               # 1-row scalar broadcasts: n_min (temperature rate) /
+               # corpus total (domain share)
+               "doc_mixture_temperature_sample", "doc_domain_quality_profile",
                # 1-row audit-aggregate x 1-row uniqueness-aggregate join
                "dq_constraint_audit"}
 
@@ -140,6 +143,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "centroids"): "k x dim centroid table",
     ("streaming/grants_store.py", "sub_map"): "subscription map (bounded)",
     ("queries/streaming_queries.py", "mx"): "1-row terminal-watermark aggregate",
+    ("queries/training_data.py", "mn"): "1-row min-source-count aggregate",
+    ("queries/training_data.py", "tot"): "1-row scalar aggregate",
 }
 
 _BROADCAST_RE = None  # compiled lazily
