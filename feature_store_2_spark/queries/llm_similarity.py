@@ -528,3 +528,65 @@ def emb_matryoshka_rerank(spark, sf_dir):
         m=_MRL_M,
         prefix_dims=_MRL_PRE,
     ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@register(
+    "emb_knn_label_vote",
+    f"""
+WITH knn AS ({_KNN_JOIN_ORACLE}),
+votes AS (
+    SELECT k.query_id, e.label AS cand_label,
+           CAST(count(*) AS BIGINT) AS votes
+    FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+    GROUP BY k.query_id, e.label),
+pred AS (
+    SELECT query_id, cand_label, votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, cand_label) AS rn
+    FROM votes)
+SELECT p.query_id AS vec_id, q.label AS true_label,
+       p.cand_label AS pred_label, p.votes,
+       p.cand_label = q.label AS correct
+FROM pred p JOIN embeddings q ON p.query_id = q.vec_id
+WHERE p.rn = 1
+""",
+    doc="k-NN label vote — the classic semi-supervised labeling / "
+    "label-quality-audit operator (predict each vector's class from "
+    "its 5 nearest neighbors' majority, compare to the stored label): "
+    "rides the SRP-banded k-NN join (never all-pairs), then one "
+    "(query, label) hash agg and a deterministic argmax (votes DESC, "
+    "label ASC tie-break). Any disagreement between pred_label and "
+    "true_label is exactly the row a training pipeline routes to "
+    "relabeling/review. Oracle rebuilds the identical candidate set, "
+    "ranking, and vote; integer votes make the argmax engine-exact.",
+)
+def emb_knn_label_vote(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from feature_store_2_spark.operators.dedup import embedding_srp_knn_join
+
+    e = load_table(spark, "embeddings", sf_dir)
+    knn = embedding_srp_knn_join(e, k=5)
+    votes = (
+        knn.join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("cand_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "cand_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), "cand_label")
+    pred = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return pred.join(
+        e.select(F.col("vec_id"), F.col("label").alias("true_label")),
+        pred["query_id"] == F.col("vec_id"),
+    ).select(
+        "vec_id",
+        "true_label",
+        F.col("cand_label").alias("pred_label"),
+        "votes",
+        (F.col("cand_label") == F.col("true_label")).alias("correct"),
+    )

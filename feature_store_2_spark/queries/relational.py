@@ -423,3 +423,28 @@ FROM lineitem
 |> SELECT l_returnflag, revenue, n_rows
 """
     )
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY ALL
+"""
+
+
+@register(
+    "sql_group_by_all_priority",
+    _GROUP_BY_ALL_SQL,
+    doc="GROUP BY ALL (Spark 4 / modern-SQL surface): the grouping key "
+    "list is inferred as every non-aggregate select item, so ad-hoc "
+    "rollups can't silently drop a key when the select list is edited "
+    "— the SAME SQL text runs verbatim on spark.sql and DuckDB. "
+    "Decimal accumulation, one cast to double, as with every revenue "
+    "entry.",
+)
+def sql_group_by_all_priority(spark, sf_dir):
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)

@@ -414,3 +414,84 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select("vec1", "vec2", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
     )
+
+
+_OVL_W_US = 1_800_000_000  # 30-minute bin width (>= both interval lengths)
+_P_DUR_US = 1_800_000_000  # purchase attention window: 30 minutes
+_C_DUR_US = 600_000_000  # click attention window: 10 minutes
+
+
+@register(
+    "join_interval_overlap_binned",
+    f"""
+WITH p AS (SELECT event_id AS purchase_id, user_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS s,
+                  CAST(epoch_us(ts) + {_P_DUR_US} AS BIGINT) AS e
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS s,
+             CAST(epoch_us(ts) + {_C_DUR_US} AS BIGINT) AS e
+      FROM events WHERE event_type = 'click')
+SELECT p.user_id, purchase_id, click_id,
+       CAST(least(p.e, c.e) - greatest(p.s, c.s) AS BIGINT) AS overlap_us
+FROM p JOIN c ON p.user_id = c.user_id AND p.s <= c.e AND c.s <= p.e
+""",
+    doc="interval x interval OVERLAP join (both sides are time RANGES, "
+    "not points — the step past join_range_binned's point-in-window "
+    "form): per user, 30-min purchase attention windows overlapping "
+    "10-min click windows, plus the exact overlap length. Scale "
+    "strategy: each interval explodes to the 30-min bins it spans "
+    "(<= 2 bins, since bin width >= interval length), the ONLY join "
+    "is the (user, bin) equi-join, and each overlapping pair is "
+    "counted exactly once by attributing it to the bin containing "
+    "greatest(start_a, start_b) — a point both intervals contain, so "
+    "completeness is structural. The oracle is the plain theta join; "
+    "identical output proves the binned rewrite is lossless. All "
+    "arithmetic is BIGINT microseconds.",
+)
+def join_interval_overlap_binned(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts"))
+
+    def intervals(etype, dur_us, id_alias):
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(id_alias),
+            "user_id",
+            us.alias("s"),
+            (us + F.lit(dur_us)).alias("e"),
+        )
+
+    def binned(df):
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s") / _OVL_W_US), F.floor(F.col("e") / _OVL_W_US)
+                )
+            ),
+        )
+
+    p = binned(intervals("purchase", _P_DUR_US, "purchase_id")).alias("p")
+    c = binned(intervals("click", _C_DUR_US, "click_id")).alias("c")
+    meet = F.floor(
+        F.greatest(F.col("p.s"), F.col("c.s")) / F.lit(_OVL_W_US)
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("p.bin") == F.col("c.bin"))
+            & (F.col("p.s") <= F.col("c.e"))
+            & (F.col("c.s") <= F.col("p.e"))
+            & (F.col("p.bin") == meet),
+        )
+        .select(
+            F.col("p.user_id").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            (
+                F.least(F.col("p.e"), F.col("c.e"))
+                - F.greatest(F.col("p.s"), F.col("c.s"))
+            ).alias("overlap_us"),
+        )
+    )

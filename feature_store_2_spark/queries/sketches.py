@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.queries import register
@@ -355,4 +356,83 @@ def sketch_bloom_membership(spark, sf_dir):
         (F.col("maybe_present") & F.col("is_member").isNull()).alias(
             "is_false_positive"
         ),
+    )
+
+
+_KMV_K = 32
+_TWO56 = float(1 << 56)
+
+
+def _kmv_oracle() -> str:
+    h = _hex_fold_n("CAST(user_id AS VARCHAR)", 14)
+    return f"""
+WITH dh AS (SELECT DISTINCT event_type, {h} AS h FROM events),
+rk AS (SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       FROM dh),
+kv AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k_used,
+              max(h) AS kth_h
+       FROM rk WHERE rn <= {_KMV_K} GROUP BY event_type),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS true_ndv
+       FROM events GROUP BY event_type)
+SELECT kv.event_type, k_used, kth_h,
+       CASE WHEN k_used = {_KMV_K}
+            THEN ({_KMV_K - 1}.0 * {_TWO56!r}) / kth_h
+            ELSE CAST(k_used AS DOUBLE) END AS est_ndv,
+       true_ndv
+FROM kv JOIN ex ON kv.event_type = ex.event_type
+"""
+
+
+@register(
+    "sketch_kmv_distinct",
+    _kmv_oracle(),
+    doc=f"KMV (k-minimum-values) distinct sketch, k={_KMV_K}: per group "
+    "keep the k smallest 56-bit md5 hashes of the key; the kth value "
+    "estimates NDV as (k-1)*2^56/h_k (Bar-Yossef et al. 2002). Unlike "
+    "HLL++ the whole sketch state is EXACT deterministic integers, so "
+    "the DuckDB oracle reproduces it bit-for-bit — including the "
+    "estimate, a single correctly-rounded division — making this the "
+    "value-hash-gateable member of the distinct-sketch family "
+    "(complementing rows-only agg_approx_distinct). Mergeability is "
+    "structural: bottom-k of a union == bottom-k of per-partition "
+    "bottom-k's, which the implementation exploits with a salted "
+    "two-phase bottom-k (32 salt classes, then a final window over "
+    "<= k*32 survivors per group) — no low-cardinality window funnel, "
+    "same shape a 1000-executor merge would run. true_ndv rides along "
+    "for the accuracy pytest.",
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    from feature_store_2_spark.queries.training_data import _md5_bucket
+
+    ev = load_table(spark, "events", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 14),
+        16,
+        10,
+    ).cast("long")
+    dh = ev.select("event_type", h.alias("h")).distinct()
+    salted = dh.withColumn("salt", _md5_bucket(F.col("h"), 32))
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+    survivors = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _KMV_K)
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    kv = (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("k_used"), F.max("h").alias("kth_h"))
+    )
+    est = F.when(
+        F.col("k_used") == _KMV_K,
+        F.lit(float(_KMV_K - 1) * _TWO56) / F.col("kth_h"),
+    ).otherwise(F.col("k_used").cast("double"))
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_ndv")
+    )
+    return kv.join(ex, "event_type").select(
+        "event_type", "k_used", "kth_h", est.alias("est_ndv"), "true_ndv"
     )

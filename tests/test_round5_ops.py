@@ -1,0 +1,91 @@
+"""Contract tests for the round-5 additions beyond the oracle gate:
+KMV estimator accuracy + mergeability, interval-overlap bin-edge
+completeness on crafted rows, and k-NN vote well-formedness.
+"""
+
+import pyspark.sql.functions as F
+
+from feature_store_2_spark.queries import CATALOG
+
+Q = {q.name: q.fn for q in CATALOG}
+
+
+def test_kmv_estimate_within_sketch_error(spark, sf_dir):
+    rows = Q["sketch_kmv_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.k_used < 32:
+            # fewer distinct keys than k: KMV degenerates to exact
+            assert r.est_ndv == float(r.k_used) == float(r.true_ndv)
+        else:
+            # KMV relative standard error is ~1/sqrt(k-2) (= 18% at
+            # k=32); 4 sigma is a drift-catching but non-flaky bound
+            assert abs(r.est_ndv - r.true_ndv) <= 4 * r.true_ndv / (30 ** 0.5)
+
+
+def test_kmv_two_phase_equals_global_bottom_k(spark, sf_dir):
+    # the salted two-phase bottom-k must select exactly the global
+    # bottom-k hashes (mergeability is the whole point of the sketch)
+    out = Q["sketch_kmv_distinct"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 14),
+        16,
+        10,
+    ).cast("long")
+    naive = (
+        ev.select("event_type", h.alias("h"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+        .select(
+            "event_type",
+            F.element_at(
+                F.slice("hs", 1, 32), F.least(F.size("hs"), F.lit(32))
+            ).alias("kth_naive"),
+        )
+    )
+    joined = out.join(naive, "event_type").collect()
+    assert joined and all(r.kth_h == r.kth_naive for r in joined)
+
+
+def test_interval_overlap_bin_edges(spark, tmp_path):
+    # crafted intervals around the 30-min bin boundary at t=1800s:
+    # same-bin overlap, cross-bin overlap, exact touch, and a disjoint
+    # pair — the binned join must return exactly the overlapping ones.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, etype, sec):
+        return (eid, base + dt.timedelta(seconds=sec), 1, etype, 1.0, "{}")
+
+    rows = [
+        ev(1, "purchase", 0),      # [0, 1800]
+        ev(2, "click", 1800),      # [1800, 2400] — touches 1 at the bin edge
+        ev(3, "purchase", 3000),   # [3000, 4800] — spans bins 1..2
+        ev(4, "click", 3900),      # [3900, 4500] — inside 3, bin 2
+        ev(5, "click", 7200),      # [7200, 7800] — disjoint from all
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    out = Q["join_interval_overlap_binned"](spark, str(tmp_path)).collect()
+    pairs = {(r.purchase_id, r.click_id): r.overlap_us for r in out}
+    assert pairs == {(1, 2): 0, (3, 4): 600_000_000}
+
+
+def test_knn_vote_wellformed(spark, sf_dir):
+    out = Q["emb_knn_label_vote"](spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert out.count() == emb.count()  # one verdict per vector
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    bad = out.filter(
+        (~F.col("pred_label").isin(*labels))
+        | (F.col("votes") < 1)
+        | (F.col("votes") > 5)
+        | (F.col("correct") != (F.col("pred_label") == F.col("true_label")))
+    ).count()
+    assert bad == 0
