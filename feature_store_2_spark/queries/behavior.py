@@ -464,3 +464,64 @@ def anomaly_daily_event_volume(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "resample_weekly_ohlc",
+    """
+WITH e AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+           ts, event_id, value
+    FROM events WHERE event_type = 'purchase'),
+rk AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id, wk
+                              ORDER BY ts, event_id) AS rn_f,
+           row_number() OVER (PARTITION BY user_id, wk
+                              ORDER BY ts DESC, event_id DESC) AS rn_l
+    FROM e)
+SELECT user_id, wk,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(CASE WHEN rn_f = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_l = 1 THEN value END) AS close,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+FROM rk GROUP BY user_id, wk
+""",
+    doc="OHLC downsampling (open/high/low/close + volume per user-week) "
+    "— the classic time-series resample a metrics/trading pipeline "
+    "runs to compress tick-grain history: open/close are the "
+    "first/last values by a TOTAL order (ts, event_id — ties can't "
+    "flip the answer between engines or retries), high/low are plain "
+    "min/max, volume accumulates in DECIMAL. One window + one hash "
+    "agg, both keyed by high-cardinality (user, week); at 100 TB this "
+    "is the week-partitioned incremental rollup, each partition "
+    "independent.",
+)
+def resample_weekly_ohlc(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    e = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wf = Window.partitionBy("user_id", "wk").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id", "wk").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rk = e.withColumn("rn_f", F.row_number().over(wf)).withColumn(
+        "rn_l", F.row_number().over(wl)
+    )
+    return rk.groupBy("user_id", "wk").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("rn_f") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_l") == 1, F.col("value"))).alias("close"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+    )

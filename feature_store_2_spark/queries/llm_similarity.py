@@ -590,3 +590,90 @@ def emb_knn_label_vote(spark, sf_dir):
         "votes",
         (F.col("cand_label") == F.col("true_label")).alias("correct"),
     )
+
+
+_PQ_M = 4        # subspaces
+_PQ_SUB = 16     # dims per subspace (4 x 16 = DIM)
+_PQ_K = 16       # codebook entries per subspace
+
+
+@register(
+    "emb_pq_codes",
+    f"""
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+cb AS (SELECT vec_id AS j, v FROM qv WHERE vec_id < {_PQ_K}),
+d AS (
+    SELECT q.vec_id, s.s, c.j,
+           CAST(sum((q.v[s.s * {_PQ_SUB} + i.i] - c.v[s.s * {_PQ_SUB} + i.i])
+                  * (q.v[s.s * {_PQ_SUB} + i.i] - c.v[s.s * {_PQ_SUB} + i.i]))
+                AS BIGINT) AS dist2
+    FROM qv q
+    CROSS JOIN generate_series(0, {_PQ_M - 1}) s(s)
+    CROSS JOIN cb c
+    CROSS JOIN generate_series(1, {_PQ_SUB}) i(i)
+    GROUP BY q.vec_id, s.s, c.j),
+best AS (
+    SELECT vec_id, s, j, dist2,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist2, j) AS rn
+    FROM d)
+SELECT vec_id,
+       CAST(max(CASE WHEN s = 0 THEN j END) AS BIGINT) AS code_0,
+       CAST(max(CASE WHEN s = 1 THEN j END) AS BIGINT) AS code_1,
+       CAST(max(CASE WHEN s = 2 THEN j END) AS BIGINT) AS code_2,
+       CAST(max(CASE WHEN s = 3 THEN j END) AS BIGINT) AS code_3,
+       CAST(sum(dist2) AS BIGINT) AS recon_dist2
+FROM best WHERE rn = 1 GROUP BY vec_id
+""",
+    doc=f"product quantization (PQ) encoding — the compression member "
+    f"of the ANN family (Jegou et al. 2011), alongside LSH/IVF "
+    f"bucketing and MRL prefix pruning: each vector is split into "
+    f"{_PQ_M} subspaces of {_PQ_SUB} dims and each sub-vector replaced "
+    f"by its nearest codebook entry (argmin exact quantized-integer "
+    f"L2, tie-break on code id), shrinking 64 floats to {_PQ_M} bytes "
+    f"for asymmetric-distance search. The codebook here is the first "
+    f"{_PQ_K} vectors (deterministic stand-in for per-subspace k-means "
+    f"— the emb_kmeans_fit loop is the trainer at scale); it is a "
+    f"{_PQ_M * _PQ_K}-row broadcast, the corpus scan never shuffles "
+    f"for encoding, and the per-(vector, subspace) argmin window is "
+    f"high-cardinality. recon_dist2 (total quantization error) rides "
+    f"along for the compression-quality pytest.",
+)
+def emb_pq_codes(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    subs = F.explode(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1))
+    ).alias("s")
+    sub_slice = F.slice(F.col("v"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
+    qsub = (
+        qv.select("vec_id", "v", subs)
+        .withColumn("sv", sub_slice)
+        .drop("v")
+    )
+    cb = (
+        qv.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("j"), "v", subs)
+        .withColumn("cv", sub_slice)
+        .select("j", "s", "cv")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = qsub.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "j", diff2.alias("dist2")
+    )
+    w = W.partitionBy("vec_id", "s").orderBy("dist2", "j")
+    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    code = lambda s: F.max(F.when(F.col("s") == s, F.col("j"))).cast("long")
+    return best.groupBy("vec_id").agg(
+        code(0).alias("code_0"),
+        code(1).alias("code_1"),
+        code(2).alias("code_2"),
+        code(3).alias("code_3"),
+        F.sum("dist2").cast("long").alias("recon_dist2"),
+    )

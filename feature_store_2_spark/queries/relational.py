@@ -448,3 +448,82 @@ GROUP BY ALL
 def sql_group_by_all_priority(spark, sf_dir):
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_ASOF_FWD_TOL_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "join_asof_forward_next_purchase",
+    f"""
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT click_id, user_id, click_ts_us, next_purchase_id, gap_us
+FROM (
+    SELECT c.click_id, c.user_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+           p.purchase_id AS next_purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us,
+           row_number() OVER (PARTITION BY c.click_id
+                              ORDER BY p.ts, p.purchase_id) AS rn
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+     AND epoch_us(p.ts) - epoch_us(c.ts) <= {_ASOF_FWD_TOL_US}
+) WHERE rn = 1
+""",
+    doc="FORWARD as-of join with tolerance — the attribution direction "
+    "(first conversion AFTER each exposure, within 1 hour), "
+    "complementing join_asof_purchase_last_signup's backward form. "
+    "Spark-first shape is the same union-merge trick reversed: tag "
+    "clicks and purchases into one per-user timeline, sort query rows "
+    "BEFORE state rows at equal ts (inclusive >=), and take "
+    "first(purchase, ignorenulls) over the FOLLOWING frame — one "
+    "shuffle, no range explosion; the tolerance is a post-filter that "
+    "nulls the match (left-join semantics), valid because the first "
+    "following purchase past tolerance implies none within it. Oracle "
+    "is the explicit range LEFT JOIN + per-click argmin.",
+)
+def join_asof_forward_next_purchase(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("state_id"),
+        F.col("event_id").alias("query_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("state_id"),
+        F.lit(None).cast("long").alias("query_id"),
+    )
+    unioned = clicks.unionByName(purchases).withColumn(
+        "pos", F.col("state_id").isNotNull().cast("int")  # queries first at ties
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "pos", F.coalesce("state_id", "query_id"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    us = F.unix_micros(F.col("ts"))
+    nxt_id = F.first("state_id", ignorenulls=True).over(w)
+    nxt_us = F.first(
+        F.when(F.col("state_id").isNotNull(), us), ignorenulls=True
+    ).over(w)
+    out = (
+        unioned.withColumn("next_id_raw", nxt_id)
+        .withColumn("gap_raw", nxt_us - us)
+        .filter(F.col("query_id").isNotNull())
+    )
+    within = F.col("gap_raw") <= _ASOF_FWD_TOL_US
+    return out.select(
+        F.col("query_id").alias("click_id"),
+        "user_id",
+        us.alias("click_ts_us"),
+        F.when(within, F.col("next_id_raw")).alias("next_purchase_id"),
+        F.when(within, F.col("gap_raw")).alias("gap_us"),
+    )

@@ -89,3 +89,46 @@ def test_knn_vote_wellformed(spark, sf_dir):
         | (F.col("correct") != (F.col("pred_label") == F.col("true_label")))
     ).count()
     assert bad == 0
+
+
+def test_pq_codes_contract(spark, sf_dir):
+    out = Q["emb_pq_codes"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("recon_dist2") < 0)
+        | (F.col("code_0") < 0) | (F.col("code_0") > 15)
+        | (F.col("code_1") < 0) | (F.col("code_1") > 15)
+        | (F.col("code_2") < 0) | (F.col("code_2") > 15)
+        | (F.col("code_3") < 0) | (F.col("code_3") > 15)
+    ).count()
+    assert bad == 0
+    # codebook vectors encode themselves losslessly: code_s == vec_id,
+    # recon_dist2 == 0
+    selfenc = out.filter(F.col("vec_id") < 16).collect()
+    assert len(selfenc) == 16
+    for r in selfenc:
+        assert (r.code_0, r.code_1, r.code_2, r.code_3) == (r.vec_id,) * 4
+        assert r.recon_dist2 == 0
+
+
+def test_asof_forward_gap_bounds(spark, sf_dir):
+    out = Q["join_asof_forward_next_purchase"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_clicks = ev.filter(F.col("event_type") == "click").count()
+    assert out.count() == n_clicks  # exactly one row per click (left semantics)
+    bad = out.filter(
+        (F.col("next_purchase_id").isNotNull() & (
+            (F.col("gap_us") < 0) | (F.col("gap_us") > 3_600_000_000)))
+        | (F.col("next_purchase_id").isNull() & F.col("gap_us").isNotNull())
+    ).count()
+    assert bad == 0
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    out = Q["resample_weekly_ohlc"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("low") > F.col("high"))
+        | (F.col("open") > F.col("high")) | (F.col("open") < F.col("low"))
+        | (F.col("close") > F.col("high")) | (F.col("close") < F.col("low"))
+        | (F.col("n_events") < 1)
+    ).count()
+    assert bad == 0

@@ -145,6 +145,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/streaming_queries.py", "mx"): "1-row terminal-watermark aggregate",
     ("queries/training_data.py", "mn"): "1-row min-source-count aggregate",
     ("queries/training_data.py", "tot"): "1-row scalar aggregate",
+    ("queries/llm_similarity.py", "cb"): "PQ codebook (m x k = 64 rows)",
 }
 
 _BROADCAST_RE = None  # compiled lazily
