@@ -642,17 +642,33 @@ FROM best WHERE rn = 1 GROUP BY vec_id
 def emb_pq_codes(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    e = load_table(spark, "embeddings", sf_dir)
-    qv = e.select("vec_id", quantize("embedding").alias("v"))
-    subs = F.explode(
-        F.sequence(F.lit(0), F.lit(_PQ_M - 1))
-    ).alias("s")
-    sub_slice = F.slice(F.col("v"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
-    qsub = (
-        qv.select("vec_id", "v", subs)
-        .withColumn("sv", sub_slice)
-        .drop("v")
+    d = _pq_subspace_dists(spark, sf_dir)
+    w = W.partitionBy("vec_id", "s").orderBy("dist2", "j")
+    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    code = lambda s: F.max(F.when(F.col("s") == s, F.col("j"))).cast("long")
+    return best.groupBy("vec_id").agg(
+        code(0).alias("code_0"),
+        code(1).alias("code_1"),
+        code(2).alias("code_2"),
+        code(3).alias("code_3"),
+        F.sum("dist2").cast("long").alias("recon_dist2"),
     )
+
+
+_PQ_NQ = 10  # ADC query workload: first 10 vectors
+
+
+def _pq_subspace_dists(spark, sf_dir):
+    """(vec_id, s, j, dist2) for every vector x subspace x codebook entry
+    — the shared kernel of PQ encoding and ADC search. dist2 is exact
+    quantized-integer L2 on the subspace slice."""
+    from feature_store_2_spark.sources.tables import load_table as _lt
+
+    e = _lt(spark, "embeddings", sf_dir)
+    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    subs = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    sub_slice = F.slice(F.col("v"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
+    qsub = qv.select("vec_id", "v", subs).withColumn("sv", sub_slice).drop("v")
     cb = (
         qv.filter(F.col("vec_id") < _PQ_K)
         .select(F.col("vec_id").alias("j"), "v", subs)
@@ -664,16 +680,77 @@ def emb_pq_codes(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    d = qsub.join(F.broadcast(cb), "s").select(
+    return qsub.join(F.broadcast(cb), "s").select(
         "vec_id", "s", "j", diff2.alias("dist2")
     )
+
+
+@register(
+    "emb_pq_adc_topk",
+    f"""
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+cb AS (SELECT vec_id AS j, v FROM qv WHERE vec_id < {_PQ_K}),
+d AS (
+    SELECT q.vec_id, s.s, c.j,
+           CAST(sum((q.v[s.s * {_PQ_SUB} + i.i] - c.v[s.s * {_PQ_SUB} + i.i])
+                  * (q.v[s.s * {_PQ_SUB} + i.i] - c.v[s.s * {_PQ_SUB} + i.i]))
+                AS BIGINT) AS dist2
+    FROM qv q
+    CROSS JOIN generate_series(0, {_PQ_M - 1}) s(s)
+    CROSS JOIN cb c
+    CROSS JOIN generate_series(1, {_PQ_SUB}) i(i)
+    GROUP BY q.vec_id, s.s, c.j),
+best AS (
+    SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist2, j) AS rn
+        FROM d) WHERE rn = 1),
+lut AS (SELECT vec_id AS query_id, s, j, dist2 FROM d
+        WHERE vec_id < {_PQ_NQ}),
+adc AS (
+    SELECT l.query_id, b.vec_id,
+           CAST(sum(l.dist2) AS BIGINT) AS adc_dist2
+    FROM best b JOIN lut l ON b.s = l.s AND b.j = l.j
+    WHERE b.vec_id <> l.query_id
+    GROUP BY l.query_id, b.vec_id)
+SELECT query_id, vec_id, adc_dist2, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist2, vec_id) AS BIGINT) AS rank
+    FROM adc)
+WHERE rank <= 5
+""",
+    doc=f"PQ asymmetric-distance (ADC) top-k search — the query side of "
+    f"product quantization (Jegou et al. 2011): each query precomputes "
+    f"a {_PQ_M}x{_PQ_K} lookup table of exact subspace distances to "
+    f"the codebook, and every encoded corpus vector's distance is just "
+    f"{_PQ_M} LUT adds on its codes — no corpus floats touched at "
+    f"query time, the I/O win PQ exists for. The LUT "
+    f"({_PQ_NQ * _PQ_M * _PQ_K} rows for the {_PQ_NQ}-query workload) "
+    f"is the ONLY broadcast; the corpus side moves codes, not vectors. "
+    f"All-integer arithmetic end-to-end, so ranking and distances "
+    f"hash-match the oracle exactly.",
+)
+def emb_pq_adc_topk(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = _pq_subspace_dists(spark, sf_dir).persist()
     w = W.partitionBy("vec_id", "s").orderBy("dist2", "j")
-    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    code = lambda s: F.max(F.when(F.col("s") == s, F.col("j"))).cast("long")
-    return best.groupBy("vec_id").agg(
-        code(0).alias("code_0"),
-        code(1).alias("code_1"),
-        code(2).alias("code_2"),
-        code(3).alias("code_3"),
-        F.sum("dist2").cast("long").alias("recon_dist2"),
+    best = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "j")
+    )
+    lut = d.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "s", "j", "dist2"
+    )
+    adc = (
+        best.join(F.broadcast(lut), ["s", "j"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dist2").cast("long").alias("adc_dist2"))
+    )
+    wr = W.partitionBy("query_id").orderBy("adc_dist2", "vec_id")
+    return adc.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
+        F.col("rank") <= 5
     )

@@ -839,3 +839,51 @@ def dedup_incremental_new_docs(spark, sf_dir):
         "fingerprint",
         F.col("hit").isNotNull().alias("dup_of_existing"),
     )
+
+
+@register(
+    "dedup_canonical_keep_best",
+    f"""
+WITH comps AS ({_CC_ORACLE}),
+scored AS (
+    SELECT c.doc_id, c.component, d.n_chars
+    FROM comps c JOIN documents d USING (doc_id)),
+best AS (
+    SELECT doc_id, component, n_chars,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+               AS cluster_size
+    FROM scored)
+SELECT doc_id, component, n_chars, cluster_size, (rn = 1) AS keep_best
+FROM best
+""",
+    doc="canonical-document selection per near-dup cluster — the "
+    "DECISION step after connected components: within each Jaccard>="
+    "0.5 component keep the best representative (longest doc, the "
+    "RefinedWeb keep-policy; doc_id tie-break), drop the rest. "
+    "Composition of dedup_cluster_components + one metadata join + a "
+    "per-component argmax window (components are near-dup clusters — "
+    "their size is bounded by content duplication, not corpus size). "
+    "Completes the dedup pipeline: candidates -> verify -> cluster -> "
+    "CANONICALIZE. Oracle nests the recursive-reachability CC oracle "
+    "and reproduces the same keep set.",
+)
+def dedup_canonical_keep_best(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from feature_store_2_spark.operators.graph import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    edges = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select("doc1", "doc2")
+    comps = connected_components(docs.select("doc_id"), edges.persist())
+    scored = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+    wrk = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    wsz = W.partitionBy("component")
+    return scored.select(
+        "doc_id",
+        "component",
+        "n_chars",
+        F.count("*").over(wsz).cast("long").alias("cluster_size"),
+        (F.row_number().over(wrk) == 1).alias("keep_best"),
+    )

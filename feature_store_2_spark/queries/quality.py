@@ -237,3 +237,50 @@ def stats_column_profile(spark, sf_dir):
         "r.column_name", "r.n_rows", "r.n_null", "r.n_distinct",
         "r.min_val", "r.max_val",
     )
+
+
+@register(
+    "stats_key_skew_profile",
+    """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS n_rows FROM c)
+SELECT user_id, n,
+       CAST(n AS DOUBLE) / n_rows AS row_share,
+       CAST(n AS DOUBLE) * n_keys / n_rows AS skew_factor
+FROM c CROSS JOIN tot
+ORDER BY n DESC, user_id LIMIT 10
+""",
+    doc="shuffle-key skew profile — the diagnostic that decides WHEN to "
+    "salt (operators/skew.salted_equi_join) or lean on AQE skew-join "
+    "before a production run: top-10 hottest keys with their row share "
+    "and skew factor (rows vs a perfectly uniform key). One hash agg "
+    "+ a 1-row totals broadcast + TakeOrderedAndProject; ratios are "
+    "single divisions of exact integers so the doubles hash exactly. "
+    "At 100 TB this runs on a sample partition-pruned to a recent "
+    "window, but the shape is identical.",
+)
+def stats_key_skew_profile(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from feature_store_2_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = c.agg(
+        F.count("*").alias("n_keys"), F.sum("n").cast("long").alias("n_rows")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("n_rows")).alias("row_share"),
+            (F.col("n").cast("double") * F.col("n_keys") / F.col("n_rows")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )

@@ -132,3 +132,42 @@ def test_ohlc_invariants(spark, sf_dir):
         | (F.col("n_events") < 1)
     ).count()
     assert bad == 0
+
+
+def test_skew_profile_contract(spark, sf_dir):
+    rows = Q["stats_key_skew_profile"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(r.skew_factor > 0 and 0 < r.row_share < 1 for r in rows)
+
+
+def test_canonical_keep_best_contract(spark, sf_dir):
+    out = Q["dedup_canonical_keep_best"](spark, sf_dir)
+    per_comp = out.groupBy("component").agg(
+        F.sum(F.col("keep_best").cast("int")).alias("n_keep"),
+        F.max("n_chars").alias("mx"),
+        F.max(F.when(F.col("keep_best"), F.col("n_chars"))).alias("kept_chars"),
+        F.count("*").alias("sz"),
+        F.max("cluster_size").alias("sz_col"),
+    )
+    bad = per_comp.filter(
+        (F.col("n_keep") != 1)
+        | (F.col("kept_chars") != F.col("mx"))
+        | (F.col("sz") != F.col("sz_col"))
+    ).count()
+    assert bad == 0
+
+
+def test_pq_adc_topk_contract(spark, sf_dir):
+    rows = Q["emb_pq_adc_topk"](spark, sf_dir).collect()
+    assert len(rows) == 50  # 10 queries x top-5
+    by_q = {}
+    for r in rows:
+        assert r.adc_dist2 >= 0 and r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adc_dist2))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == [1, 2, 3, 4, 5]
+        dists = [d for _, d in rs]
+        assert dists == sorted(dists)

@@ -51,6 +51,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # 1-row scalar broadcasts: n_min (temperature rate) /
                # corpus total (domain share)
                "doc_mixture_temperature_sample", "doc_domain_quality_profile",
+               # 1-row totals broadcast (skew diagnostic)
+               "stats_key_skew_profile",
                # 1-row audit-aggregate x 1-row uniqueness-aggregate join
                "dq_constraint_audit"}
 
@@ -128,6 +130,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/behavior.py", "mad"): "1-row scalar aggregate",
     ("queries/behavior.py", "stats"): "1-row scalar aggregate",
     ("queries/quality.py", "uniq"): "1-row scalar aggregate",
+    ("queries/quality.py", "tot"): "1-row scalar aggregate",
     ("queries/llm_text.py", "n"): "1-row n_docs aggregate",
     ("queries/llm_text.py", "shard_prefix"): "shard-totals prefix (1 row/shard, W-tuned ~1e5)",
     ("queries/windows_setops.py", "b"): "equi-depth bucket bounds (k rows)",
@@ -146,6 +149,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/training_data.py", "mn"): "1-row min-source-count aggregate",
     ("queries/training_data.py", "tot"): "1-row scalar aggregate",
     ("queries/llm_similarity.py", "cb"): "PQ codebook (m x k = 64 rows)",
+    ("queries/llm_similarity.py", "lut"): "ADC lookup table (n_q x m x k = 640 rows)",
 }
 
 _BROADCAST_RE = None  # compiled lazily
