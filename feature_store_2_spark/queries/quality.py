@@ -284,3 +284,58 @@ def stats_key_skew_profile(spark, sf_dir):
         .orderBy(F.desc("n"), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "stats_join_size_forecast",
+    """
+WITH a AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+b AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1),
+f AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS forecast_rows,
+             CAST(count(*) AS BIGINT) AS n_join_keys,
+             CAST(max(ca * cb) AS BIGINT) AS max_key_rows
+      FROM a JOIN b USING (k)),
+act AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT forecast_rows, n_join_keys, max_key_rows, actual_rows,
+       forecast_rows = actual_rows AS exact_match
+FROM f CROSS JOIN act
+""",
+    doc="join-size forecast from per-key frequency statistics — the "
+    "CBO calculation (|A join B| = sum over keys of cA*cB) run as a "
+    "first-class query BEFORE committing to an expensive join: two "
+    "key-count aggs (each a fraction of the join's shuffle) give the "
+    "exact output cardinality plus the hottest key's contribution "
+    "(max_key_rows — the skew red flag feeding stats_key_skew_profile "
+    "/ salting). actual_rows rides along to prove the forecast exact; "
+    "at 100 TB you run only the forecast half. Cheap because counts "
+    "move, not rows.",
+)
+def stats_join_size_forecast(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from feature_store_2_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    a = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("ca"))
+    b = l.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("cb"))
+    f = (
+        a.join(b, "k")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("forecast_rows"),
+            F.count("*").alias("n_join_keys"),
+            F.max(F.col("ca") * F.col("cb")).cast("long").alias("max_key_rows"),
+        )
+    )
+    act = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    return f.crossJoin(F.broadcast(act)).select(
+        "forecast_rows",
+        "n_join_keys",
+        "max_key_rows",
+        "actual_rows",
+        (F.col("forecast_rows") == F.col("actual_rows")).alias("exact_match"),
+    )

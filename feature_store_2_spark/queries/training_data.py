@@ -359,3 +359,65 @@ def doc_domain_quality_profile(spark, sf_dir):
         )
         .drop("n_total")
     )
+
+
+@register(
+    "udf_model_score_linear",
+    """
+WITH f AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_uniq,
+           n_chars
+    FROM documents)
+SELECT doc_id, n_words, n_uniq,
+       CAST(50 * n_words + 30 * n_uniq - 2 * n_chars AS BIGINT) AS score,
+       50 * n_words + 30 * n_uniq - 2 * n_chars > 2000 AS keep
+FROM f
+""",
+    doc="Arrow-batched model inference — the batch-scoring surface every "
+    "curation pipeline runs (quality classifiers, fastText-style "
+    "filters): featurize + score each document inside ONE mapInPandas "
+    "pass (vectorized pandas/numpy per Arrow batch, never per-row "
+    "Python), here a fixed integer-weight linear model so the oracle "
+    "reproduces the scores bit-for-bit — the real model swaps into the "
+    "same batch function without touching the Spark plan. Zero "
+    "shuffles: inference is embarrassingly parallel over batches, "
+    "which is exactly why the Arrow path (not row UDFs) is the only "
+    "acceptable shape at 100 TB.",
+)
+def udf_model_score_linear(spark, sf_dir):
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, "documents", sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_words", T.LongType(), False),
+            T.StructField("n_uniq", T.LongType(), False),
+            T.StructField("score", T.LongType(), False),
+            T.StructField("keep", T.BooleanType(), False),
+        ]
+    )
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            words = pdf["text"].str.split(" ")
+            n_words = words.map(len)
+            n_uniq = words.map(lambda w: len(set(w)))
+            score = 50 * n_words + 30 * n_uniq - 2 * pdf["n_chars"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "n_uniq": n_uniq,
+                    "score": score,
+                    "keep": score > 2000,
+                }
+            )
+
+    return d.select("doc_id", "text", "n_chars").mapInPandas(score_batches, schema)

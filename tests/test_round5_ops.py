@@ -171,3 +171,19 @@ def test_pq_adc_topk_contract(spark, sf_dir):
         assert [r for r, _ in rs] == [1, 2, 3, 4, 5]
         dists = [d for _, d in rs]
         assert dists == sorted(dists)
+
+
+def test_model_score_no_row_udf_and_keep_split(spark, sf_dir):
+    out = Q["udf_model_score_linear"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # Arrow path, not row UDFs
+    assert "MapInPandas" in plan
+    kept = out.filter("keep").count()
+    total = out.count()
+    assert 0 < kept < total  # the threshold genuinely splits the corpus
+
+
+def test_join_size_forecast_exact(spark, sf_dir):
+    r = Q["stats_join_size_forecast"](spark, sf_dir).collect()[0]
+    assert r.exact_match and r.forecast_rows == r.actual_rows
+    assert r.max_key_rows <= r.forecast_rows

@@ -53,6 +53,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "doc_mixture_temperature_sample", "doc_domain_quality_profile",
                # 1-row totals broadcast (skew diagnostic)
                "stats_key_skew_profile",
+               # 1-row forecast x 1-row actual crossJoin
+               "stats_join_size_forecast",
                # 1-row audit-aggregate x 1-row uniqueness-aggregate join
                "dq_constraint_audit"}
 
@@ -131,6 +133,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/behavior.py", "stats"): "1-row scalar aggregate",
     ("queries/quality.py", "uniq"): "1-row scalar aggregate",
     ("queries/quality.py", "tot"): "1-row scalar aggregate",
+    ("queries/quality.py", "act"): "1-row scalar aggregate",
     ("queries/llm_text.py", "n"): "1-row n_docs aggregate",
     ("queries/llm_text.py", "shard_prefix"): "shard-totals prefix (1 row/shard, W-tuned ~1e5)",
     ("queries/windows_setops.py", "b"): "equi-depth bucket bounds (k rows)",
