@@ -49,11 +49,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # because they sort first automatically.
 #
 # Head construction (size _HEAD_SIZE):
-#   1. NEVER-SCORED — entries with no row in any CORRECTNESS_r0*.json,
+#   1. REGRESSION STAPLES — core queries kept in the head every round as
+#      a runtime-drift canary. Listed FIRST so they can never be pushed
+#      past the driver's budget by a large batch of new entries (the
+#      round-5 situation: >50 never-scored at once).
+#   2. NEVER-SCORED — entries with no row in any CORRECTNESS_r0*.json,
 #      in registration order. Every new entry lands here until it earns
-#      a driver row.
-#   2. REGRESSION STAPLES — core queries kept in the head every round as
-#      a runtime-drift canary.
+#      a driver row; an overflow past the budget stays never-scored and
+#      auto-promotes next round, so nothing can silt up — scoring is at
+#      worst deferred one round.
 #   3. STALEST RE-SCORE — remaining head slots filled with the entries
 #      whose most recent driver row is oldest (round ascending, then
 #      registration order), so the whole catalog re-scores over rounds.
@@ -108,9 +112,9 @@ def _scored_rounds() -> dict[str, int]:
 def _derive_head(names_in_order: list[str]) -> list[str]:
     scored = _scored_rounds()
     order = {n: i for i, n in enumerate(names_in_order)}
-    never = [n for n in names_in_order if n not in scored]
-    head = list(never)
-    head += [s for s in _STAPLES if s in order and s not in set(head)]
+    head = [s for s in _STAPLES if s in order]
+    taken = set(head)
+    head += [n for n in names_in_order if n not in scored and n not in taken]
     taken = set(head)
     stale = sorted(
         (n for n in names_in_order if n not in taken),

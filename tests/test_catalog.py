@@ -41,26 +41,28 @@ def test_derived_head_leads_catalog():
 
 
 def test_never_scored_entries_lead_head():
-    """Head contract (r4 verdict): any entry with no driver CORRECTNESS
-    row in any round must sort before everything else, so new entries
-    can never silt up unscored. Staples follow, then stalest re-scores."""
+    """Head contract (r4 verdict, amended r5): staples lead (drift
+    canaries can never be pushed past the driver budget by a large
+    batch of new entries), then every never-scored entry in
+    registration order ahead of every scored non-staple, then stalest
+    re-scores. A never-scored overflow past the budget defers exactly
+    one round (it stays never-scored and auto-promotes)."""
     scored = _scored_rounds()
     names = [q.name for q in CATALOG]
+    staple_set = set(_STAPLES)
     never = [n for n in names if n not in scored]
-    # every never-scored entry is inside the scoring budget and ahead of
-    # every scored non-staple entry
-    for n in never:
-        assert names.index(n) < _HEAD_SIZE, n
-    first_scored_idx = min(
-        (names.index(n) for n in names if n in scored), default=len(names)
+    # staples are all in the head and ahead of everything else
+    for i, s_name in enumerate(_STAPLES):
+        assert names.index(s_name) < len(_STAPLES)
+    # never-scored entries come before every scored non-staple entry
+    first_scored_nonstaple = min(
+        (names.index(n) for n in names if n in scored and n not in staple_set),
+        default=len(names),
     )
     for n in never:
-        assert names.index(n) < first_scored_idx, (
-            f"never-scored {n} sorted after a scored entry"
+        assert names.index(n) < first_scored_nonstaple, (
+            f"never-scored {n} sorted after a scored non-staple entry"
         )
-    # staples are all in the head (drift canaries rescored every round)
-    for s in _STAPLES:
-        assert names.index(s) < _HEAD_SIZE, s
 
 
 def test_derive_head_promotes_unscored():
@@ -69,8 +71,11 @@ def test_derive_head_promotes_unscored():
     head = _derive_head(names)
     assert len(head) <= max(_HEAD_SIZE, len(head))
     scored = _scored_rounds()
-    never = [n for n in names if n not in scored]
-    assert head[: len(never)] == never
+    staple_set = set(_STAPLES)
+    never = [n for n in names if n not in scored and n not in staple_set]
+    n_staples = len([s_ for s_ in _STAPLES if s_ in names])
+    assert head[:n_staples] == [s_ for s_ in _STAPLES if s_ in names]
+    assert head[n_staples : n_staples + len(never)] == never
 
 
 def test_every_entry_has_fn_and_doc():
