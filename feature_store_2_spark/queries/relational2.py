@@ -495,3 +495,50 @@ def join_interval_overlap_binned(spark, sf_dir):
             ).alias("overlap_us"),
         )
     )
+
+
+@register(
+    "dim_scd2_from_events",
+    """
+WITH s AS (SELECT user_id, event_id AS version_id, ts, value AS attr
+           FROM events WHERE event_type = 'signup')
+SELECT user_id, version_id, attr,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, version_id)) AS BIGINT)
+           AS valid_to_us,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, version_id) IS NULL AS is_current
+FROM s
+""",
+    doc="SCD2 dimension build — turning a change-event stream into the "
+    "slowly-changing-dimension type-2 table every warehouse keeps "
+    "(one row per version with [valid_from, valid_to) and an "
+    "is_current flag): each signup opens a version, lead() over the "
+    "per-user timeline closes the previous one — half-open ranges "
+    "tile time exactly, no gaps or overlaps BY CONSTRUCTION. One "
+    "window on the high-cardinality user key. Facts then join by "
+    "the as-of pattern (join_asof_purchase_last_signup is the query "
+    "side of this dimension); microsecond BIGINT bounds keep the "
+    "oracle exact.",
+)
+def dim_scd2_from_events(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        "ts",
+        F.col("value").alias("attr"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "version_id")
+    nxt = F.lead("ts").over(w)
+    return s.select(
+        "user_id",
+        "version_id",
+        "attr",
+        F.unix_micros(F.col("ts")).alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -672,3 +672,66 @@ def window_running_distinct_types(spark, sf_dir):
         .cast("long")
         .alias("distinct_types_so_far"),
     )
+
+
+@register(
+    "agg_weighted_median_quantity",
+    """
+WITH h AS (
+    SELECT l_returnflag, l_quantity AS q,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS wt
+    FROM lineitem GROUP BY l_returnflag, l_quantity),
+cum AS (
+    SELECT l_returnflag, q, wt,
+           sum(wt) OVER (PARTITION BY l_returnflag ORDER BY q
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+           sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+    FROM h)
+SELECT l_returnflag,
+       min(q) AS weighted_median_qty,
+       CAST(min(tw) AS BIGINT) AS total_weight_cents
+FROM cum WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+""",
+    doc="weighted median — the quantile every importance-sampled "
+    "pipeline needs (median quantity weighted by revenue: where does "
+    "half the MONEY sit, not half the rows). Scale design: weights "
+    "aggregate onto the VALUE HISTOGRAM first (one map-side-combinable "
+    "hash agg on (group, value) — the corpus never flows through a "
+    "window), then the cumulative scan runs over the tiny histogram "
+    "(|groups| x |distinct quantities| rows, metadata-scale; continuous "
+    "values would bin first, hist_equidepth-style). Weights are exact "
+    "integer cents and the threshold is pure integer arithmetic "
+    "(cw*2 >= tw — no float ratio), so both engines select the "
+    "identical value.",
+)
+def agg_weighted_median_quantity(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    h = li.groupBy(
+        "l_returnflag", F.col("l_quantity").alias("q")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("wt")
+    )
+    win = (
+        W.partitionBy("l_returnflag")
+        .orderBy("q")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    cum = h.withColumn("cw", F.sum("wt").over(win)).withColumn(
+        "tw", F.sum("wt").over(wtot)
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("q").alias("weighted_median_qty"),
+            F.min("tw").cast("long").alias("total_weight_cents"),
+        )
+    )

@@ -187,3 +187,36 @@ def test_join_size_forecast_exact(spark, sf_dir):
     r = Q["stats_join_size_forecast"](spark, sf_dir).collect()[0]
     assert r.exact_match and r.forecast_rows == r.actual_rows
     assert r.max_key_rows <= r.forecast_rows
+
+
+def test_scd2_ranges_tile_time(spark, sf_dir):
+    out = Q["dim_scd2_from_events"](spark, sf_dir)
+    # exactly one current version per user; ranges are half-open,
+    # gap-free and overlap-free: next valid_from == this valid_to
+    per_user = out.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_cur")
+    )
+    assert per_user.filter(F.col("n_cur") != 1).count() == 0
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("valid_from_us", "version_id")
+    chk = out.withColumn("nxt_from", F.lead("valid_from_us").over(w))
+    bad = chk.filter(
+        (F.col("nxt_from").isNotNull() & (F.col("valid_to_us") != F.col("nxt_from")))
+        | (F.col("nxt_from").isNull() & F.col("valid_to_us").isNotNull())
+    ).count()
+    assert bad == 0
+
+
+def test_weighted_median_definition(spark, sf_dir):
+    rows = Q["agg_weighted_median_quantity"](spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    import pandas as pd
+
+    pdf = li.select("l_returnflag", "l_quantity", "l_extendedprice").toPandas()
+    for r in rows:
+        g = pdf[pdf.l_returnflag == r.l_returnflag].sort_values("l_quantity")
+        wts = (g.l_extendedprice * 100).round().astype("int64")
+        cum = wts.cumsum()
+        med = g.l_quantity[cum * 2 >= wts.sum()].iloc[0]
+        assert med == r.weighted_median_qty
