@@ -525,3 +525,82 @@ def resample_weekly_ohlc(spark, sf_dir):
         F.max(F.when(F.col("rn_l") == 1, F.col("value"))).alias("close"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
     )
+
+
+_FUNNEL_WIN_US = 7 * 24 * 3600 * 1_000_000  # 7-day conversion window
+
+
+@register(
+    "funnel_windowed_conversion",
+    f"""
+WITH s AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS t1
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS t2
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > s.t1
+        AND epoch_us(e.ts) <= s.t1 + {_FUNNEL_WIN_US}
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > c.t2
+        AND epoch_us(e.ts) <= c.t2 + {_FUNNEL_WIN_US}
+      GROUP BY e.user_id)
+SELECT s.user_id, s.t1 AS signup_us, c.t2 AS click_us, p.t3 AS purchase_us,
+       CAST(1 + CASE WHEN c.t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN p.t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS stage_reached
+FROM s LEFT JOIN c ON s.user_id = c.user_id
+       LEFT JOIN p ON s.user_id = p.user_id
+""",
+    doc="windowed funnel — the Amplitude-style conversion funnel with a "
+    "DEADLINE between stages (signup -> first click within 7 days -> "
+    "first purchase within 7 days of that click), which the plain "
+    "ordered funnel can't express: a user who converts after the "
+    "window does NOT count. Three per-user argmin aggregations chained "
+    "by equi-joins, every shuffle on the high-cardinality user key; "
+    "all bounds are BIGINT microseconds so both engines pick identical "
+    "stage timestamps. stage_reached (1..3) is the funnel report "
+    "column.",
+)
+def funnel_windowed_conversion(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("tc"))
+        .join(s, "user_id")
+        .filter((F.col("tc") > F.col("t1")) & (F.col("tc") <= F.col("t1") + _FUNNEL_WIN_US))
+        .groupBy("user_id")
+        .agg(F.min("tc").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("tp"))
+        .join(c, "user_id")
+        .filter((F.col("tp") > F.col("t2")) & (F.col("tp") <= F.col("t2") + _FUNNEL_WIN_US))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t3"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    ).cast("long")
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("signup_us"),
+            F.col("t2").alias("click_us"),
+            F.col("t3").alias("purchase_us"),
+            stage.alias("stage_reached"),
+        )
+    )

@@ -754,3 +754,49 @@ def emb_pq_adc_topk(spark, sf_dir):
     return adc.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
         F.col("rank") <= 5
     )
+
+
+_IVF_INV_PREFIX = _IVF_ORACLE[: _IVF_ORACLE.index("probes AS")].rstrip().rstrip(",")
+
+
+@register(
+    "emb_ivf_cell_stats",
+    _IVF_INV_PREFIX
+    + """
+, counts AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+             FROM inv GROUP BY cell),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(n) AS BIGINT) AS n_vecs FROM counts)
+SELECT cell, n,
+       CAST(n AS DOUBLE) / n_vecs AS share,
+       CAST(n AS DOUBLE) * n_cells / n_vecs AS imbalance
+FROM counts CROSS JOIN tot
+""",
+    doc="IVF index build health — the cell-population audit run after "
+    "building an inverted-file ANN index (the ANN twin of "
+    "stats_key_skew_profile): per-cell vector count, share, and "
+    "imbalance factor vs a perfectly balanced index. A hot cell means "
+    "nprobe queries landing there scan a corpus-sized posting list — "
+    "the signal to re-train centroids or split cells. Reuses the "
+    "centroid-assignment kernel (same argmin, same tie-break — the "
+    "oracle literally shares the IVF oracle's CTE prefix), then one "
+    "tiny agg + a 1-row totals broadcast. Exact integer counts, exact "
+    "single-division doubles.",
+)
+def emb_ivf_cell_stats(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    cells = nearest_centroid_assign(e).select(
+        "vec_id", F.col("assigned_label").alias("cell")
+    )
+    counts = cells.groupBy("cell").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.count("*").alias("n_cells"), F.sum("n").cast("long").alias("n_vecs")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n",
+        (F.col("n").cast("double") / F.col("n_vecs")).alias("share"),
+        (F.col("n").cast("double") * F.col("n_cells") / F.col("n_vecs")).alias(
+            "imbalance"
+        ),
+    )

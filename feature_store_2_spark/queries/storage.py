@@ -412,3 +412,40 @@ def scan_schema_evolution(spark, sf_dir):
         ),
         F.count_distinct("batch_tag").alias("n_schema_versions_new"),
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+    doc="ORC source roundtrip — the second columnar format Spark ships "
+    "natively (vectorized reader, predicate pushdown, the Hive-"
+    "ecosystem interchange format): the events table is staged once "
+    "per process as ORC (zlib), read back through the ORC reader, and "
+    "aggregated; DECIMAL accumulation makes the result prove BITWISE "
+    "equality with the parquet-derived oracle — format conversion is "
+    "lossless end-to-end. DuckDB has no ORC reader, so the oracle runs "
+    "the same aggregate on the parquet twin, which is exactly the "
+    "point: same values through two storage formats.",
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    root, ready = _staged_root("orc", sf_dir)
+    path = os.path.join(root, "events_orc")
+    if not ready:
+        load_table(spark, "events", sf_dir).write.mode("overwrite").orc(path)
+        _commit_staging("orc", sf_dir, root)
+    ev = spark.read.orc(path)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )

@@ -220,3 +220,29 @@ def test_weighted_median_definition(spark, sf_dir):
         cum = wts.cumsum()
         med = g.l_quantity[cum * 2 >= wts.sum()].iloc[0]
         assert med == r.weighted_median_qty
+
+
+def test_windowed_funnel_monotone_stages(spark, sf_dir):
+    out = Q["funnel_windowed_conversion"](spark, sf_dir)
+    win = 7 * 24 * 3600 * 1_000_000
+    bad = out.filter(
+        ((F.col("stage_reached") >= 2) & (
+            F.col("click_us").isNull()
+            | (F.col("click_us") <= F.col("signup_us"))
+            | (F.col("click_us") > F.col("signup_us") + win)))
+        | ((F.col("stage_reached") == 3) & (
+            F.col("purchase_us").isNull()
+            | (F.col("purchase_us") <= F.col("click_us"))
+            | (F.col("purchase_us") > F.col("click_us") + win)))
+        | ((F.col("stage_reached") == 1) & F.col("click_us").isNotNull())
+    ).count()
+    assert bad == 0
+
+
+def test_ivf_cell_stats_complete(spark, sf_dir):
+    rows = Q["emb_ivf_cell_stats"](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert sum(r.n for r in rows) == emb.count()  # every vector in a cell
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    mean_imb = sum(r.imbalance for r in rows) / len(rows)
+    assert abs(mean_imb - 1.0) < 1e-9  # imbalance normalized to mean 1

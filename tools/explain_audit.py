@@ -55,6 +55,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "stats_key_skew_profile",
                # 1-row forecast x 1-row actual crossJoin
                "stats_join_size_forecast",
+               # centroid broadcast + 1-row totals broadcast
+               "emb_ivf_cell_stats",
                # 1-row audit-aggregate x 1-row uniqueness-aggregate join
                "dq_constraint_audit"}
 
@@ -153,6 +155,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/training_data.py", "tot"): "1-row scalar aggregate",
     ("queries/llm_similarity.py", "cb"): "PQ codebook (m x k = 64 rows)",
     ("queries/llm_similarity.py", "lut"): "ADC lookup table (n_q x m x k = 640 rows)",
+    ("queries/llm_similarity.py", "tot"): "1-row totals aggregate",
 }
 
 _BROADCAST_RE = None  # compiled lazily
