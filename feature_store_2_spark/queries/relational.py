@@ -527,3 +527,28 @@ def join_asof_forward_next_purchase(spark, sf_dir):
         F.when(within, F.col("next_id_raw")).alias("next_purchase_id"),
         F.when(within, F.col("gap_raw")).alias("gap_us"),
     )
+
+
+_LCA_SQL = """
+SELECT o_orderkey,
+       o_custkey + 1 AS k1,
+       k1 * 2 AS k2,
+       k2 - o_custkey AS k3
+FROM orders
+WHERE o_orderkey < 5000
+"""
+
+
+@register(
+    "sql_lateral_column_alias",
+    _LCA_SQL,
+    doc="lateral column aliases (Spark 3.4+/4 surface): a select item "
+    "referencing an alias defined earlier in the SAME select list "
+    "(k1 -> k2 -> k3 chain), the ergonomic form that previously "
+    "required nested subqueries — the SAME SQL text runs verbatim on "
+    "spark.sql and DuckDB. Integer arithmetic end-to-end; compiles to "
+    "one codegen projection over a pushed-down scan.",
+)
+def sql_lateral_column_alias(spark, sf_dir):
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_LCA_SQL)

@@ -446,3 +446,76 @@ def func_interval_calendar(spark, sf_dir):
         F.weekofyear(d).cast("long").alias("iso_week"),
         F.datediff(F.last_day(d), d).cast("long").alias("days_to_month_end"),
     )
+
+
+@register(
+    "func_variant_semistructured",
+    """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS BIGINT)
+         * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_sq,
+       json_extract_string(props, '$.k') IS NOT NULL AS has_k
+FROM events
+""",
+    doc="VARIANT semi-structured type (new Spark 4 surface): "
+    "parse_json(props) -> open-schema VARIANT, typed extraction via "
+    "variant_get(v, '$.k', 'bigint') — the shredded-JSON path that "
+    "replaces schema-rigid from_json when event payloads evolve "
+    "freely. Single-pass codegen projection, zero shuffles; the "
+    "oracle extracts the same path with DuckDB's JSON operators, and "
+    "the typed BIGINT values (plus an arithmetic use of them) "
+    "hash-match exactly — proving the variant decode is value-"
+    "faithful, not just parse-successful.",
+)
+def func_variant_semistructured(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k * k).alias("k_sq"),
+        k.isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "func_xml_events",
+    """
+SELECT event_id, user_id AS u, event_type AS t, TRUE AS roundtrip_ok
+FROM events
+""",
+    doc="XML parse (from_xml, new NATIVE Spark 4 surface — previously a "
+    "separate spark-xml package): each event is rendered to an XML "
+    "fragment and parsed back through from_xml with a typed schema; "
+    "the output is the extracted fields plus a roundtrip_ok flag the "
+    "query itself computes by comparing parsed values to the source "
+    "columns. The oracle states the expected fixpoint directly (u = "
+    "user_id, t = event_type, TRUE), so any parse/extraction "
+    "infidelity — encoding, whitespace, numeric coercion — breaks the "
+    "value hash. Pure codegen + one ParseXml expression per row, zero "
+    "shuffles.",
+)
+def func_xml_events(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    xml = F.concat(
+        F.lit("<e><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u><t>"),
+        F.col("event_type"),
+        F.lit("</t></e>"),
+    )
+    parsed = F.expr(
+        "from_xml(concat('<e><u>', CAST(user_id AS STRING), '</u><t>', "
+        "event_type, '</t></e>'), 'u BIGINT, t STRING')"
+    )
+    out = ev.select("event_id", "user_id", "event_type", parsed.alias("x"))
+    return out.select(
+        "event_id",
+        F.col("x.u").alias("u"),
+        F.col("x.t").alias("t"),
+        (
+            (F.col("x.u") == F.col("user_id"))
+            & (F.col("x.t") == F.col("event_type"))
+        ).alias("roundtrip_ok"),
+    )

@@ -421,3 +421,55 @@ def udf_model_score_linear(spark, sf_dir):
             )
 
     return d.select("doc_id", "text", "n_chars").mapInPandas(score_batches, schema)
+
+
+@register(
+    "udf_map_in_arrow_tokens",
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(text) AS BIGINT) AS n_chars_m
+FROM documents
+""",
+    doc="mapInArrow surface — the zero-copy tier of the Arrow UDF "
+    "family (below mapInPandas: raw pyarrow RecordBatches, no pandas "
+    "conversion): token and character counts computed with "
+    "pyarrow.compute kernels (count_substring / utf8_length), which "
+    "run vectorized C++ over Arrow buffers. The oracle recomputes "
+    "both counts relationally, pinning the kernel semantics (split on "
+    "single space == substring count + 1; ASCII corpus pins "
+    "utf8_length == len). Completes the UDF-surface inventory: "
+    "applyInPandasWithState, grouped-map applyInPandas, GROUPED_AGG, "
+    "mapInPandas, mapInArrow — and still zero row-at-a-time Python.",
+)
+def udf_map_in_arrow_tokens(spark, sf_dir):
+    from typing import Iterator
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import types as T
+
+    d = load_table(spark, "documents", sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("n_chars_m", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            text = rb.column(rb.schema.get_field_index("text"))
+            n_tokens = pc.add(pc.count_substring(text, " "), 1)
+            n_chars = pc.utf8_length(text)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    pc.cast(n_tokens, pa.int64()),
+                    pc.cast(n_chars, pa.int64()),
+                ],
+                names=["doc_id", "n_tokens", "n_chars_m"],
+            )
+
+    return d.select("doc_id", "text").mapInArrow(batches, schema)

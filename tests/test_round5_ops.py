@@ -246,3 +246,15 @@ def test_ivf_cell_stats_complete(spark, sf_dir):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
     mean_imb = sum(r.imbalance for r in rows) / len(rows)
     assert abs(mean_imb - 1.0) < 1e-9  # imbalance normalized to mean 1
+
+
+def test_xml_roundtrip_all_true(spark, sf_dir):
+    out = Q["func_xml_events"](spark, sf_dir)
+    assert out.filter(~F.col("roundtrip_ok")).count() == 0
+
+
+def test_map_in_arrow_no_pandas_no_row_udf(spark, sf_dir):
+    out = Q["udf_map_in_arrow_tokens"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
