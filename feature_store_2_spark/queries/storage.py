@@ -449,3 +449,84 @@ def scan_orc_roundtrip(spark, sf_dir):
             "total_value"
         ),
     )
+
+
+@register(
+    "scan_python_datasource",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS sum_users,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+    doc="Python Data Source API (new Spark 4 surface): a custom source "
+    "written entirely in Python — schema declaration, partition "
+    "PLANNING (4 hash partitions), and per-partition reads that yield "
+    "pyarrow RecordBatches (the Arrow path, not row tuples) filtered "
+    "to the partition's user_id hash class. This is how a team plugs a "
+    "bespoke feed (internal API, proprietary format) into the same "
+    "DataFrame pipeline; the aggregate over the custom source proves "
+    "BITWISE equality with the parquet oracle, so the source is "
+    "value-faithful including partitioning. At scale each partition "
+    "maps to an independent fetch — embarrassingly parallel by "
+    "construction.",
+)
+def scan_python_datasource(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    class _EventsReader(DataSourceReader):
+        def __init__(self, options):
+            self._path = options["path"]
+            self._n = int(options.get("npartitions", "4"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self._n)]
+
+        def read(self, partition):
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            pid, n = partition.value, self._n
+            t = pq.read_table(
+                self._path, columns=["event_id", "user_id", "event_type", "value"]
+            )
+            # n is a power of two: user_id % n == user_id & (n-1)
+            mask = pc.equal(pc.bit_wise_and(t.column("user_id"), n - 1), pid)
+            for rb in t.filter(mask).to_batches():
+                yield rb
+
+    class _EventsPySource(DataSource):
+        @classmethod
+        def name(cls):
+            return "fs2_events_py"
+
+        def schema(self):
+            return (
+                "event_id bigint, user_id bigint, event_type string, value double"
+            )
+
+        def reader(self, schema):
+            return _EventsReader(self.options)
+
+    spark.dataSource.register(_EventsPySource)
+    ev = (
+        spark.read.format("fs2_events_py")
+        .option("path", path)
+        .option("npartitions", "4")
+        .load()
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").cast("long").alias("sum_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )

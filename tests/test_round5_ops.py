@@ -258,3 +258,12 @@ def test_map_in_arrow_no_pandas_no_row_udf(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+
+
+def test_python_datasource_partitions_disjoint(spark, sf_dir):
+    out = Q["scan_python_datasource"](spark, sf_dir)
+    # the custom source's 4 hash partitions must reconstruct the exact
+    # table: total row count equals the parquet source's
+    total = out.agg(F.sum("n")).collect()[0][0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert total == ev.count()
