@@ -473,3 +473,46 @@ def udf_map_in_arrow_tokens(spark, sf_dir):
             )
 
     return d.select("doc_id", "text").mapInArrow(batches, schema)
+
+
+@register(
+    "udtf_word_positions",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id < 50)
+SELECT doc_id,
+       u.word,
+       CAST(u.pos - 1 AS INTEGER) AS pos
+FROM t JOIN LATERAL (
+    SELECT generate_subscripts(w, 1) AS pos, unnest(w) AS word) u
+  ON true
+""",
+    doc="Python UDTF (user-defined TABLE function, new Spark 4 "
+    "surface, Arrow-optimized): a lateral table function expanding "
+    "each document into (word, position) rows — the extension point "
+    "for tokenizers/segmenters that genuinely need imperative Python "
+    "per input row yet return a TABLE, not a scalar. Registered with "
+    "useArrow=True so the plan shows ArrowEvalPythonUDTF (batched "
+    "Arrow transfer), keeping the repo's no-BatchEvalPython policy "
+    "intact. Oracle = LATERAL unnest with subscripts; restricting to "
+    "doc_id < 50 keeps the rehearsal cheap while exercising the full "
+    "surface.",
+)
+def udtf_word_positions(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int", useArrow=True)
+    class _WordPositions:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield (w, i)
+
+    spark.udtf.register("fs2_word_positions", _WordPositions)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.pos
+        FROM documents d JOIN LATERAL fs2_word_positions(d.text) s
+        WHERE d.doc_id < 50
+        """
+    )

@@ -735,3 +735,40 @@ def agg_weighted_median_quantity(spark, sf_dir):
             F.min("tw").cast("long").alias("total_weight_cents"),
         )
     )
+
+
+@register(
+    "func_transpose_metrics",
+    """
+WITH m AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem GROUP BY l_returnflag)
+SELECT 'n_rows' AS key,
+       max(CASE WHEN l_returnflag = 'A' THEN n_rows END) AS "A",
+       max(CASE WHEN l_returnflag = 'N' THEN n_rows END) AS "N",
+       max(CASE WHEN l_returnflag = 'R' THEN n_rows END) AS "R"
+FROM m
+UNION ALL
+SELECT 'n_orders',
+       max(CASE WHEN l_returnflag = 'A' THEN n_orders END),
+       max(CASE WHEN l_returnflag = 'N' THEN n_orders END),
+       max(CASE WHEN l_returnflag = 'R' THEN n_orders END)
+FROM m
+""",
+    doc="DataFrame transpose (df.transpose, new Spark 4 surface): flip "
+    "a per-group metrics table so metrics become rows and group values "
+    "become columns — the report-layout operation previously hand-"
+    "rolled with pivot + stack. Runs on an already-aggregated "
+    "metadata-scale table (|groups| x |metrics|), which is the only "
+    "place transpose belongs at 100 TB; the oracle reproduces the "
+    "layout with conditional aggregation.",
+)
+def func_transpose_metrics(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    return m.transpose("l_returnflag")

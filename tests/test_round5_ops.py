@@ -267,3 +267,10 @@ def test_python_datasource_partitions_disjoint(spark, sf_dir):
     total = out.agg(F.sum("n")).collect()[0][0]
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert total == ev.count()
+
+
+def test_udtf_is_arrow_not_batch_eval(spark, sf_dir):
+    out = Q["udtf_word_positions"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython " not in plan
