@@ -516,3 +516,65 @@ def udtf_word_positions(spark, sf_dir):
         WHERE d.doc_id < 50
         """
     )
+
+
+@register(
+    "doc_tokenize_to_ids",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+vocab AS (
+    SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tok_id
+    FROM (SELECT DISTINCT unnest(w) AS term FROM tok)),
+flat AS (
+    SELECT t.doc_id, generate_subscripts(t.w, 1) AS pos, unnest(t.w) AS term
+    FROM tok t),
+ids AS (
+    SELECT f.doc_id, f.pos, v.tok_id
+    FROM flat f JOIN vocab v ON f.term = v.term)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos) AS token_ids
+FROM ids GROUP BY doc_id
+""",
+    doc="vocabulary-id tokenization — the LAST hop before a training "
+    "job: every document rendered as its token-id sequence. The vocab "
+    "assigns dense ids by sorted term (deterministic across engines, "
+    "growth-stable ordering would use frozen-vocab ids in production); "
+    "the id lookup is a vocabulary-keyed equi-join (AQE-chosen "
+    "strategy, NEVER force-broadcast — vocabulary is the canonical "
+    "unbounded-cardinality side, the r4 tfidf lesson), and sequences "
+    "reassemble with an order-pinned aggregation. The vocab-build "
+    "window runs over distinct terms (vocabulary-scale metadata, and "
+    "id assignment at 100 TB is a one-time artifact, not per-query).",
+)
+def doc_tokenize_to_ids(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    flat = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    vocab = (
+        flat.select("term")
+        .distinct()
+        .withColumn(
+            "tok_id", F.row_number().over(W.orderBy("term")).cast("long")
+        )
+    )
+    ids = flat.join(vocab, "term")
+    return (
+        ids.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok_id"))
+                    ),
+                    lambda s: s.tok_id.cast("string"),
+                ),
+            ).alias("token_ids"),
+        )
+    )

@@ -274,3 +274,27 @@ def test_udtf_is_arrow_not_batch_eval(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPythonUDTF" in plan
     assert "BatchEvalPython " not in plan
+
+
+def test_tokenize_ids_roundtrip(spark, sf_dir):
+    out = Q["doc_tokenize_to_ids"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out.count() == docs.count()
+    # id sequence length always equals the document's token count, and
+    # decoding ids back through the vocab reproduces the original text
+    sample = out.orderBy("doc_id").limit(20).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in docs.filter(F.col("doc_id") < 10_000).collect()
+    }
+    vocab_rows = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .collect()
+    )
+    terms = sorted(r.t for r in vocab_rows)
+    id2term = {i + 1: t for i, t in enumerate(terms)}
+    for r in sample:
+        ids = [int(x) for x in r.token_ids.split(",")]
+        assert len(ids) == r.n_tokens
+        assert " ".join(id2term[i] for i in ids) == texts[r.doc_id]

@@ -67,7 +67,11 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
 # rows at 100 TB), never the corpus — its corpus-side cumsum stays
 # partitioned by shard. Nothing else may appear here without a
 # docstring reason.
-GLOBAL_WINDOW_OK = {"window_ntile_percentrank", "doc_pack_token_budget"}
+# doc_tokenize_to_ids: its global window assigns dense ids over the
+# DISTINCT-TERM vocabulary (metadata-scale, and a one-time artifact at
+# 100 TB — its docstring says so), never the corpus.
+GLOBAL_WINDOW_OK = {"window_ntile_percentrank", "doc_pack_token_budget",
+                    "doc_tokenize_to_ids"}
 
 _WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
 
