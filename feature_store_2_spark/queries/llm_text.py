@@ -887,3 +887,114 @@ def dedup_canonical_keep_best(spark, sf_dir):
         F.count("*").over(wsz).cast("long").alias("cluster_size"),
         (F.row_number().over(wrk) == 1).alias("keep_best"),
     )
+
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+_EDGES_PREFIX = _CC_ORACLE[: _CC_ORACLE.index("reach(id, r) AS (")].rstrip().rstrip(",")
+
+
+def _pagerank_oracle() -> str:
+    s0 = _PR_SCALE  # per-node base unit; n folded in at runtime
+    ctes = [
+        f"""
+deg AS (SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY a),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+pr0 AS (SELECT doc_id, CAST({s0} / n.n_docs AS BIGINT) AS pr
+        FROM documents CROSS JOIN n)"""
+    ]
+    for it in range(1, _PR_ITERS + 1):
+        p = f"pr{it - 1}"
+        ctes.append(
+            f"""
+c{it} AS (
+    SELECT e.b AS doc_id, CAST(sum({p}.pr // deg.d) AS BIGINT) AS contrib
+    FROM edges e
+    JOIN {p} ON e.a = {p}.doc_id
+    JOIN deg ON e.a = deg.doc_id
+    GROUP BY e.b),
+pr{it} AS (
+    SELECT d.doc_id,
+           CAST((15 * ({s0} / n.n_docs)
+                 + 85 * COALESCE(c{it}.contrib, 0)) // 100 AS BIGINT) AS pr
+    FROM documents d CROSS JOIN n
+    LEFT JOIN c{it} ON d.doc_id = c{it}.doc_id)"""
+        )
+    return (
+        _EDGES_PREFIX
+        + ","
+        + ",".join(ctes)
+        + f"""
+SELECT p.doc_id, p.pr AS pagerank_fp, COALESCE(deg.d, 0) AS degree
+FROM pr{_PR_ITERS} p LEFT JOIN deg ON p.doc_id = deg.doc_id
+"""
+    )
+
+
+@register(
+    "graph_pagerank_fixed_point",
+    _pagerank_oracle(),
+    doc=f"PageRank over the near-dup similarity graph (Jaccard>=0.5 "
+    f"edges), {_PR_ITERS} iterations in EXACT fixed-point arithmetic: "
+    f"ranks live as integers scaled by 1e12, neighbor contributions "
+    f"are integer-divided by out-degree and SUMMED AS INTEGERS — "
+    f"order-independent where float PageRank never hash-matches "
+    f"across engines/partitionings — and the damping update "
+    f"(15*base + 85*inflow)//100 stays integral. Each iteration is "
+    f"one edge-keyed join + one dst-keyed agg (the textbook "
+    f"Pregel-as-joins shape; at 100 TB you'd checkpoint lineage per "
+    f"round exactly like connected_components does). The oracle "
+    f"unrolls the same {_PR_ITERS} iterations over the identical "
+    f"edge CTEs, so every rank hashes bit-for-bit.",
+)
+def graph_pagerank_fixed_point(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    edges = (
+        ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+        .select("doc1", "doc2")
+    )
+    edges = (
+        edges.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .unionByName(
+            edges.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count("*").alias("d")
+    )
+    n_docs = docs.count()  # bounded metadata: one scalar
+    base = _PR_SCALE // n_docs
+    pr = docs.select("doc_id", F.lit(base).cast("long").alias("pr"))
+    out_flow = edges.join(
+        deg.withColumnRenamed("doc_id", "a_"), F.col("a") == F.col("a_")
+    ).select("a", "b", "d")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            out_flow.join(pr.withColumnRenamed("doc_id", "a__"), F.col("a") == F.col("a__"))
+            .select(F.col("b").alias("doc_id"), (F.col("pr") / F.col("d")).cast("long").alias("part"))
+            .groupBy("doc_id")
+            .agg(F.sum("part").cast("long").alias("contrib"))
+        )
+        pr = (
+            docs.select("doc_id")
+            .join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    (
+                        F.lit(15 * base)
+                        + 85 * F.coalesce(F.col("contrib"), F.lit(0))
+                    )
+                    / 100
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return pr.join(deg, "doc_id", "left").select(
+        "doc_id",
+        F.col("pr").alias("pagerank_fp"),
+        F.coalesce(F.col("d"), F.lit(0)).alias("degree"),
+    )

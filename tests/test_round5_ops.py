@@ -298,3 +298,17 @@ def test_tokenize_ids_roundtrip(spark, sf_dir):
         ids = [int(x) for x in r.token_ids.split(",")]
         assert len(ids) == r.n_tokens
         assert " ".join(id2term[i] for i in ids) == texts[r.doc_id]
+
+
+def test_pagerank_mass_and_isolates(spark, sf_dir):
+    out = Q["graph_pagerank_fixed_point"](spark, sf_dir).collect()
+    n = len(out)
+    base = (10**12 // n * 15) // 100
+    for r in out:
+        if r.degree == 0:
+            # isolated docs converge to the damping base exactly
+            assert r.pagerank_fp == base
+        else:
+            assert r.pagerank_fp >= base
+    # total mass stays bounded by the scale (dangling mass only leaks)
+    assert sum(r.pagerank_fp for r in out) <= 10**12
