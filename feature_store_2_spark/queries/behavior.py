@@ -604,3 +604,64 @@ def funnel_windowed_conversion(spark, sf_dir):
             stage.alias("stage_reached"),
         )
     )
+
+
+@register(
+    "window_time_weighted_avg",
+    """
+WITH r AS (
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+           CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+           event_id
+    FROM events WHERE event_type = 'purchase'),
+seg AS (
+    SELECT user_id, v_micro,
+           (lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t)
+               // 1000 AS dt_ms
+    FROM r)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_readings,
+       CAST(sum(dt_ms) AS BIGINT) AS span_ms,
+       CAST(sum(v_micro * dt_ms) // sum(dt_ms) AS BIGINT) AS twap_micro
+FROM seg WHERE dt_ms IS NOT NULL AND dt_ms > 0
+GROUP BY user_id
+""",
+    doc="time-weighted average (TWAP) — the integral mean every "
+    "sensor/market pipeline uses when readings are IRREGULARLY spaced "
+    "(a plain mean over-weights chatty periods): each reading holds "
+    "its value until the next one (LOCF integral), weighted by the "
+    "millisecond gap from lead(). ALL-INTEGER pipeline: values in "
+    "fixed-point micro-units, weights in ms, one integer division at "
+    "the end — no decimal->double cast anywhere (that cast rounds "
+    "differently across engines at 1 ulp; this entry exists in the "
+    "form that hashes exactly). One window + one agg on the high-"
+    "cardinality user key; at 100 TB this partitions by (user, day) "
+    "with carried boundary readings.",
+)
+def window_time_weighted_avg(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    r = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seg = r.select(
+        "user_id",
+        "v_micro",
+        F.floor((F.lead("t").over(w) - F.col("t")) / 1000)
+        .cast("long")
+        .alias("dt_ms"),
+    ).filter(F.col("dt_ms").isNotNull() & (F.col("dt_ms") > 0))
+    return seg.groupBy("user_id").agg(
+        F.count("*").alias("n_readings"),
+        F.sum("dt_ms").cast("long").alias("span_ms"),
+        # true integer division (DIV), not float-divide-then-floor:
+        # numerators can exceed 2^53 where double division drifts
+        F.expr("CAST(sum(v_micro * dt_ms) DIV sum(dt_ms) AS BIGINT)").alias(
+            "twap_micro"
+        ),
+    )

@@ -929,3 +929,105 @@ def stream_kafka_shaped_ingest(spark, sf_dir):
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "stream_python_datasource",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS sum_users
+FROM events GROUP BY event_type
+""",
+    doc="Python STREAMING Data Source (new Spark 4 surface, "
+    "SimpleDataSourceStreamReader): a custom source written in pure "
+    "Python with the full streaming contract — initialOffset, "
+    "read(start) -> (rows, nextOffset), replayable readBetweenOffsets "
+    "— serving the events table in deterministic 2500-row offset "
+    "ranges (ordered by event_id, so recovery/replay is exact). The "
+    "complete-mode aggregate over however many micro-batches the "
+    "engine schedules must equal the batch oracle: convergence under "
+    "ANY batching, the property that makes offset-based sources "
+    "restartable. This is the plug point for bespoke feeds (internal "
+    "queue APIs) when no JVM connector exists.",
+)
+def stream_python_datasource(spark, sf_dir):
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    class _EvReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self._path = options["path"]
+            self._chunk = 2500
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def _table(self):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                self._path, columns=["event_id", "user_id", "event_type"]
+            )
+            return t.sort_by("event_id")
+
+        def _rows(self, t, lo, hi):
+            chunk = t.slice(lo, hi - lo)
+            return iter(
+                list(
+                    zip(
+                        chunk.column("event_id").to_pylist(),
+                        chunk.column("user_id").to_pylist(),
+                        chunk.column("event_type").to_pylist(),
+                    )
+                )
+            )
+
+        def read(self, start):
+            t = self._table()
+            lo = start["pos"]
+            hi = min(lo + self._chunk, t.num_rows)
+            if lo >= hi:
+                return iter([]), {"pos": lo}
+            return self._rows(t, lo, hi), {"pos": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(self._table(), start["pos"], end["pos"])
+
+    class _EvStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "fs2_events_stream_py"
+
+        def schema(self):
+            return "event_id bigint, user_id bigint, event_type string"
+
+        def simpleStreamReader(self, schema):
+            return _EvReader(self.options)
+
+    spark.dataSource.register(_EvStreamSource)
+    stream = (
+        spark.readStream.format("fs2_events_stream_py")
+        .option("path", path)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").cast("long").alias("sum_users"),
+    )
+    name = "fs2_stream_pyds"
+    with _stream_shuffle(spark):
+        # Python micro-batch streams don't support Trigger.AvailableNow
+        # (falls back to ONE batch); processAllAvailable drives batches
+        # until the reader's offset stops advancing, then we stop.
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)

@@ -312,3 +312,30 @@ def test_pagerank_mass_and_isolates(spark, sf_dir):
             assert r.pagerank_fp >= base
     # total mass stays bounded by the scale (dangling mass only leaks)
     assert sum(r.pagerank_fp for r in out) <= 10**12
+
+
+def test_twap_bounded_by_minmax(spark, sf_dir):
+    out = Q["window_time_weighted_avg"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    mm = ev.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bad = (
+        out.join(mm, "user_id")
+        .filter(
+            (F.col("twap_micro") < F.floor(F.col("lo") * 1_000_000) - 1)
+            | (F.col("twap_micro") > F.floor(F.col("hi") * 1_000_000) + 1)
+        )
+        .count()
+    )
+    assert bad == 0  # an integral mean stays inside the value envelope
+
+
+def test_stream_python_datasource_multibatch(spark, sf_dir):
+    # the custom streaming source must deliver ALL rows across its
+    # offset-range micro-batches (2500-row chunks => >1 batch at sf0.01+)
+    out = Q["stream_python_datasource"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert out.agg(F.sum("n")).collect()[0][0] == ev.count()
