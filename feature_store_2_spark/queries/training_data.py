@@ -578,3 +578,30 @@ def doc_tokenize_to_ids(spark, sf_dir):
             ).alias("token_ids"),
         )
     )
+
+
+@register(
+    "doc_export_jsonl",
+    """
+SELECT doc_id,
+       '{"doc_id":' || doc_id || ',"lang":"' || lang || '","text":"'
+           || text || '"}' AS record
+FROM documents
+""",
+    doc="JSONL export — the wire format training corpora actually ship "
+    "in: each document rendered as one compact JSON record via "
+    "to_json(struct(...)). The oracle builds the byte-exact expected "
+    "string by concatenation, so Spark's JSON rendering itself is "
+    "pinned (field order, compact separators, no stray whitespace) — "
+    "the guarantee an export job needs before a downstream tokenizer "
+    "consumes the files. The no-escaping-needed precondition (no "
+    "quotes/backslashes/control chars in the corpus) is itself "
+    "asserted by the companion pytest on crafted rows covering the "
+    "ESCAPED path. Zero shuffles, pure codegen projection.",
+)
+def doc_export_jsonl(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "text")).alias("record"),
+    )

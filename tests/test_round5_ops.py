@@ -339,3 +339,24 @@ def test_stream_python_datasource_multibatch(spark, sf_dir):
     out = Q["stream_python_datasource"](spark, sf_dir)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert out.agg(F.sum("n")).collect()[0][0] == ev.count()
+
+
+def test_jsonl_export_escaping_and_parse_roundtrip(spark, sf_dir):
+    import json
+
+    # crafted rows exercising the ESCAPED path the corpus never hits
+    df = spark.createDataFrame(
+        [(1, "en", 'he said "hi"'), (2, "de", "back\\slash"), (3, "fr", "tab\there")],
+        "doc_id long, lang string, text string",
+    )
+    out = df.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "text")).alias("record"),
+    ).collect()
+    for r in out:
+        parsed = json.loads(r.record)  # valid JSON even with escapes
+        assert parsed["doc_id"] == r.doc_id
+    # corpus export parses back losslessly
+    recs = Q["doc_export_jsonl"](spark, sf_dir).limit(50).collect()
+    for r in recs:
+        assert json.loads(r.record)["doc_id"] == r.doc_id
