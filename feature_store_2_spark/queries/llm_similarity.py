@@ -1,6 +1,9 @@
 """Embedding similarity-search query family over `embeddings`
-(SURVEY.md Part B extensions): norms, brute-force cosine top-k, LSH
-ANN, nearest-centroid assignment.
+(SURVEY.md Part B extensions): norms, brute-force cosine top-k, the
+full ANN strategy family (SRP-LSH multiprobe, IVF cells + build-health
+stats, Matryoshka prefix re-rank, PQ encoding + ADC search), corpus x
+corpus k-NN join, k-NN label voting, centroid assignment / k-means,
+and int8 quantization.
 
 All vector math is 24-bit fixed-point (functions/vector.py) so dot
 products are exact BIGINT sums and cosines are bit-identical across

@@ -1,9 +1,11 @@
 """Training-data assembly query family — the operators that sit between
 a curated corpus and the actual training job: deterministic sampling
-(per-group reservoir, temperature-weighted source mixing), batch
+(per-group reservoir, temperature-weighted language mixing), batch
 construction (length-bucketed batching), vocabulary induction (one BPE
-merge step), retrieval-index build (inverted index), and per-domain
-corpus profiling.
+merge step), vocabulary-id tokenization, retrieval-index build
+(segmented inverted index), per-domain corpus profiling, Arrow-batched
+model scoring (mapInPandas + mapInArrow + a lateral UDTF), and JSONL
+export.
 
 Reference scope analog: the reference's pipeline ends at feature
 serving (`/root/reference/services/user_feature.py`); these extend the
