@@ -148,35 +148,46 @@ def doc_chunk_dedup(spark, sf_dir):
     """
 WITH h AS (
     SELECT doc_id, lang, source,
-           CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
-                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) AS BIGINT)
-               % 100 AS bucket,
+           ((CAST(position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN '0123456789abcdef') AS BIGINT) - 1) * 16
+            + (CAST(position(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+                 IN '0123456789abcdef') AS BIGINT) - 1)) AS bucket256,
            CASE WHEN lang = 'en' THEN 10 ELSE 30 END AS rate_pct
     FROM documents
 )
-SELECT doc_id, lang, source, bucket, CAST(rate_pct AS BIGINT) AS rate_pct
-FROM h WHERE bucket < rate_pct
+SELECT doc_id, lang, source, bucket256, CAST(rate_pct AS BIGINT) AS rate_pct
+FROM h WHERE bucket256 * 100 < rate_pct * 256
 """,
     doc="stratified downsampling by language: md5(doc_id)-bucketed, "
     "per-stratum rates (majority 'en' at 10%, tail langs at 30%) — "
     "deterministic across engines/retries (never rand()), rebalances "
     "the language mix the way a training-data pipeline upweights "
-    "low-resource strata",
+    "low-resource strata. The bucket is the first two md5 hex DIGITS "
+    "parsed to a uniform 0..255 value (the ascii(hex char) idiom this "
+    "replaced skewed the realized rates — r5 review finding) and the "
+    "rate test is integer cross-multiplication, exact on both engines.",
 )
 def doc_stratified_sample(spark, sf_dir):
     from pyspark.sql import functions as F
 
     d = load_table(spark, "documents", sf_dir)
     m = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    bucket = (
-        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1)))
-        .cast("long")
-        % 100
-    )
+    hexd = "0123456789abcdef"
+
+    def v(i):
+        return F.position(F.substring(m, i, 1), F.lit(hexd)).cast("long") - 1
+
+    bucket256 = v(1) * 16 + v(2)
     rate = F.when(F.col("lang") == "en", 10).otherwise(30).cast("long")
     return (
-        d.select("doc_id", "lang", "source", bucket.alias("bucket"), rate.alias("rate_pct"))
-        .filter(F.col("bucket") < F.col("rate_pct"))
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            bucket256.alias("bucket256"),
+            rate.alias("rate_pct"),
+        )
+        .filter(F.col("bucket256") * 100 < F.col("rate_pct") * 256)
     )
 
 

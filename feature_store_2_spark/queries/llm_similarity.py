@@ -599,11 +599,11 @@ _PQ_M = 4        # subspaces
 _PQ_SUB = 16     # dims per subspace (4 x 16 = DIM)
 _PQ_K = 16       # codebook entries per subspace
 
-
-@register(
-    "emb_pq_codes",
-    f"""
-WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+# Shared SQL kernel of PQ encoding and ADC search: quantized vectors,
+# the first-{k} codebook, and exact subspace L2 distances (vec x
+# subspace x codebook entry). One source of truth — both oracles embed
+# this block, mirroring the Spark-side _pq_subspace_dists kernel.
+_PQ_DIST_CTE = f"""WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
 cb AS (SELECT vec_id AS j, v FROM qv WHERE vec_id < {_PQ_K}),
 d AS (
     SELECT q.vec_id, s.s, c.j,
@@ -614,7 +614,12 @@ d AS (
     CROSS JOIN generate_series(0, {_PQ_M - 1}) s(s)
     CROSS JOIN cb c
     CROSS JOIN generate_series(1, {_PQ_SUB}) i(i)
-    GROUP BY q.vec_id, s.s, c.j),
+    GROUP BY q.vec_id, s.s, c.j)"""
+
+
+@register(
+    "emb_pq_codes",
+    _PQ_DIST_CTE + f""",
 best AS (
     SELECT vec_id, s, j, dist2,
            row_number() OVER (PARTITION BY vec_id, s
@@ -690,19 +695,7 @@ def _pq_subspace_dists(spark, sf_dir):
 
 @register(
     "emb_pq_adc_topk",
-    f"""
-WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
-cb AS (SELECT vec_id AS j, v FROM qv WHERE vec_id < {_PQ_K}),
-d AS (
-    SELECT q.vec_id, s.s, c.j,
-           CAST(sum((q.v[s.s * {_PQ_SUB} + i.i] - c.v[s.s * {_PQ_SUB} + i.i])
-                  * (q.v[s.s * {_PQ_SUB} + i.i] - c.v[s.s * {_PQ_SUB} + i.i]))
-                AS BIGINT) AS dist2
-    FROM qv q
-    CROSS JOIN generate_series(0, {_PQ_M - 1}) s(s)
-    CROSS JOIN cb c
-    CROSS JOIN generate_series(1, {_PQ_SUB}) i(i)
-    GROUP BY q.vec_id, s.s, c.j),
+    _PQ_DIST_CTE + f""",
 best AS (
     SELECT vec_id, s, j FROM (
         SELECT vec_id, s, j,

@@ -901,7 +901,7 @@ def _pagerank_oracle() -> str:
 deg AS (SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS d
         FROM edges GROUP BY a),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-pr0 AS (SELECT doc_id, CAST({s0} / n.n_docs AS BIGINT) AS pr
+pr0 AS (SELECT doc_id, CAST({s0} // n.n_docs AS BIGINT) AS pr
         FROM documents CROSS JOIN n)"""
     ]
     for it in range(1, _PR_ITERS + 1):
@@ -916,7 +916,7 @@ c{it} AS (
     GROUP BY e.b),
 pr{it} AS (
     SELECT d.doc_id,
-           CAST((15 * ({s0} / n.n_docs)
+           CAST((15 * ({s0} // n.n_docs)
                  + 85 * COALESCE(c{it}.contrib, 0)) // 100 AS BIGINT) AS pr
     FROM documents d CROSS JOIN n
     LEFT JOIN c{it} ON d.doc_id = c{it}.doc_id)"""
@@ -973,7 +973,7 @@ def graph_pagerank_fixed_point(spark, sf_dir):
     for _ in range(_PR_ITERS):
         contrib = (
             out_flow.join(pr.withColumnRenamed("doc_id", "a__"), F.col("a") == F.col("a__"))
-            .select(F.col("b").alias("doc_id"), (F.col("pr") / F.col("d")).cast("long").alias("part"))
+            .select(F.col("b").alias("doc_id"), F.expr("pr DIV d").alias("part"))
             .groupBy("doc_id")
             .agg(F.sum("part").cast("long").alias("contrib"))
         )
@@ -982,15 +982,10 @@ def graph_pagerank_fixed_point(spark, sf_dir):
             .join(contrib, "doc_id", "left")
             .select(
                 "doc_id",
-                (
-                    (
-                        F.lit(15 * base)
-                        + 85 * F.coalesce(F.col("contrib"), F.lit(0))
-                    )
-                    / 100
-                )
-                .cast("long")
-                .alias("pr"),
+                F.expr(
+                    f"CAST(({15 * base} + 85 * coalesce(contrib, 0)) "
+                    "DIV 100 AS BIGINT)"
+                ).alias("pr"),
             )
         )
     return pr.join(deg, "doc_id", "left").select(

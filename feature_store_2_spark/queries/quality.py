@@ -262,10 +262,6 @@ ORDER BY n DESC, user_id LIMIT 10
     "window, but the shape is identical.",
 )
 def stats_key_skew_profile(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from feature_store_2_spark.sources.tables import load_table
-
     ev = load_table(spark, "events", sf_dir)
     c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     tot = c.agg(
@@ -312,10 +308,6 @@ FROM f CROSS JOIN act
     "move, not rows.",
 )
 def stats_join_size_forecast(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from feature_store_2_spark.sources.tables import load_table
-
     o = load_table(spark, "orders", sf_dir)
     l = load_table(spark, "lineitem", sf_dir)
     a = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("ca"))

@@ -498,13 +498,6 @@ FROM events
 )
 def func_xml_events(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
-    xml = F.concat(
-        F.lit("<e><u>"),
-        F.col("user_id").cast("string"),
-        F.lit("</u><t>"),
-        F.col("event_type"),
-        F.lit("</t></e>"),
-    )
     parsed = F.expr(
         "from_xml(concat('<e><u>', CAST(user_id AS STRING), '</u><t>', "
         "event_type, '</t></e>'), 'u BIGINT, t STRING')"

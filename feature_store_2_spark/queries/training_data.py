@@ -27,17 +27,24 @@ from pyspark.sql import functions as F
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
+_HEX = "0123456789abcdef"
+
 
 def _md5_bucket(col, mod: int):
-    """Deterministic uniform bucket in [0, mod): first two md5 bytes of
-    the id rendered as decimal — the cross-engine-stable hash idiom used
-    by doc_stratified_sample (ascii(hex char) matches on both engines)."""
+    """Deterministic uniform bucket in [0, mod): the first two md5 hex
+    DIGITS parsed to a value in 0..255 (position() is 1-based and
+    identical on both engines), then mod. Uniform for any mod dividing
+    256. The earlier ascii(hex char) idiom was NOT uniform — ascii
+    values span 48..102, so mod 32 collapsed to 16 classes (r5 review
+    finding); hex-digit parsing fixes the distribution without losing
+    cross-engine determinism."""
+    assert 256 % mod == 0, "uniformity requires mod | 256"
     m = F.md5(col.cast("string").cast("binary"))
-    return (
-        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1)))
-        .cast("long")
-        % mod
-    )
+
+    def v(i: int):
+        return F.position(F.substring(m, i, 1), F.lit(_HEX)).cast("long") - 1
+
+    return (v(1) * 16 + v(2)) % mod
 
 
 def _md5_order(col):
@@ -47,8 +54,10 @@ def _md5_order(col):
 
 
 _MD5_BUCKET_SQL = (
-    "CAST(ascii(substr(md5(CAST({id} AS VARCHAR)), 1, 1)) * 256 "
-    "+ ascii(substr(md5(CAST({id} AS VARCHAR)), 2, 1)) AS BIGINT) % {mod}"
+    "(((CAST(position(substr(md5(CAST({id} AS VARCHAR)), 1, 1) IN "
+    "'0123456789abcdef') AS BIGINT) - 1) * 16"
+    " + (CAST(position(substr(md5(CAST({id} AS VARCHAR)), 2, 1) IN "
+    "'0123456789abcdef') AS BIGINT) - 1)) % {mod})"
 )
 
 
@@ -145,7 +154,6 @@ def doc_length_bucket_batches(spark, sf_dir):
     )
 
 
-_HEX = "0123456789abcdef"
 # Uniform fraction in [0, 1) from the first 4 md5 hex digits: each digit
 # parsed via position() (1-based, identical on both engines) -> a value
 # in 0..65535 over a power-of-two denominator, so the division is exact.

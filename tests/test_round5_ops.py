@@ -360,3 +360,30 @@ def test_jsonl_export_escaping_and_parse_roundtrip(spark, sf_dir):
     recs = Q["doc_export_jsonl"](spark, sf_dir).limit(50).collect()
     for r in recs:
         assert json.loads(r.record)["doc_id"] == r.doc_id
+
+
+def test_pagerank_base_floor_non_divisor_n(spark, tmp_path):
+    # r5 review finding: with n not dividing 10**12 the oracle's float
+    # division rounded differently from Spark's floored base. Pin the
+    # floored arithmetic on a 3-doc corpus (1e12 % 3 != 0), no edges.
+    import duckdb
+
+    rows = [(i, f"uniquetext{i} x{i} y{i} z{i}", "en", "s", 20) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(path)
+    out = {r.doc_id: r.pagerank_fp for r in Q["graph_pagerank_fixed_point"](spark, str(tmp_path)).collect()}
+    base = ((10**12 // 3) * 15) // 100
+    assert out == {0: base, 1: base, 2: base}
+    # and the DuckDB oracle agrees on the same files
+    from feature_store_2_spark.queries import CATALOG
+
+    oracle = next(q.oracle for q in CATALOG if q.name == "graph_pagerank_fixed_point")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    res = {r[0]: r[1] for r in con.execute(oracle).fetchall()}
+    assert res == out
