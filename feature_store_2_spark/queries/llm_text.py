@@ -463,37 +463,42 @@ def dedup_simhash_pairs(spark, sf_dir):
     """
 WITH h AS (
     SELECT doc_id, lang,
-           CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
-                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) AS BIGINT)
-               % 100 AS bucket
+           ((CAST(position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN '0123456789abcdef') AS BIGINT) - 1) * 16
+            + (CAST(position(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+                 IN '0123456789abcdef') AS BIGINT) - 1)) AS bucket256
     FROM documents
 )
-SELECT doc_id, lang, bucket,
-       CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'val'
+SELECT doc_id, lang, bucket256,
+       CASE WHEN bucket256 * 100 < 80 * 256 THEN 'train'
+            WHEN bucket256 * 100 < 90 * 256 THEN 'val'
             ELSE 'test' END AS split
 FROM h
 """,
-    doc="deterministic 80/10/10 train/val/test split: md5(doc_id) folded "
-    "to a 0-99 bucket — reproducible across engines, runs, and cluster "
-    "layouts (never rand(): a retried task must land every row in the "
-    "same split), stable under corpus growth because membership depends "
-    "only on the id",
+    doc="deterministic 80/10/10 train/val/test split: the first two md5 "
+    "hex DIGITS of the id parsed to a uniform 0..255 bucket, split by "
+    "integer cross-multiplied thresholds — reproducible across "
+    "engines, runs, and cluster layouts (never rand(): a retried task "
+    "must land every row in the same split), stable under corpus "
+    "growth because membership depends only on the id. (The ascii(hex "
+    "char) fold this replaced was not uniform, skewing the realized "
+    "80/10/10 — r5 review finding.)",
 )
 def doc_train_split(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
     m = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    bucket = (
-        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1)))
-        .cast("long")
-        % 100
-    )
+    hexd = "0123456789abcdef"
+
+    def v(i):
+        return F.position(F.substring(m, i, 1), F.lit(hexd)).cast("long") - 1
+
+    bucket256 = v(1) * 16 + v(2)
     return d.select(
         "doc_id",
         "lang",
-        bucket.alias("bucket"),
-        F.when(F.col("bucket") < 80, "train")
-        .when(F.col("bucket") < 90, "val")
+        bucket256.alias("bucket256"),
+        F.when(F.col("bucket256") * 100 < 80 * 256, "train")
+        .when(F.col("bucket256") * 100 < 90 * 256, "val")
         .otherwise("test")
         .alias("split"),
     )
