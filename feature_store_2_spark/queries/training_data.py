@@ -615,3 +615,62 @@ def doc_export_jsonl(spark, sf_dir):
         "doc_id",
         F.to_json(F.struct("doc_id", "lang", "text")).alias("record"),
     )
+
+
+@register(
+    "doc_curriculum_order",
+    f"""
+WITH scored AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           {_MD5_BUCKET_SQL.format(id="doc_id", mod=8)} AS shard
+    FROM documents),
+staged AS (
+    SELECT doc_id, n_tokens, shard,
+           CASE WHEN n_tokens < 40 THEN 0
+                WHEN n_tokens < 70 THEN 1
+                ELSE 2 END AS stage
+    FROM scored)
+SELECT doc_id, n_tokens, shard, CAST(stage AS BIGINT) AS stage,
+       CAST(row_number() OVER (
+           PARTITION BY stage, shard
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS order_in_shard
+FROM staged
+""",
+    doc="curriculum data ordering — the easy-to-hard schedule "
+    "curriculum-learning runs feed the trainer (Bengio et al. 2009), "
+    "staged here by document length (short -> long, the classic "
+    "difficulty proxy): each doc gets a stage and a deterministic "
+    "md5-shuffled position WITHIN its (stage, md5-shard) — random "
+    "order inside a stage, stages consumed in sequence. Window "
+    "partitions are (stage x shard), the skew-safe shape (order "
+    "indices are per data-loader shard exactly as distributed training "
+    "consumes them); all keys and positions are integers so the "
+    "oracle hashes exactly.",
+)
+def doc_curriculum_order(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    scored = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        _md5_bucket(F.col("doc_id"), 8).alias("shard"),
+    )
+    stage = (
+        F.when(F.col("n_tokens") < 40, 0)
+        .when(F.col("n_tokens") < 70, 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    staged = scored.withColumn("stage", stage)
+    w = Window.partitionBy("stage", "shard").orderBy(
+        _md5_order(F.col("doc_id")), "doc_id"
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        "stage",
+        F.row_number().over(w).cast("long").alias("order_in_shard"),
+    )

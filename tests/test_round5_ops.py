@@ -387,3 +387,22 @@ def test_pagerank_base_floor_non_divisor_n(spark, tmp_path):
     )
     res = {r[0]: r[1] for r in con.execute(oracle).fetchall()}
     assert res == out
+
+
+def test_curriculum_order_dense_and_staged(spark, sf_dir):
+    out = Q["doc_curriculum_order"](spark, sf_dir)
+    # order indices are dense 1..n per (stage, shard)
+    dense = (
+        out.groupBy("stage", "shard")
+        .agg(F.max("order_in_shard").alias("mx"), F.count("*").alias("n"))
+        .filter(F.col("mx") != F.col("n"))
+        .count()
+    )
+    assert dense == 0
+    # stages respect the length thresholds
+    bad = out.filter(
+        ((F.col("stage") == 0) & (F.col("n_tokens") >= 40))
+        | ((F.col("stage") == 1) & ((F.col("n_tokens") < 40) | (F.col("n_tokens") >= 70)))
+        | ((F.col("stage") == 2) & (F.col("n_tokens") < 70))
+    ).count()
+    assert bad == 0
