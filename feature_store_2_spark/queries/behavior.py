@@ -665,3 +665,150 @@ def window_time_weighted_avg(spark, sf_dir):
             "twap_micro"
         ),
     )
+
+
+@register(
+    "ab_test_chi_squared",
+    """
+WITH assign AS (
+    SELECT DISTINCT user_id,
+           ((CAST(position(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                 IN '0123456789abcdef') AS BIGINT) - 1) * 16
+            + (CAST(position(substr(md5(CAST(user_id AS VARCHAR)), 2, 1)
+                 IN '0123456789abcdef') AS BIGINT) - 1)) % 2 AS grp
+    FROM events),
+conv AS (
+    SELECT user_id, 1 AS converted FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id HAVING count(*) >= 14),
+cells AS (
+    SELECT a.grp, COALESCE(c.converted, 0) AS converted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM assign a LEFT JOIN conv c USING (user_id)
+    GROUP BY 1, 2),
+tab AS (
+    SELECT CAST(max(CASE WHEN grp = 0 AND converted = 1 THEN n ELSE 0 END) AS BIGINT) AS a,
+           CAST(max(CASE WHEN grp = 0 AND converted = 0 THEN n ELSE 0 END) AS BIGINT) AS b,
+           CAST(max(CASE WHEN grp = 1 AND converted = 1 THEN n ELSE 0 END) AS BIGINT) AS c,
+           CAST(max(CASE WHEN grp = 1 AND converted = 0 THEN n ELSE 0 END) AS BIGINT) AS d
+    FROM cells)
+SELECT a, b, c, d,
+       CAST((a * d - b * c) * (a * d - b * c) AS DOUBLE)
+         * CAST(a + b + c + d AS DOUBLE)
+         / CAST(a + b AS DOUBLE) / CAST(c + d AS DOUBLE)
+         / CAST(a + c AS DOUBLE) / CAST(b + d AS DOUBLE) AS chi2
+FROM tab
+""",
+    doc="chi-squared A/B conversion test — the experimentation "
+    "readout every growth pipeline computes: users md5-split into "
+    "two arms (deterministic assignment — a retried task lands every "
+    "user in the same arm, the property rand() lacks), conversion = "
+    ">= 14 purchases (a threshold that splits this corpus; 'any "
+    "purchase' is degenerate here — every synthetic user buys), "
+    "chi2 = N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)). The "
+    "2x2 table is exact integers; the statistic is a fixed chain of "
+    "correctly-rounded int64->double conversions and divisions, so "
+    "even the double hashes identically. Two skinny distinct "
+    "aggregations + a 4-cell fold — counts move, never events.",
+)
+def ab_test_chi_squared(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    hexd = "0123456789abcdef"
+    m = F.md5(F.col("user_id").cast("string").cast("binary"))
+
+    def v(i):
+        return F.position(F.substring(m, i, 1), F.lit(hexd)).cast("long") - 1
+
+    assign = ev.select(
+        "user_id", ((v(1) * 16 + v(2)) % 2).alias("grp")
+    ).distinct()
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("_np"))
+        .filter(F.col("_np") >= 14)
+        .select("user_id", F.lit(1).alias("converted"))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .select("grp", F.coalesce(F.col("converted"), F.lit(0)).alias("converted"))
+        .groupBy("grp", "converted")
+        .agg(F.count("*").alias("n"))
+    )
+    cell = lambda g, c: F.max(
+        F.when((F.col("grp") == g) & (F.col("converted") == c), F.col("n")).otherwise(0)
+    ).cast("long")
+    tab = cells.agg(
+        cell(0, 1).alias("a"), cell(0, 0).alias("b"),
+        cell(1, 1).alias("c"), cell(1, 0).alias("d"),
+    )
+    A, B, C, D = (F.col(x) for x in "abcd")
+    det = A * D - B * C
+    chi2 = (
+        (det * det).cast("double")
+        * (A + B + C + D).cast("double")
+        / (A + B).cast("double")
+        / (C + D).cast("double")
+        / (A + C).cast("double")
+        / (B + D).cast("double")
+    )
+    return tab.select("a", "b", "c", "d", chi2.alias("chi2"))
+
+
+@register(
+    "agg_gini_spend",
+    """
+WITH spend AS (
+    SELECT event_type, user_id,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY event_type, user_id),
+ranked AS (
+    SELECT event_type, cents,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cents, user_id) AS BIGINT) AS i,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM spend)
+SELECT event_type, min(n) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS total_micro,
+       CAST(2 * sum(i * cents) - (min(n) + 1) * sum(cents) AS BIGINT)
+           AS gini_num,
+       CAST(min(n) * sum(cents) AS BIGINT) AS gini_den,
+       CAST(2 * sum(i * cents) - (min(n) + 1) * sum(cents) AS DOUBLE)
+           / CAST(min(n) * sum(cents) AS DOUBLE) AS gini
+FROM ranked GROUP BY event_type
+""",
+    doc="Gini coefficient of per-user spend by event type — the "
+    "inequality metric behind whale-concentration and data-diversity "
+    "dashboards: G = (2*sum(i*x_i) - (n+1)*sum(x))/(n*sum(x)) over "
+    "rank-ordered exact micro-unit totals. The event stream aggregates "
+    "to (type, user) FIRST (one hash agg — the corpus never enters a "
+    "window); the ranking window then runs over per-user totals, "
+    "metadata-scale next to the fact table. Integer numerator and "
+    "denominator ride along; the double is one division of exact "
+    "int64s, identical on both engines.",
+)
+def agg_gini_spend(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    spend = ev.groupBy("event_type", "user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "user_id")
+    wn = Window.partitionBy("event_type")
+    ranked = spend.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).cast("long").alias("i"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    num = 2 * F.sum(F.col("i") * F.col("cents")) - (F.min("n") + 1) * F.sum("cents")
+    den = F.min("n") * F.sum("cents")
+    return ranked.groupBy("event_type").agg(
+        F.min("n").alias("n_users"),
+        F.sum("cents").cast("long").alias("total_micro"),
+        num.cast("long").alias("gini_num"),
+        den.cast("long").alias("gini_den"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )

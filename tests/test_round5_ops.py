@@ -406,3 +406,18 @@ def test_curriculum_order_dense_and_staged(spark, sf_dir):
         | ((F.col("stage") == 2) & (F.col("n_tokens") < 70))
     ).count()
     assert bad == 0
+
+
+def test_chi_squared_margins_positive(spark, sf_dir):
+    r = Q["ab_test_chi_squared"](spark, sf_dir).collect()[0]
+    for margin in (r.a + r.b, r.c + r.d, r.a + r.c, r.b + r.d):
+        assert margin > 0  # no degenerate contingency margins
+    assert r.chi2 >= 0
+
+
+def test_gini_bounds(spark, sf_dir):
+    rows = Q["agg_gini_spend"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r.gini < 1
+        assert r.gini_den > 0
+        assert abs(r.gini - r.gini_num / r.gini_den) < 1e-12
