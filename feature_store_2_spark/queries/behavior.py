@@ -780,13 +780,15 @@ FROM ranked GROUP BY event_type
 """,
     doc="Gini coefficient of per-user spend by event type — the "
     "inequality metric behind whale-concentration and data-diversity "
-    "dashboards: G = (2*sum(i*x_i) - (n+1)*sum(x))/(n*sum(x)) over "
-    "rank-ordered exact micro-unit totals. The event stream aggregates "
-    "to (type, user) FIRST (one hash agg — the corpus never enters a "
-    "window); the ranking window then runs over per-user totals, "
-    "metadata-scale next to the fact table. Integer numerator and "
-    "denominator ride along; the double is one division of exact "
-    "int64s, identical on both engines.",
+    "dashboards: G = (2*sum(i*x_i) - (n+1)*sum(x))/(n*sum(x)). Scale "
+    "design: per-user totals collapse onto the spend-VALUE HISTOGRAM "
+    "(second hash agg), and the rank sum over a run of c ties at value "
+    "x is x*(c*C_prev + c(c+1)/2) — so the cumulative window runs over "
+    "distinct spend values (bounded by micro-unit quantization), never "
+    "over the unbounded user population. The ORACLE keeps the textbook "
+    "per-user rank formulation: matching hashes prove the histogram "
+    "identity cross-engine. Integer numerator/denominator ride along; "
+    "the double is one division of exact int64s.",
 )
 def agg_gini_spend(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -795,19 +797,33 @@ def agg_gini_spend(spark, sf_dir):
         .cast("long")
         .alias("cents")
     )
-    wr = Window.partitionBy("event_type").orderBy("cents", "user_id")
-    wn = Window.partitionBy("event_type")
-    ranked = spend.select(
-        "event_type",
-        "cents",
-        F.row_number().over(wr).cast("long").alias("i"),
-        F.count("*").over(wn).cast("long").alias("n"),
+    hist = spend.groupBy("event_type", "cents").agg(
+        F.count("*").cast("long").alias("c")
     )
-    num = 2 * F.sum(F.col("i") * F.col("cents")) - (F.min("n") + 1) * F.sum("cents")
-    den = F.min("n") * F.sum("cents")
-    return ranked.groupBy("event_type").agg(
-        F.min("n").alias("n_users"),
-        F.sum("cents").cast("long").alias("total_micro"),
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("c_thru", F.sum("c").over(wcum)).withColumn(
+        "c_prev", F.col("c_thru") - F.col("c")
+    )
+    # sum of ranks across the tie-run: c*C_prev + c(c+1)/2 (c(c+1) even)
+    rank_sum = F.col("c") * F.col("c_prev") + F.expr(
+        "(c * (c + 1)) DIV 2"
+    )
+    contrib = F.col("cents") * rank_sum
+    agg = cum.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_users"),
+        F.sum(F.col("cents") * F.col("c")).cast("long").alias("total_micro"),
+        F.sum(contrib).cast("long").alias("ix_sum"),
+    )
+    num = 2 * F.col("ix_sum") - (F.col("n_users") + 1) * F.col("total_micro")
+    den = F.col("n_users") * F.col("total_micro")
+    return agg.select(
+        "event_type",
+        "n_users",
+        "total_micro",
         num.cast("long").alias("gini_num"),
         den.cast("long").alias("gini_den"),
         (num.cast("double") / den.cast("double")).alias("gini"),
