@@ -331,3 +331,73 @@ def stats_join_size_forecast(spark, sf_dir):
         "actual_rows",
         (F.col("forecast_rows") == F.col("actual_rows")).alias("exact_match"),
     )
+
+
+@register(
+    "dq_distribution_drift",
+    """
+WITH b AS (
+    SELECT event_type,
+           CAST(floor(value / 20) AS BIGINT) AS bin,
+           CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half
+    FROM events),
+c AS (
+    SELECT event_type, bin,
+           CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_early,
+           CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_late
+    FROM b GROUP BY event_type, bin),
+tot AS (
+    SELECT event_type,
+           CAST(sum(o_early) AS BIGINT) AS t_early,
+           CAST(sum(o_late) AS BIGINT) AS t_late
+    FROM c GROUP BY event_type)
+SELECT c.event_type, bin, o_early, o_late,
+       CAST(o_late AS DOUBLE)
+         - CAST(t_late AS DOUBLE) * o_early / t_early AS excess,
+       CASE WHEN o_early > 0 THEN
+            (CAST(o_late AS DOUBLE) - CAST(t_late AS DOUBLE) * o_early / t_early)
+          * (CAST(o_late AS DOUBLE) - CAST(t_late AS DOUBLE) * o_early / t_early)
+          / (CAST(t_late AS DOUBLE) * o_early / t_early)
+       END AS drift_term
+FROM c JOIN tot ON c.event_type = tot.event_type
+""",
+    doc="distribution drift monitor — the retraining/rollback trigger "
+    "every production feature pipeline watches: the value distribution "
+    "(fixed-width bins) of the LATE half of the stream compared "
+    "against the EARLY half's as baseline, chi-square-style per-bin "
+    "drift terms (observed-late vs expected-from-early scaled to late "
+    "volume). Emitted PER BIN deliberately: each term is a fixed chain "
+    "of correctly-rounded int64->double ops (hash-exact), whereas a "
+    "summed statistic over float terms would be addition-order-"
+    "dependent — the consumer sums the handful of bin rows. Two hash "
+    "aggs on (type, bin) — counts move, never events; new-in-late "
+    "bins surface with NULL drift (o_early=0), the strongest drift "
+    "signal of all.",
+)
+def dq_distribution_drift(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.select(
+        "event_type",
+        F.floor(F.col("value") / 20).cast("long").alias("bin"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("o_early"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("o_late"),
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("o_early").cast("long").alias("t_early"),
+        F.sum("o_late").cast("long").alias("t_late"),
+    )
+    e = F.col("t_late").cast("double") * F.col("o_early") / F.col("t_early")
+    excess = F.col("o_late").cast("double") - e
+    return c.join(tot, "event_type").select(
+        "event_type",
+        "bin",
+        "o_early",
+        "o_late",
+        excess.alias("excess"),
+        F.when(F.col("o_early") > 0, excess * excess / e).alias("drift_term"),
+    )

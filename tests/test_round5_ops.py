@@ -421,3 +421,16 @@ def test_gini_bounds(spark, sf_dir):
         assert 0 <= r.gini < 1
         assert r.gini_den > 0
         assert abs(r.gini - r.gini_num / r.gini_den) < 1e-12
+
+
+def test_distribution_drift_accounting(spark, sf_dir):
+    out = Q["dq_distribution_drift"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # every event lands in exactly one (type, bin, half) cell
+    tot = out.agg(F.sum(F.col("o_early") + F.col("o_late"))).collect()[0][0]
+    assert tot == ev.count()
+    bad = out.filter(
+        (F.col("drift_term") < 0)
+        | ((F.col("o_early") == 0) & F.col("drift_term").isNotNull())
+    ).count()
+    assert bad == 0
