@@ -998,3 +998,64 @@ def graph_pagerank_fixed_point(spark, sf_dir):
         F.col("pr").alias("pagerank_fp"),
         F.coalesce(F.col("d"), F.lit(0)).alias("degree"),
     )
+
+
+@register(
+    "eval_lang_confusion",
+    f"""
+WITH preds AS ({_lang_oracle()}),
+cells AS (
+    SELECT lang AS true_lang, guessed_lang AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM preds GROUP BY 1, 2),
+rows_ AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS row_n
+          FROM cells GROUP BY 1),
+cols AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS col_n
+         FROM cells GROUP BY 1)
+SELECT c.true_lang, c.pred_lang, c.n, r.row_n, co.col_n,
+       c.true_lang = c.pred_lang AS is_diag,
+       CAST(c.n AS DOUBLE) / r.row_n AS recall_share,
+       CAST(c.n AS DOUBLE) / co.col_n AS precision_share
+FROM cells c
+JOIN rows_ r ON c.true_lang = r.true_lang
+JOIN cols co ON c.pred_lang = co.pred_lang
+""",
+    doc="classifier evaluation — the confusion matrix + per-class "
+    "precision/recall readout every model-audit pipeline runs, here "
+    "over the language-ID heuristic vs the labeled lang: per "
+    "(true, predicted) cell count with its row share (recall on the "
+    "diagonal) and column share (precision on the diagonal). Counts "
+    "are exact integers, shares single exact divisions; totals come "
+    "from two tiny re-aggregations joined back (bounded label domain "
+    "— no windows anywhere). The oracle nests the SAME lang-ID oracle "
+    "as a CTE, so the predictions being evaluated are themselves "
+    "hash-verified. Opens the model-evaluation family alongside "
+    "emb_knn_label_vote's labeling audit.",
+)
+def eval_lang_confusion(spark, sf_dir):
+    from feature_store_2_spark.operators.text import lang_guess
+
+    d = load_table(spark, "documents", sf_dir)
+    preds = d.select(
+        F.col("lang").alias("true_lang"),
+        lang_guess("text").alias("pred_lang"),
+    )
+    cells = preds.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    rows_ = cells.groupBy("true_lang").agg(F.sum("n").cast("long").alias("row_n"))
+    cols = cells.groupBy("pred_lang").agg(F.sum("n").cast("long").alias("col_n"))
+    return (
+        cells.join(rows_, "true_lang")
+        .join(cols, "pred_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            "row_n",
+            "col_n",
+            (F.col("true_lang") == F.col("pred_lang")).alias("is_diag"),
+            (F.col("n").cast("double") / F.col("row_n")).alias("recall_share"),
+            (F.col("n").cast("double") / F.col("col_n")).alias("precision_share"),
+        )
+    )

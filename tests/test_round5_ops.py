@@ -434,3 +434,18 @@ def test_distribution_drift_accounting(spark, sf_dir):
         | ((F.col("o_early") == 0) & F.col("drift_term").isNotNull())
     ).count()
     assert bad == 0
+
+
+def test_confusion_matrix_shares(spark, sf_dir):
+    rows = Q["eval_lang_confusion"](spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n for r in rows) == docs_n
+    from collections import defaultdict
+
+    by_true = defaultdict(float)
+    for r in rows:
+        by_true[r.true_lang] += r.recall_share
+        assert 0 < r.recall_share <= 1 and 0 < r.precision_share <= 1
+        assert r.is_diag == (r.true_lang == r.pred_lang)
+    for v in by_true.values():
+        assert abs(v - 1.0) < 1e-9  # row shares sum to 1 per true class
