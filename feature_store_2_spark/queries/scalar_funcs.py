@@ -512,3 +512,55 @@ def func_xml_events(spark, sf_dir):
             & (F.col("x.t") == F.col("event_type"))
         ).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "func_collation_case_insensitive",
+    """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+mixed AS (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN upper(word) ELSE word END AS mw,
+           word
+    FROM w)
+SELECT lower(mw) AS term,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT mw) AS BIGINT) AS n_case_variants
+FROM mixed GROUP BY lower(mw)
+""",
+    doc="collation-aware grouping (new Spark 4 surface): half the "
+    "corpus is deterministically uppercased, then grouped under the "
+    "UTF8_LCASE collation — the engine-level case-insensitive "
+    "semantics that replace sprinkling lower() through every "
+    "predicate. The oracle groups on explicit lower(), so the hash "
+    "proves collate-grouping == normalize-then-group; "
+    "n_case_variants (distinct raw spellings per collation group, "
+    "here 2 for words present in both halves) shows the collation is "
+    "genuinely merging distinct binary strings. One explode + one "
+    "hash agg.",
+)
+def func_collation_case_insensitive(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    w = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    mixed = w.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("word"))
+        .otherwise(F.col("word"))
+        .alias("mw")
+    )
+    grouped = mixed.groupBy(
+        F.expr("collate(mw, 'UTF8_LCASE')").alias("cterm")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.expr("collate(mw, 'UTF8_BINARY')")).alias(
+            "n_case_variants"
+        ),
+    )
+    # render the collation group key in canonical lower form so the
+    # output column is a plain binary-collation string for the driver
+    return grouped.select(
+        F.lower(F.col("cterm")).cast("string").alias("term"),
+        "n",
+        "n_case_variants",
+    )
