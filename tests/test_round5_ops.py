@@ -449,3 +449,10 @@ def test_confusion_matrix_shares(spark, sf_dir):
         assert r.is_diag == (r.true_lang == r.pred_lang)
     for v in by_true.values():
         assert abs(v - 1.0) < 1e-9  # row shares sum to 1 per true class
+
+
+def test_collation_merges_case_variants(spark, sf_dir):
+    rows = Q["func_collation_case_insensitive"](spark, sf_dir).collect()
+    assert rows and all(r.term == r.term.lower() for r in rows)
+    variants = {r.n_case_variants for r in rows}
+    assert variants <= {1, 2} and 2 in variants  # collation merged spellings
