@@ -456,3 +456,95 @@ def test_collation_merges_case_variants(spark, sf_dir):
     assert rows and all(r.term == r.term.lower() for r in rows)
     variants = {r.n_case_variants for r in rows}
     assert variants <= {1, 2} and 2 in variants  # collation merged spellings
+
+
+def test_stream_python_datasource_restart_recovery(spark, sf_dir, tmp_path):
+    # kill the stream after its first micro-batches, restart from the
+    # SAME checkpoint: the offset contract (initialOffset/read/
+    # readBetweenOffsets) must resume without loss or double-counting.
+    from pyspark.sql import functions as F2
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    path = f"{sf_dir}/events.parquet"
+
+    class _R(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self._path = options["path"]
+            self._chunk = 2000
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def _table(self):
+            import pyarrow.parquet as pq
+
+            return pq.read_table(self._path, columns=["event_id", "user_id"]).sort_by(
+                "event_id"
+            )
+
+        def _rows(self, t, lo, hi):
+            c = t.slice(lo, hi - lo)
+            return iter(
+                list(zip(c.column("event_id").to_pylist(), c.column("user_id").to_pylist()))
+            )
+
+        def read(self, start):
+            t = self._table()
+            lo = start["pos"]
+            hi = min(lo + self._chunk, t.num_rows)
+            if lo >= hi:
+                return iter([]), {"pos": lo}
+            return self._rows(t, lo, hi), {"pos": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(self._table(), start["pos"], end["pos"])
+
+    class _S(DataSource):
+        @classmethod
+        def name(cls):
+            return "fs2_events_stream_py_recovery"
+
+        def schema(self):
+            return "event_id bigint, user_id bigint"
+
+        def simpleStreamReader(self, schema):
+            return _R(self.options)
+
+    spark.dataSource.register(_S)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("fs2_events_stream_py_recovery")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    # let at least one batch commit, then kill mid-stream
+    import time
+
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if any(p.numInputRows > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    # restart from the same checkpoint and drain fully
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    ev = spark.read.parquet(path)
+    assert got.count() == ev.count()  # no loss, no double-count
+    assert got.select(F2.sum("event_id")).collect()[0][0] == ev.select(
+        F2.sum("event_id")
+    ).collect()[0][0]
