@@ -611,7 +611,7 @@ def funnel_windowed_conversion(spark, sf_dir):
     """
 WITH r AS (
     SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
-           CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro,
            event_id
     FROM events WHERE event_type = 'purchase'),
 seg AS (
@@ -645,7 +645,13 @@ def window_time_weighted_avg(spark, sf_dir):
     r = ev.select(
         "user_id",
         F.unix_micros(F.col("ts")).alias("t"),
-        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        # DECIMAL(18,6) round-half-up, not floor-on-double: floor(v*1e6)
+        # truncates values the double can't represent exactly
+        # (0.29 -> 289999), misstating "fixed-point value"; this is the
+        # repo's standard micro-unit recipe (agg_gini_spend).
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("v_micro"),
         "event_id",
     )
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
@@ -695,8 +701,9 @@ tab AS (
 SELECT a, b, c, d,
        CAST((a * d - b * c) * (a * d - b * c) AS DOUBLE)
          * CAST(a + b + c + d AS DOUBLE)
-         / CAST(a + b AS DOUBLE) / CAST(c + d AS DOUBLE)
-         / CAST(a + c AS DOUBLE) / CAST(b + d AS DOUBLE) AS chi2
+         / CAST(NULLIF(a + b, 0) AS DOUBLE) / CAST(NULLIF(c + d, 0) AS DOUBLE)
+         / CAST(NULLIF(a + c, 0) AS DOUBLE) / CAST(NULLIF(b + d, 0) AS DOUBLE)
+       AS chi2
 FROM tab
 """,
     doc="chi-squared A/B conversion test — the experimentation "
@@ -744,13 +751,21 @@ def ab_test_chi_squared(spark, sf_dir):
     )
     A, B, C, D = (F.col(x) for x in "abcd")
     det = A * D - B * C
+
+    # NULLIF-guard every margin: on a degenerate table (an empty arm or
+    # zero conversions) Spark's non-ANSI double div-by-zero yields NULL
+    # while DuckDB's IEEE mode yields Infinity — guarding BOTH engines
+    # to NULL keeps the hash gate data-independent (r5 advisor finding).
+    def margin(x):
+        return F.nullif(x.cast("long"), F.lit(0)).cast("double")
+
     chi2 = (
         (det * det).cast("double")
         * (A + B + C + D).cast("double")
-        / (A + B).cast("double")
-        / (C + D).cast("double")
-        / (A + C).cast("double")
-        / (B + D).cast("double")
+        / margin(A + B)
+        / margin(C + D)
+        / margin(A + C)
+        / margin(B + D)
     )
     return tab.select("a", "b", "c", "d", chi2.alias("chi2"))
 

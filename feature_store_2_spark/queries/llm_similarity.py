@@ -730,7 +730,12 @@ WHERE rank <= 5
 def emb_pq_adc_topk(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    d = _pq_subspace_dists(spark, sf_dir).persist()
+    # localCheckpoint, not persist: d is read twice (argmin codes + the
+    # query LUT); checkpointing materializes the bounded subspace-dist
+    # table once and its blocks are released with the DataFrame itself,
+    # instead of a never-unpersisted cache entry accumulating across
+    # catalog entries in one driver process (r5 advisor finding).
+    d = _pq_subspace_dists(spark, sf_dir).localCheckpoint()
     w = W.partitionBy("vec_id", "s").orderBy("dist2", "j")
     best = (
         d.withColumn("rn", F.row_number().over(w))

@@ -355,7 +355,10 @@ FROM reach GROUP BY id
 def dedup_cluster_components(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     edges = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select("doc1", "doc2")
-    comps = connected_components(docs.select("doc_id"), edges.persist())
+    # connected_components persists (and unpersists) its own symmetric
+    # edge view; an outer edges.persist() here would leak cached blocks
+    # across catalog entries (r5 advisor finding).
+    comps = connected_components(docs.select("doc_id"), edges)
     return comps.select(
         "doc_id",
         "component",
@@ -881,7 +884,9 @@ def dedup_canonical_keep_best(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     edges = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select("doc1", "doc2")
-    comps = connected_components(docs.select("doc_id"), edges.persist())
+    # No outer persist: connected_components caches its own symmetric
+    # edge view and unpersists it before returning (r5 advisor finding).
+    comps = connected_components(docs.select("doc_id"), edges)
     scored = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
     wrk = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
     wsz = W.partitionBy("component")
@@ -948,8 +953,11 @@ FROM pr{_PR_ITERS} p LEFT JOIN deg ON p.doc_id = deg.doc_id
     f"across engines/partitionings — and the damping update "
     f"(15*base + 85*inflow)//100 stays integral. Each iteration is "
     f"one edge-keyed join + one dst-keyed agg (the textbook "
-    f"Pregel-as-joins shape; at 100 TB you'd checkpoint lineage per "
-    f"round exactly like connected_components does). The oracle "
+    f"Pregel-as-joins shape), with the rank vector "
+    f"localCheckpoint-truncated per round exactly like "
+    f"connected_components — round N's plan never embeds the N-1 "
+    f"previous joins, so analysis cost stays O(1) per round at any "
+    f"iteration count. The oracle "
     f"unrolls the same {_PR_ITERS} iterations over the identical "
     f"edge CTEs, so every rank hashes bit-for-bit.",
 )
@@ -966,8 +974,12 @@ def graph_pagerank_fixed_point(spark, sf_dir):
         )
         .persist()
     )
-    deg = edges.groupBy(F.col("a").alias("doc_id")).agg(
-        F.count("*").alias("d")
+    # deg is one row per node with an edge — eagerly checkpointed so the
+    # final join below survives edges.unpersist() without recomputation.
+    deg = (
+        edges.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint()
     )
     n_docs = docs.count()  # bounded metadata: one scalar
     base = _PR_SCALE // n_docs
@@ -992,7 +1004,13 @@ def graph_pagerank_fixed_point(spark, sf_dir):
                     "DIV 100 AS BIGINT)"
                 ).alias("pr"),
             )
+            # Truncate lineage every round (operators/graph.py:70
+            # rationale): the plan stays one-join deep regardless of
+            # iteration count, and the checkpointed rank vector lets
+            # the edge cache be released below.
+            .localCheckpoint()
         )
+    edges.unpersist()
     return pr.join(deg, "doc_id", "left").select(
         "doc_id",
         F.col("pr").alias("pagerank_fp"),

@@ -353,11 +353,13 @@ tot AS (
     FROM c GROUP BY event_type)
 SELECT c.event_type, bin, o_early, o_late,
        CAST(o_late AS DOUBLE)
-         - CAST(t_late AS DOUBLE) * o_early / t_early AS excess,
+         - CAST(t_late AS DOUBLE) * o_early / NULLIF(t_early, 0) AS excess,
        CASE WHEN o_early > 0 THEN
-            (CAST(o_late AS DOUBLE) - CAST(t_late AS DOUBLE) * o_early / t_early)
-          * (CAST(o_late AS DOUBLE) - CAST(t_late AS DOUBLE) * o_early / t_early)
-          / (CAST(t_late AS DOUBLE) * o_early / t_early)
+            (CAST(o_late AS DOUBLE)
+               - CAST(t_late AS DOUBLE) * o_early / NULLIF(t_early, 0))
+          * (CAST(o_late AS DOUBLE)
+               - CAST(t_late AS DOUBLE) * o_early / NULLIF(t_early, 0))
+          / (CAST(t_late AS DOUBLE) * o_early / NULLIF(t_early, 0))
        END AS drift_term
 FROM c JOIN tot ON c.event_type = tot.event_type
 """,
@@ -391,7 +393,15 @@ def dq_distribution_drift(spark, sf_dir):
         F.sum("o_early").cast("long").alias("t_early"),
         F.sum("o_late").cast("long").alias("t_late"),
     )
-    e = F.col("t_late").cast("double") * F.col("o_early") / F.col("t_early")
+    # NULLIF-guard t_early: an event_type with no early-half rows makes
+    # Spark (non-ANSI) return NULL for the double div-by-zero where
+    # DuckDB's IEEE mode returns Infinity — guard both engines to NULL
+    # so the hash gate is data-independent (r5 advisor finding).
+    e = (
+        F.col("t_late").cast("double")
+        * F.col("o_early")
+        / F.nullif(F.col("t_early"), F.lit(0))
+    )
     excess = F.col("o_late").cast("double") - e
     return c.join(tot, "event_type").select(
         "event_type",

@@ -537,7 +537,11 @@ FROM mixed GROUP BY lower(mw)
     "n_case_variants (distinct raw spellings per collation group, "
     "here 2 for words present in both halves) shows the collation is "
     "genuinely merging distinct binary strings. One explode + one "
-    "hash agg.",
+    "hash agg. ORACLE PRECONDITION: collate==lower() equivalence "
+    "holds for simple case mapping only (full casefold, e.g. 'ß'->'ss' "
+    "under ICU, diverges); the companion test asserts every term is "
+    "ASCII so a corpus change fails loudly in pytest, not as a driver "
+    "hash mismatch.",
 )
 def func_collation_case_insensitive(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)

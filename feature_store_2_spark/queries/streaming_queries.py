@@ -67,12 +67,34 @@ def _stream_shuffle(spark, n: int = 16):
 
 
 def _stage_events(spark, sf_dir: str) -> str:
-    """Write the (ts-normalized) events table into a fresh streaming
-    source dir — the batch parquet stands in for the Kafka topic."""
-    root = tempfile.mkdtemp(prefix="fs2_stream_")
-    events_dir = os.path.join(root, "events")
-    load_table(spark, "events", sf_dir).write.parquet(events_dir)
-    return root
+    """Return a fresh per-run root whose ``events/`` subdir is the
+    (ts-normalized) events table — the batch parquet stands in for the
+    Kafka topic.
+
+    The staged parquet is a pure function of the immutable sf_dir, so
+    it is written ONCE per process per sf_dir (storage.py's
+    commit-after-write ``_STAGING_CACHE`` protocol — the r5 verdict
+    found every streaming entry paying a full corpus rewrite per
+    invocation, the dominant cost of the two slowest bench queries).
+    Each call still gets a brand-new run root — checkpoint/sink dirs
+    must never be reused across runs — with ``events`` symlinked to
+    the cached copy (read-only to every consumer)."""
+    from feature_store_2_spark.queries.storage import (
+        _commit_staging,
+        _staged_root,
+    )
+
+    src_root, ready = _staged_root("stream_events", sf_dir)
+    if not ready:
+        load_table(spark, "events", sf_dir).write.parquet(
+            os.path.join(src_root, "events")
+        )
+        _commit_staging("stream_events", sf_dir, src_root)
+    run_root = tempfile.mkdtemp(prefix="fs2_stream_")
+    os.symlink(
+        os.path.join(src_root, "events"), os.path.join(run_root, "events")
+    )
+    return run_root
 
 
 @register(
