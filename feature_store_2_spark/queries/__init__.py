@@ -109,12 +109,38 @@ def _scored_rounds() -> dict[str, int]:
     return latest
 
 
+def _registered_rounds() -> dict[str, int]:
+    """name -> round the entry was first registered (catalog_rounds.json,
+    maintained by tools/update_catalog_rounds.py; a pytest pins that the
+    file covers the whole catalog). Missing file or name -> a large
+    sentinel, which only sorts the entry later — safe direction."""
+    import json
+    from pathlib import Path
+
+    try:
+        data = json.loads(
+            (Path(__file__).parent / "catalog_rounds.json").read_text()
+        )
+        return {k: int(v) for k, v in data.items()}
+    except (OSError, ValueError):
+        return {}
+
+
 def _derive_head(names_in_order: list[str]) -> list[str]:
     scored = _scored_rounds()
     order = {n: i for i, n in enumerate(names_in_order)}
     head = [s for s in _STAPLES if s in order]
     taken = set(head)
-    head += [n for n in names_in_order if n not in scored and n not in taken]
+    # Never-scored entries queue FIFO by the round they first appeared
+    # (then registration order): a fresh round's additions must not
+    # push last round's still-unscored entries past the driver budget
+    # just because their module imports earlier (r6 hazard — the 33
+    # round-5 entries vs this round's additions).
+    reg = _registered_rounds()
+    head += sorted(
+        (n for n in names_in_order if n not in scored and n not in taken),
+        key=lambda n: (reg.get(n, 1 << 30), order[n]),
+    )
     taken = set(head)
     stale = sorted(
         (n for n in names_in_order if n not in taken),

@@ -66,16 +66,41 @@ def test_never_scored_entries_lead_head():
 
 
 def test_derive_head_promotes_unscored():
-    """Pure-function check: a hypothetical brand-new entry must lead."""
+    """Pure-function check: a hypothetical brand-new entry must lead,
+    and never-scored entries queue FIFO by first-registered round (an
+    older round's unscored entries outrank this round's additions
+    regardless of module import position)."""
+    from feature_store_2_spark.queries import _registered_rounds
+
     names = [q.name for q in CATALOG]
     head = _derive_head(names)
     assert len(head) <= max(_HEAD_SIZE, len(head))
     scored = _scored_rounds()
     staple_set = set(_STAPLES)
-    never = [n for n in names if n not in scored and n not in staple_set]
+    reg = _registered_rounds()
+    order = {n: i for i, n in enumerate(names)}
+    never = sorted(
+        (n for n in names if n not in scored and n not in staple_set),
+        key=lambda n: (reg.get(n, 1 << 30), order[n]),
+    )
     n_staples = len([s_ for s_ in _STAPLES if s_ in names])
     assert head[:n_staples] == [s_ for s_ in _STAPLES if s_ in names]
     assert head[n_staples : n_staples + len(never)] == never
+
+
+def test_catalog_rounds_covers_catalog():
+    """catalog_rounds.json (the FIFO key for never-scored head order)
+    must cover every entry and carry nothing stale — run
+    tools/update_catalog_rounds.py after registering entries."""
+    from feature_store_2_spark.queries import _registered_rounds
+
+    reg = _registered_rounds()
+    names = {q.name for q in CATALOG}
+    missing = sorted(names - set(reg))
+    stale = sorted(set(reg) - names)
+    assert not missing, f"run tools/update_catalog_rounds.py: {missing}"
+    assert not stale, f"stale names in catalog_rounds.json: {stale}"
+    assert all(isinstance(v, int) and v >= 1 for v in reg.values())
 
 
 def test_every_entry_has_fn_and_doc():
