@@ -366,6 +366,38 @@ def dedup_cluster_components(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_cluster_components_star",
+    _CC_ORACLE,
+    doc="the O(log n) scale path for near-dup clustering, driver-scored "
+    "in its own right (r5 verdict ask): the same Jaccard>=0.5 component "
+    "labelling via alternating large-star/small-star rounds (Kiveris "
+    "et al. SoCC'14) — converges in O(log n) rounds regardless of "
+    "graph DIAMETER, where min-label propagation needs O(diameter) "
+    "shuffles; at 100 TB with adversarial chains this is the default "
+    "(the min-label twin dedup_cluster_components remains the "
+    "low-constant choice for the dense, small-diameter clusters real "
+    "duplication produces). Identical oracle to the twin: DuckDB "
+    "WITH RECURSIVE reachability — proving the two algorithms agree "
+    "label-for-label.",
+)
+def dedup_cluster_components_star(spark, sf_dir):
+    from feature_store_2_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    edges = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select(
+        "doc1", "doc2"
+    )
+    comps = connected_components_star(docs.select("doc_id"), edges)
+    return comps.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
 def _fold14(start: int) -> str:
     """DuckDB: 14 hex chars of md5(shingle) from ``start`` -> 56-bit int
     (mirrors Spark's conv(substring(md5, start, 14), 16, 10))."""
