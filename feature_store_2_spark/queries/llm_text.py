@@ -1109,3 +1109,525 @@ def eval_lang_confusion(spark, sf_dir):
             (F.col("n").cast("double") / F.col("col_n")).alias("precision_share"),
         )
     )
+
+
+# Exact-Jaccard candidate pairs WITH the jaccard value (the sweep and
+# quality entries below reuse this): identical to dedup_ngram_jaccard's
+# oracle but keeping the score column.
+_JACV_CTE = _SHINGLE_CTE + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+jacv AS (
+    SELECT doc1, doc2, n_common,
+           s1.n_sh + s2.n_sh - n_common AS n_union,
+           CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common)
+               AS jaccard
+    FROM common
+    JOIN sizes s1 ON doc1 = s1.doc_id
+    JOIN sizes s2 ON doc2 = s2.doc_id)
+"""
+
+_SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)
+
+
+@register(
+    "dedup_threshold_sweep",
+    _JACV_CTE
+    + f"""
+, spine AS (SELECT CAST(unnest([{", ".join(map(str, _SWEEP_THRESHOLDS))}])
+                        AS BIGINT) AS threshold_pct),
+flagged AS (
+    SELECT s.threshold_pct, j.doc1, j.doc2
+    FROM spine s JOIN jacv j
+      ON j.jaccard >= CAST(s.threshold_pct AS DOUBLE) / 100.0),
+pair_n AS (SELECT threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM flagged GROUP BY 1),
+doc_n AS (
+    SELECT threshold_pct, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_flagged
+    FROM (SELECT threshold_pct, unnest([doc1, doc2]) AS d FROM flagged)
+    GROUP BY 1)
+SELECT s.threshold_pct,
+       COALESCE(p.n_pairs, 0) AS n_pairs,
+       COALESCE(d.n_docs_flagged, 0) AS n_docs_flagged
+FROM spine s
+LEFT JOIN pair_n p USING (threshold_pct)
+LEFT JOIN doc_n d USING (threshold_pct)
+""",
+    doc="dedup-threshold tuning sweep — the curve a data engineer "
+    "reads before committing a near-dup threshold at corpus scale: "
+    "ONE exact-Jaccard candidate pass (prefix-filtered, >= the lowest "
+    f"threshold {_SWEEP_THRESHOLDS[0]}%), then every candidate pair "
+    "is fanned across the threshold spine and counted per cut "
+    "(pairs flagged + distinct docs touched). Thresholds with zero "
+    "survivors still emit a row (left join against the spine) — a "
+    "disappearing cut is the signal the sweep exists to show. "
+    "Re-scoring candidates per threshold would scan the corpus "
+    f"{len(_SWEEP_THRESHOLDS)}x; the fan-out costs |candidates| x "
+    f"{len(_SWEEP_THRESHOLDS)} tiny rows instead.",
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs_prefix(
+        docs, threshold=_SWEEP_THRESHOLDS[0] / 100.0
+    )
+    spine = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold_pct long"
+    )
+    flagged = pairs.join(
+        F.broadcast(spine),
+        F.col("jaccard")
+        >= F.col("threshold_pct").cast("double") / F.lit(100.0),
+    ).select("threshold_pct", "doc1", "doc2")
+    pair_n = flagged.groupBy("threshold_pct").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    doc_n = (
+        flagged.select(
+            "threshold_pct",
+            F.explode(F.array("doc1", "doc2")).alias("d"),
+        )
+        .groupBy("threshold_pct")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs_flagged"))
+    )
+    return (
+        spine.join(pair_n, "threshold_pct", "left")
+        .join(doc_n, "threshold_pct", "left")
+        .select(
+            "threshold_pct",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0))
+            .cast("long")
+            .alias("n_docs_flagged"),
+        )
+    )
+
+
+@register(
+    "graph_triangle_count",
+    _JACV_CTE
+    + """
+, e AS (SELECT doc1, doc2 FROM jacv WHERE jaccard >= 0.5),
+tri AS (
+    SELECT e1.doc1 AS a, e1.doc2 AS b, e2.doc2 AS c
+    FROM e e1
+    JOIN e e2 ON e1.doc2 = e2.doc1
+    JOIN e e3 ON e3.doc1 = e1.doc1 AND e3.doc2 = e2.doc2),
+pernode AS (
+    SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest([a, b, c]) AS d FROM tri) GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(p.cnt, 0) AS BIGINT) AS n_triangles
+FROM documents d LEFT JOIN pernode p USING (doc_id)
+""",
+    doc="per-node triangle count over the Jaccard>=0.5 near-dup graph "
+    "— the local clustering signal that separates dense duplicate "
+    "blocks (template farms: many triangles) from chain-shaped "
+    "near-dup drift (zero triangles), which decides whether "
+    "canonical-per-cluster or pairwise suppression is the right dedup "
+    "policy. Compact-forward orientation (a<b<c on the lo<hi edge "
+    "list) counts each triangle exactly once with two equi-joins and "
+    "no direction explosion — the standard MapReduce triangle recipe; "
+    "at 100 TB the edge list is degree-ordered first so high-degree "
+    "hubs never build quadratic wedges. Edge list localCheckpointed: "
+    "three scans of one prefix-filtered candidate join, not three "
+    "recomputations.",
+)
+def graph_triangle_count(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    e = (
+        ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+        .select("doc1", "doc2")
+        .localCheckpoint()
+    )
+    tri = (
+        e.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .join(
+            e.select(F.col("doc1").alias("b"), F.col("doc2").alias("c")),
+            "b",
+        )
+        .join(
+            e.select(F.col("doc1").alias("a"), F.col("doc2").alias("c")),
+            ["a", "c"],
+        )
+    )
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(pernode, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+
+
+def _minhash_quality_oracle() -> str:
+    p = (1 << 61) - 1
+    mins = ", ".join(
+        f"min((h1 + {seed} * h2) % {p}) AS h{seed}"
+        for seed in range(N_MINHASHES)
+    )
+    rows = N_MINHASHES // N_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || '_' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + " AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    agree = " + ".join(
+        f"CAST(s1.h{i} = s2.h{i} AS BIGINT)" for i in range(N_MINHASHES)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+, halves AS (SELECT doc_id, {_fold14(1)} AS h1, {_fold14(15)} AS h2 FROM sh),
+sig AS (SELECT doc_id, {mins} FROM halves GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(count(*) AS BIGINT) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.doc1, c.doc2, CAST(count(*) AS BIGINT) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc1
+    JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+    GROUP BY 1, 2),
+ag AS (
+    SELECT c.doc1, c.doc2, c.n_shared_bands,
+           CAST({agree} AS BIGINT) AS n_agree
+    FROM cand c
+    JOIN sig s1 ON s1.doc_id = c.doc1
+    JOIN sig s2 ON s2.doc_id = c.doc2)
+SELECT ag.doc1, ag.doc2, ag.n_shared_bands, ag.n_agree,
+       CAST(ag.n_agree * 1000000 // {N_MINHASHES} AS BIGINT)
+           AS est_jaccard_micro,
+       CAST(COALESCE(cm.n_common, 0) * 1000000
+            // (s1.n_sh + s2.n_sh - COALESCE(cm.n_common, 0)) AS BIGINT)
+           AS true_jaccard_micro,
+       CAST(abs(ag.n_agree * 1000000 // {N_MINHASHES}
+                - COALESCE(cm.n_common, 0) * 1000000
+                  // (s1.n_sh + s2.n_sh - COALESCE(cm.n_common, 0)))
+            AS BIGINT) AS abs_err_micro
+FROM ag
+LEFT JOIN common cm ON cm.doc1 = ag.doc1 AND cm.doc2 = ag.doc2
+JOIN sizes s1 ON s1.doc_id = ag.doc1
+JOIN sizes s2 ON s2.doc_id = ag.doc2
+"""
+    )
+
+
+@register(
+    "dedup_minhash_estimate_quality",
+    _minhash_quality_oracle(),
+    doc=f"sketch-accuracy audit for the MinHash pipeline — the "
+    f"measurement that justifies (or indicts) trusting "
+    f"{N_MINHASHES}-hash signatures at corpus scale: for every LSH "
+    f"candidate pair, the signature's Jaccard ESTIMATE "
+    f"(agreeing-minhash fraction) sits next to the EXACT shingle-set "
+    f"Jaccard, with the absolute error — all in integer micro-units "
+    f"(int DIV, no float accumulation), so even the error column "
+    f"hashes bit-for-bit. Exact side costs |candidates| equi-joined "
+    f"shingle rows, never the quadratic self-join; the documented KM "
+    f"double-hashing correlation (operators/dedup.py:214) is exactly "
+    f"what this audit makes visible in data.",
+)
+def dedup_minhash_estimate_quality(spark, sf_dir):
+    from feature_store_2_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_exploded,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    cand = minhash_lsh_candidate_pairs(docs)
+    sig = minhash_signatures(docs)
+    sh = shingle_exploded(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        cand.select("doc1", "doc2")
+        .join(
+            sh.select(F.col("doc_id").alias("doc1"), "shingle"), "doc1"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc2"), "shingle"),
+            ["doc2", "shingle"],
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    agree = sum(
+        (F.col(f"s1.h{i}") == F.col(f"s2.h{i}")).cast("long")
+        for i in range(N_MINHASHES)
+    )
+    ag = (
+        cand.join(
+            sig.alias("s1"), F.col("doc1") == F.col("s1.doc_id")
+        )
+        .join(sig.alias("s2"), F.col("doc2") == F.col("s2.doc_id"))
+        .select("doc1", "doc2", "n_shared_bands", agree.alias("n_agree"))
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    est = F.expr(f"n_agree * 1000000 DIV {N_MINHASHES}")
+    n_union = F.col("n1") + F.col("n2") - n_common
+    true_ = (n_common * 1_000_000).cast("long")
+    return (
+        ag.join(common, ["doc1", "doc2"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1")),
+            "doc1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2")),
+            "doc2",
+        )
+        .select(
+            "doc1",
+            "doc2",
+            "n_shared_bands",
+            "n_agree",
+            est.cast("long").alias("est_jaccard_micro"),
+            F.expr(
+                f"CAST(coalesce(n_common, 0) * 1000000 "
+                f"DIV (n1 + n2 - coalesce(n_common, 0)) AS BIGINT)"
+            ).alias("true_jaccard_micro"),
+            F.expr(
+                f"CAST(abs(n_agree * 1000000 DIV {N_MINHASHES} "
+                f"- coalesce(n_common, 0) * 1000000 "
+                f"DIV (n1 + n2 - coalesce(n_common, 0))) AS BIGINT)"
+            ).alias("abs_err_micro"),
+        )
+    )
+
+
+@register(
+    "sim_token_cosine_pairs",
+    _JACV_CTE
+    + """
+, tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM tokens GROUP BY 1, 2),
+n2 AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+dots AS (
+    SELECT j.doc1, j.doc2, CAST(sum(t1.tf * t2.tf) AS BIGINT) AS dot_tf
+    FROM (SELECT doc1, doc2 FROM jacv WHERE jaccard >= 0.5) j
+    JOIN tf t1 ON t1.doc_id = j.doc1
+    JOIN tf t2 ON t2.doc_id = j.doc2 AND t2.word = t1.word
+    GROUP BY 1, 2)
+SELECT d.doc1, d.doc2, d.dot_tf,
+       CAST(d.dot_tf AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE))
+                                   * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_tf
+FROM dots d
+JOIN n2 a ON a.doc_id = d.doc1
+JOIN n2 b ON b.doc_id = d.doc2
+""",
+    doc="term-frequency cosine re-rank of near-dup candidates — the "
+    "MULTISET similarity that set-based Jaccard is blind to (a doc "
+    "that repeats a template 3x has the same shingle SET but a very "
+    "different tf vector): candidates from the prefix-filtered "
+    "Jaccard>=0.5 join, then exact sparse cosine via an inverted "
+    "tf-vector equi-join restricted to candidate pairs — dot products "
+    "are BIGINT sums, the cosine one sqrt/multiply/divide chain of "
+    "correctly-rounded IEEE ops, so the doubles hash bit-for-bit. "
+    "Never materializes a dense vector and never scores a "
+    "non-candidate: at 100 TB the tf table is the inverted index and "
+    "cost is |candidates| x shared-vocab rows.",
+)
+def sim_token_cosine_pairs(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    cand = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select(
+        "doc1", "doc2"
+    )
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    tf = tokens.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    n2 = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    dots = (
+        cand.join(
+            tf.select(
+                F.col("doc_id").alias("doc1"),
+                "word",
+                F.col("tf").alias("tf1"),
+            ),
+            "doc1",
+        )
+        .join(
+            tf.select(
+                F.col("doc_id").alias("doc2"),
+                "word",
+                F.col("tf").alias("tf2"),
+            ),
+            ["doc2", "word"],
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.sum(F.col("tf1") * F.col("tf2")).cast("long").alias("dot_tf"))
+    )
+    cos = F.col("dot_tf").cast("double") / (
+        F.sqrt(F.col("a.n2").cast("double"))
+        * F.sqrt(F.col("b.n2").cast("double"))
+    )
+    return (
+        dots.join(
+            n2.select(F.col("doc_id").alias("doc1"), "n2").alias("a"), "doc1"
+        )
+        .join(
+            n2.select(F.col("doc_id").alias("doc2"), "n2").alias("b"), "doc2"
+        )
+        .select("doc1", "doc2", "dot_tf", cos.alias("cos_tf"))
+    )
+
+
+_WINNOW_K, _WINNOW_W = 3, 4
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+kg0 AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> {{'pos': i,
+                     'kgram': w[i] || ' ' || w[i+1] || ' ' || w[i+2]}}))
+               AS s
+    FROM tok),
+kg AS (SELECT doc_id, s.pos AS pos, s.kgram AS kgram FROM kg0),
+h AS (SELECT doc_id, pos, {_hex_fold("kgram")} AS h32 FROM kg),
+mk AS (SELECT doc_id, max(pos) AS m FROM h GROUP BY 1),
+wins AS (
+    SELECT doc_id, pos,
+           min(h32) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1}
+                          FOLLOWING) AS fingerprint
+    FROM h)
+SELECT DISTINCT w.doc_id, w.fingerprint
+FROM wins w JOIN mk USING (doc_id)
+WHERE w.pos <= greatest(mk.m - {_WINNOW_W - 1}, 1)
+""",
+    doc=f"winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, "
+    f"the MOSS algorithm) — the position-robust local dedup sketch: "
+    f"hash every word {_WINNOW_K}-gram (rolling k-gram hash; set-based "
+    f"engines compute the polynomial directly, 32-bit md5-fold here so "
+    f"both engines agree bit-for-bit), slide a window of "
+    f"{_WINNOW_W} consecutive k-gram hashes, keep each window's "
+    f"MINIMUM — guaranteeing any shared substring of length >= "
+    f"{_WINNOW_K + _WINNOW_W - 1} words yields a shared fingerprint, "
+    f"the completeness property MinHash lacks for LOCAL overlap "
+    f"(partial plagiarism, boilerplate headers). One explode + two "
+    f"windows on the doc key, distinct at the end; at 100 TB the "
+    f"(fingerprint -> docs) inversion of this output IS the "
+    f"copy-detection index.",
+)
+def doc_winnowing_fingerprints(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    tokens = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    kgram = F.concat_ws(
+        " ",
+        F.col("word"),
+        F.lead("word", 1).over(wseq),
+        F.lead("word", 2).over(wseq),
+    )
+    kg = (
+        tokens.select(
+            "doc_id",
+            "pos",
+            kgram.alias("kgram"),
+            F.lead("word", 2).over(wseq).alias("_w2"),
+        )
+        .filter(F.col("_w2").isNotNull())
+        .drop("_w2")
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("kgram").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    h = kg.select("doc_id", "pos", h32.alias("h32"))
+    wwin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    wdoc = Window.partitionBy("doc_id")
+    return (
+        h.select(
+            "doc_id",
+            "pos",
+            F.min("h32").over(wwin).alias("fingerprint"),
+            F.max("pos").over(wdoc).alias("_m"),
+        )
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("_m") - F.lit(_WINNOW_W - 1), F.lit(1))
+        )
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+
+
+@register(
+    "doc_group_split_no_leakage",
+    """
+WITH h AS (
+    SELECT doc_id, source,
+           ((CAST(position(substr(md5(source), 1, 1)
+                 IN '0123456789abcdef') AS BIGINT) - 1) * 16
+            + (CAST(position(substr(md5(source), 2, 1)
+                 IN '0123456789abcdef') AS BIGINT) - 1)) AS bucket256
+    FROM documents
+)
+SELECT doc_id, source, bucket256,
+       CASE WHEN bucket256 * 100 < 80 * 256 THEN 'train'
+            WHEN bucket256 * 100 < 90 * 256 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""",
+    doc="GROUP-aware train/val/test split — the leakage guard "
+    "doc_train_split (per-doc hashing) cannot give: near-duplicate "
+    "and same-provenance documents cluster within a source/domain, so "
+    "hashing the SOURCE puts every doc of a domain on the same side "
+    "of the split and the test set can never contain a near-copy of a "
+    "training doc from the same site (the contamination path most "
+    "eval suites actually leak through). Same md5-digit 0..255 "
+    "bucket + integer cross-multiplied 80/10/10 thresholds — "
+    "deterministic across engines/retries/corpus growth; realized "
+    "proportions quantize to the domain histogram (documented: "
+    "group splits trade exact ratios for zero leakage). Pure "
+    "row-local projection, zero shuffles.",
+)
+def doc_group_split_no_leakage(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    m = F.md5(F.col("source").cast("binary"))
+    hexd = "0123456789abcdef"
+
+    def v(i):
+        return F.position(F.substring(m, i, 1), F.lit(hexd)).cast("long") - 1
+
+    bucket256 = v(1) * 16 + v(2)
+    return d.select(
+        "doc_id",
+        "source",
+        bucket256.alias("bucket256"),
+        F.when(F.col("bucket256") * 100 < 80 * 256, "train")
+        .when(F.col("bucket256") * 100 < 90 * 256, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

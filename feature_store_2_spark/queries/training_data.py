@@ -674,3 +674,182 @@ def doc_curriculum_order(spark, sf_dir):
         "stage",
         F.row_number().over(w).cast("long").alias("order_in_shard"),
     )
+
+
+_BM25_S = 10_000  # idf fixed-point scale
+_BM25_NQ = 5  # single-term queries: the NQ most frequent terms
+
+
+@register(
+    "search_bm25_topk",
+    f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM tok GROUP BY 1),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scal AS (SELECT CAST(sum(dl) AS BIGINT) AS l_total,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM dl),
+qterms AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT {_BM25_NQ}),
+scored AS (
+    SELECT q.term, t.doc_id, t.tf, d.dl,
+           CAST(((2 * s.n_docs - 2 * q.df + 1) * {_BM25_S} // (2 * q.df + 1))
+                * 22 * t.tf * s.l_total
+                // (10 * t.tf * s.l_total + 3 * s.l_total
+                    + 9 * d.dl * s.n_docs) AS BIGINT) AS score_scaled
+    FROM qterms q
+    JOIN tf t ON t.term = q.term
+    JOIN dl d ON d.doc_id = t.doc_id
+    CROSS JOIN scal s)
+SELECT term, doc_id, tf, dl, score_scaled, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY term
+                   ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+    FROM scored)
+WHERE rank <= 5
+""",
+    doc=f"BM25 top-k retrieval (Robertson/Sparck-Jones) over the "
+    f"inverted tf table, in EXACT integer fixed-point: the rational "
+    f"Robertson idf (N-df+0.5)/(df+0.5) is cross-multiplied to "
+    f"(2N-2df+1)/(2df+1) and scaled by {_BM25_S}, and the k1=1.2 "
+    f"b=0.75 saturation denominator tf + k1(1-b+b*dl/avgdl) is "
+    f"cleared of BOTH divisions by multiplying through by 10*L "
+    f"(avgdl = L/N): score = idf_s*22*tf*L DIV "
+    f"(10*tf*L + 3*L + 9*dl*N). Every engine-divergent float op is "
+    f"gone — ranking AND scores hash bit-for-bit (int64-safe to "
+    f"~50k docs x 3e6 tokens; beyond that, rescale {_BM25_S} or go "
+    f"DECIMAL(38)). Queries = the {_BM25_NQ} highest-df terms "
+    f"(deterministic spine); per-query cost is that term's posting "
+    f"list + a top-k window — the 1-row (L, N) scalar and the "
+    f"{_BM25_NQ}-row query spine broadcast, never the corpus.",
+)
+def search_bm25_topk(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scal = dl.agg(
+        F.sum("dl").cast("long").alias("l_total"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    qterms = df.orderBy(F.desc("df"), "term").limit(_BM25_NQ)
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            F.expr(
+                f"CAST(((2 * n_docs - 2 * df + 1) * {_BM25_S} "
+                f"DIV (2 * df + 1)) * 22 * tf * l_total "
+                f"DIV (10 * tf * l_total + 3 * l_total "
+                f"+ 9 * dl * n_docs) AS BIGINT)"
+            ).alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score_scaled"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "udf_cogrouped_asof_join",
+    """
+WITH p AS (SELECT user_id, event_id AS purchase_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS purchase_ts_us
+           FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, event_id AS version_id,
+             CAST(epoch_us(ts) AS BIGINT) AS st, value AS attr
+      FROM events WHERE event_type = 'signup'),
+best AS (
+    SELECT p.user_id, p.purchase_id, p.purchase_ts_us,
+           s.version_id, s.attr,
+           row_number() OVER (PARTITION BY p.user_id, p.purchase_id
+                              ORDER BY s.st DESC, s.version_id DESC) AS rn
+    FROM p LEFT JOIN s ON s.user_id = p.user_id
+                      AND s.st <= p.purchase_ts_us)
+SELECT user_id, purchase_id, purchase_ts_us,
+       version_id AS signup_version, attr AS signup_attr
+FROM best WHERE rn = 1
+""",
+    doc="cogrouped applyInPandas as-of enrichment — the remaining "
+    "Pandas-UDF API surface (CoGroupedData.applyInPandas): purchases "
+    "and signups are SEPARATELY grouped by user and handed to ONE "
+    "Arrow-batched pandas function per key, which runs "
+    "pd.merge_asof(direction='backward') inside the group — the "
+    "pattern for per-key logic that needs BOTH relations at once "
+    "where a join would materialize the cross product first "
+    "(per-entity model state + events, bid/ask books). Ties resolve "
+    "to the highest version at the max qualifying timestamp on both "
+    "engines (right side sorted (ts, version) so merge_asof keeps the "
+    "last). Timestamps travel as BIGINT micros: no pandas tz/ns "
+    "semantics can leak into the result. Equivalent all-JVM plan: "
+    "join_asof_purchase_last_signup — this entry exists to pin the "
+    "cogroup API against the same exact oracle.",
+)
+def udf_cogrouped_asof_join(spark, sf_dir):
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.unix_micros("ts").alias("st"),
+        F.col("value").alias("attr"),
+    )
+
+    def merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:
+            return pd.DataFrame(
+                columns=[
+                    "user_id", "purchase_id", "purchase_ts_us",
+                    "signup_version", "signup_attr",
+                ]
+            )
+        left = left.sort_values(["purchase_ts_us", "purchase_id"])
+        right = right.sort_values(["st", "version_id"])
+        if right.empty:
+            out = left.copy()
+            out["version_id"] = pd.Series(dtype="Int64")
+            out["attr"] = pd.Series(dtype="Float64")
+        else:
+            out = pd.merge_asof(
+                left,
+                right.drop(columns=["user_id"]),
+                left_on="purchase_ts_us",
+                right_on="st",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+        out = out.rename(
+            columns={"version_id": "signup_version", "attr": "signup_attr"}
+        )
+        out["signup_version"] = out["signup_version"].astype("Int64")
+        out["signup_attr"] = out["signup_attr"].astype("Float64")
+        return out[
+            ["user_id", "purchase_id", "purchase_ts_us",
+             "signup_version", "signup_attr"]
+        ]
+
+    return p.groupBy("user_id").cogroup(s.groupBy("user_id")).applyInPandas(
+        merge,
+        "user_id long, purchase_id long, purchase_ts_us long, "
+        "signup_version long, signup_attr double",
+    )

@@ -1,0 +1,177 @@
+"""Contract tests for the round-6 additions beyond the oracle gate:
+star-CC parity with the min-label entry, sweep monotonicity, triangle
+well-formedness, MinHash estimate-error bounds, winnowing's shared-
+substring guarantee on crafted docs, group-split leakage-freedom, BM25
+ranking sanity, and cogrouped-as-of equivalence to the all-JVM plan.
+"""
+
+import pyspark.sql.functions as F
+
+from feature_store_2_spark.queries import CATALOG
+
+Q = {q.name: q.fn for q in CATALOG}
+
+
+def test_star_cc_entry_matches_minlabel_entry(spark, sf_dir):
+    # The two scored clustering entries run entirely different fixpoint
+    # algorithms (O(diameter) min-label vs O(log n) large/small-star);
+    # they must agree label-for-label on the same edge set.
+    a = {
+        r.doc_id: (r.component, r.keep)
+        for r in Q["dedup_cluster_components"](spark, sf_dir).collect()
+    }
+    b = {
+        r.doc_id: (r.component, r.keep)
+        for r in Q["dedup_cluster_components_star"](spark, sf_dir).collect()
+    }
+    assert a == b and a
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    rows = sorted(
+        Q["dedup_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold_pct,
+    )
+    assert [r.threshold_pct for r in rows] == [50, 60, 70, 80, 90]
+    pairs = [r.n_pairs for r in rows]
+    docs = [r.n_docs_flagged for r in rows]
+    # tightening the threshold can only shrink the flagged set
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    for r in rows:
+        assert r.n_docs_flagged <= 2 * r.n_pairs
+    # the 50% cut must equal the standalone exact-Jaccard entry
+    n_50 = Q["dedup_ngram_jaccard"](spark, sf_dir).count()
+    assert pairs[0] == n_50
+
+
+def test_triangle_count_well_formed(spark, sf_dir):
+    rows = Q["graph_triangle_count"](spark, sf_dir).collect()
+    assert rows and all(r.n_triangles >= 0 for r in rows)
+    # every triangle contributes exactly 3 node-incidences
+    assert sum(r.n_triangles for r in rows) % 3 == 0
+    # a node in a triangle has >= 2 near-dup edges
+    edges = Q["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    deg: dict = {}
+    for e in edges:
+        deg[e.doc1] = deg.get(e.doc1, 0) + 1
+        deg[e.doc2] = deg.get(e.doc2, 0) + 1
+    for r in rows:
+        if r.n_triangles > 0:
+            assert deg.get(r.doc_id, 0) >= 2, r.doc_id
+
+
+def test_minhash_estimate_quality_bounds(spark, sf_dir):
+    rows = Q["dedup_minhash_estimate_quality"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_agree <= 16
+        assert 1 <= r.n_shared_bands <= 4
+        # >= 1 shared band forces >= 4 agreeing consecutive minhashes
+        assert r.n_agree >= 4
+        assert 0 <= r.est_jaccard_micro <= 1_000_000
+        assert 0 <= r.true_jaccard_micro <= 1_000_000
+        assert r.abs_err_micro == abs(
+            r.est_jaccard_micro - r.true_jaccard_micro
+        )
+
+
+def test_token_cosine_pairs_in_unit_range(spark, sf_dir):
+    rows = Q["sim_token_cosine_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dot_tf > 0
+        # Cauchy-Schwarz; tiny fp headroom on the upper bound
+        assert 0.0 < r.cos_tf <= 1.0 + 1e-12
+
+
+def test_winnowing_shared_substring_guarantee(spark, tmp_path):
+    # THE winnowing property (Schleimer et al.): any shared run of
+    # >= k + w - 1 = 6 words forces a shared fingerprint. Crafted docs:
+    # same 8-word core with different prefixes/suffixes.
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {core} four five"),
+            (2, f"nine eight {core} seven six ten eleven"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.write.parquet(p)
+    out = Q["doc_winnowing_fingerprints"](spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 8-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_group_split_has_zero_leakage(spark, sf_dir):
+    rows = Q["doc_group_split_no_leakage"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == docs.count()
+    split_of: dict = {}
+    for r in rows:
+        assert r.split in ("train", "val", "test")
+        prev = split_of.setdefault(r.source, r.split)
+        # the defining property: a source can never straddle splits
+        assert prev == r.split, r.source
+
+
+def test_bm25_ranking_sane(spark, sf_dir):
+    rows = Q["search_bm25_topk"](spark, sf_dir).collect()
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append(r)
+        assert r.score_scaled >= 0 and r.tf >= 1 and r.dl >= 1
+    assert len(by_term) == 5
+    for term, rs in by_term.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score_scaled for r in rs]
+        assert scores == sorted(scores, reverse=True), term
+
+
+def test_cogrouped_asof_matches_jvm_asof(spark, sf_dir):
+    # The pandas-cogroup path and the all-JVM window/join as-of must
+    # agree row-for-row (same oracle, two execution strategies).
+    out = {
+        (r.user_id, r.purchase_id): (r.signup_version, r.signup_attr)
+        for r in Q["udf_cogrouped_asof_join"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("ts").alias("sts"),
+        F.col("value").alias("attr"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "purchase_id").orderBy(
+        F.desc("sts"), F.desc("version_id")
+    )
+    jvm = (
+        p.join(s, ["user_id"], "left")
+        .filter(F.col("sts").isNull() | (F.col("sts") <= F.col("pts")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "purchase_id", "version_id", "attr")
+    )
+    jvm_map = {
+        (r.user_id, r.purchase_id): (r.version_id, r.attr)
+        for r in jvm.collect()
+    }
+    # purchases whose every signup is later drop from the filtered JVM
+    # join; the cogroup emits them with nulls — align before comparing
+    for k, v in out.items():
+        assert jvm_map.get(k, (None, None)) == v
+    assert len(out) == p.count()

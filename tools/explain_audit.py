@@ -58,7 +58,12 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # centroid broadcast + 1-row totals broadcast
                "emb_ivf_cell_stats",
                # 1-row audit-aggregate x 1-row uniqueness-aggregate join
-               "dq_constraint_audit"}
+               "dq_constraint_audit",
+               # 5-row threshold-spine broadcast BNLJ (candidate fan-out
+               # over the sweep cuts; build side is the constant spine)
+               "dedup_threshold_sweep",
+               # 1-row (L, N) corpus-scalar broadcast (BM25 normalizer)
+               "search_bm25_topk"}
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
