@@ -1494,10 +1494,9 @@ def sim_token_cosine_pairs(spark, sf_dir):
 
 _WINNOW_K, _WINNOW_W = 3, 4
 
-
-@register(
-    "doc_winnowing_fingerprints",
-    f"""
+# Winnowing fingerprint CTE chain ending in wfp(doc_id, fingerprint) —
+# shared by the fingerprint entry and the containment join below.
+_WINNOW_CTE = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 kg0 AS (
     SELECT doc_id,
@@ -1515,11 +1514,17 @@ wins AS (
            min(h32) OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1}
                           FOLLOWING) AS fingerprint
-    FROM h)
-SELECT DISTINCT w.doc_id, w.fingerprint
-FROM wins w JOIN mk USING (doc_id)
-WHERE w.pos <= greatest(mk.m - {_WINNOW_W - 1}, 1)
-""",
+    FROM h),
+wfp AS (
+    SELECT DISTINCT w.doc_id, w.fingerprint
+    FROM wins w JOIN mk USING (doc_id)
+    WHERE w.pos <= greatest(mk.m - {_WINNOW_W - 1}, 1))
+"""
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    _WINNOW_CTE + "SELECT doc_id, fingerprint FROM wfp",
     doc=f"winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, "
     f"the MOSS algorithm) — the position-robust local dedup sketch: "
     f"hash every word {_WINNOW_K}-gram (rolling k-gram hash; set-based "
@@ -1535,7 +1540,12 @@ WHERE w.pos <= greatest(mk.m - {_WINNOW_W - 1}, 1)
     f"copy-detection index.",
 )
 def doc_winnowing_fingerprints(spark, sf_dir):
-    d = load_table(spark, "documents", sf_dir)
+    return _winnow_fps(load_table(spark, "documents", sf_dir))
+
+
+def _winnow_fps(d):
+    """(doc_id, fingerprint) distinct winnowing fingerprints — the
+    Spark twin of _WINNOW_CTE's wfp."""
     tokens = d.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
@@ -1630,4 +1640,164 @@ def doc_group_split_no_leakage(spark, sf_dir):
         .when(F.col("bucket256") * 100 < 90 * 256, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+@register(
+    "dedup_winnowing_containment",
+    _WINNOW_CTE
+    + """
+, sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+         FROM wfp GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(count(*) AS BIGINT) AS n_shared_fp
+    FROM wfp a JOIN wfp b ON a.fingerprint = b.fingerprint
+                         AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+scored AS (
+    SELECT s.doc1, s.doc2, s.n_shared_fp,
+           z1.n_fp AS n_fp1, z2.n_fp AS n_fp2,
+           CAST(s.n_shared_fp AS DOUBLE) / z1.n_fp AS contain_1_in_2,
+           CAST(s.n_shared_fp AS DOUBLE) / z2.n_fp AS contain_2_in_1
+    FROM shared s
+    JOIN sz z1 ON z1.doc_id = s.doc1
+    JOIN sz z2 ON z2.doc_id = s.doc2)
+SELECT * FROM scored
+WHERE contain_1_in_2 >= 0.6 OR contain_2_in_1 >= 0.6
+""",
+    doc="ASYMMETRIC containment detection via the winnowing index — "
+    "the copy-detection query symmetric Jaccard structurally misses: "
+    "a short doc pasted wholesale into a long one has low Jaccard "
+    "(union is large) but containment |fp(A) n fp(B)| / |fp(A)| near "
+    "1. Pairs come from the inverted fingerprint index equi-join "
+    "(never all-pairs; winnowing density ~2/(w+1) bounds index size), "
+    "both direction ratios emitted, keep pairs >= 0.6 either way. "
+    "Single IEEE divisions of exact integers — doubles hash "
+    "bit-for-bit. At 100 TB this is quote/boilerplate/plagiarism "
+    "mining over the same fingerprint table the dedup entry builds.",
+)
+def dedup_winnowing_containment(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    # The fp table feeds the self-join twice plus the size agg; bounded
+    # (~2/(w+1) of kgram count), so checkpoint once instead of running
+    # the two-window winnowing chain three times.
+    fps = _winnow_fps(d).localCheckpoint()
+    sz = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
+    shared = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_fp"))
+    )
+    c12 = F.col("n_shared_fp").cast("double") / F.col("n_fp1")
+    c21 = F.col("n_shared_fp").cast("double") / F.col("n_fp2")
+    return (
+        shared.join(
+            sz.select(F.col("doc_id").alias("doc1"), F.col("n_fp").alias("n_fp1")),
+            "doc1",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc2"), F.col("n_fp").alias("n_fp2")),
+            "doc2",
+        )
+        .select(
+            "doc1",
+            "doc2",
+            "n_shared_fp",
+            "n_fp1",
+            "n_fp2",
+            c12.alias("contain_1_in_2"),
+            c21.alias("contain_2_in_1"),
+        )
+        .filter(
+            (F.col("contain_1_in_2") >= 0.6)
+            | (F.col("contain_2_in_1") >= 0.6)
+        )
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    _JACV_CTE
+    + """
+, e AS (SELECT doc1, doc2 FROM jacv WHERE jaccard >= 0.5),
+deg AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT doc1 AS d FROM e UNION ALL SELECT doc2 AS d FROM e)
+    GROUP BY 1),
+tri AS (
+    SELECT e1.doc1 AS a, e1.doc2 AS b, e2.doc2 AS c
+    FROM e e1
+    JOIN e e2 ON e1.doc2 = e2.doc1
+    JOIN e e3 ON e3.doc1 = e1.doc1 AND e3.doc2 = e2.doc2),
+pernode AS (
+    SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
+    FROM (SELECT unnest([a, b, c]) AS d FROM tri) GROUP BY 1)
+SELECT g.d AS doc_id, g.degree,
+       COALESCE(p.n_tri, 0) AS n_triangles,
+       CAST(CASE WHEN g.degree >= 2
+            THEN 2 * COALESCE(p.n_tri, 0) * 1000000
+                 // (g.degree * (g.degree - 1))
+            ELSE 0 END AS BIGINT) AS clustering_micro
+FROM deg g LEFT JOIN pernode p ON p.doc_id = g.d
+""",
+    doc="local clustering coefficient per node of the near-dup graph — "
+    "2*triangles/(deg*(deg-1)) in exact integer micro-units (int DIV; "
+    "no float ratio to diverge across engines): the density readout "
+    "on top of graph_triangle_count that classifies each doc's "
+    "neighborhood as template-farm (coefficient near 1e6) vs drift "
+    "chain (near 0), the decision input for cluster-level vs pairwise "
+    "dedup policy. Same two-equi-join triangle core plus one degree "
+    "agg; only nodes with >= 1 edge emitted (coefficient of an "
+    "isolated node is undefined, not zero).",
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    e = (
+        ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+        .select("doc1", "doc2")
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("doc1").alias("d"))
+        .unionAll(e.select(F.col("doc2").alias("d")))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    tri = (
+        e.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .join(e.select(F.col("doc1").alias("b"), F.col("doc2").alias("c")), "b")
+        .join(e.select(F.col("doc1").alias("a"), F.col("doc2").alias("c")), ["a", "c"])
+    )
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return (
+        deg.join(pernode, F.col("d") == F.col("doc_id"), "left")
+        .select(
+            F.col("d").alias("doc_id"),
+            "degree",
+            n_tri.cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "CAST(2 * coalesce(n_tri, 0) * 1000000 "
+                    "DIV (degree * (degree - 1)) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_micro"),
+        )
     )

@@ -436,3 +436,198 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kv.join(ex, "event_type").select(
         "event_type", "k_used", "kth_h", est.alias("est_ndv"), "true_ndv"
     )
+
+
+def _kmv_setops_oracle() -> str:
+    h = _hex_fold_n("CAST(user_id AS VARCHAR)", 14)
+    k = _KMV_K
+    return f"""
+WITH dh AS (SELECT DISTINCT event_type, {h} AS h FROM events),
+sk AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dh) WHERE rn <= {k}),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+    SELECT a.event_type AS t1, b.event_type AS t2
+    FROM types a JOIN types b ON a.event_type < b.event_type),
+merged AS (
+    SELECT p.t1, p.t2, s.h,
+           max(CASE WHEN s.event_type = p.t1 THEN 1 ELSE 0 END) AS in1,
+           max(CASE WHEN s.event_type = p.t2 THEN 1 ELSE 0 END) AS in2
+    FROM pairs p
+    JOIN sk s ON s.event_type IN (p.t1, p.t2)
+    GROUP BY 1, 2, 3),
+bk AS (
+    SELECT t1, t2, h, in1, in2,
+           row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn
+    FROM merged),
+un AS (
+    SELECT t1, t2, CAST(count(*) AS BIGINT) AS k_used,
+           max(h) AS kth_h,
+           CAST(sum(in1 * in2) AS BIGINT) AS n_both
+    FROM bk WHERE rn <= {k} GROUP BY 1, 2),
+su AS (SELECT DISTINCT event_type, user_id FROM events),
+tru AS (
+    SELECT p.t1, p.t2,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS true_union,
+           CAST(count(DISTINCT CASE WHEN s1.user_id IS NOT NULL
+                                    AND s2.user_id IS NOT NULL
+                                    THEN s.user_id END) AS BIGINT)
+               AS true_inter
+    FROM pairs p
+    JOIN su s ON s.event_type IN (p.t1, p.t2)
+    LEFT JOIN su s1 ON s1.event_type = p.t1 AND s1.user_id = s.user_id
+    LEFT JOIN su s2 ON s2.event_type = p.t2 AND s2.user_id = s.user_id
+    GROUP BY 1, 2),
+est AS (
+    SELECT t1, t2, k_used, n_both,
+           CASE WHEN k_used = {k}
+                THEN ({k - 1}.0 * {_TWO56!r}) / kth_h
+                ELSE CAST(k_used AS DOUBLE) END AS est_union
+    FROM un)
+SELECT e.t1, e.t2, e.k_used, e.n_both, e.est_union,
+       CAST(e.n_both AS DOUBLE) * e.est_union / e.k_used AS est_inter,
+       t.true_union, t.true_inter
+FROM est e JOIN tru t ON e.t1 = t.t1 AND e.t2 = t.t2
+"""
+
+
+@register(
+    "sketch_kmv_set_ops",
+    _kmv_setops_oracle(),
+    doc=f"KMV sketch SET ALGEBRA (Beyer et al. SIGMOD'07) — the reason "
+    f"bottom-k sketches beat HLL for analytics: two per-group sketches "
+    f"of k={_KMV_K} smallest hashes merge into the union's sketch "
+    f"(bottom-k of the combined hashes), and the intersection is "
+    f"estimated from the merged sketch as (|both| / k) * est_union — "
+    f"distinct-count algebra over PRE-AGGREGATED {_KMV_K}-row "
+    f"sketches, never re-touching events: the shape that answers "
+    f"overlap questions between corpus segments at 100 TB from "
+    f"kilobytes of state. Deterministic md5 hashing makes sketch "
+    f"content, both estimates (fixed IEEE op chain), and the "
+    f"ride-along exact truths hash bit-for-bit. Pair spine is "
+    f"|event_types| choose 2 — bounded metadata.",
+)
+def sketch_kmv_set_ops(spark, sf_dir):
+    from feature_store_2_spark.queries.training_data import _md5_bucket
+
+    ev = load_table(spark, "events", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 14),
+        16,
+        10,
+    ).cast("long")
+    dh = ev.select("event_type", h.alias("h")).distinct()
+    # per-type bottom-k sketch, salted two-phase (same shape as
+    # sketch_kmv_distinct)
+    salted = dh.withColumn("salt", _md5_bucket(F.col("h"), 32))
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+    surv = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _KMV_K)
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        surv.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+    )
+    merged = (
+        pairs.join(
+            F.broadcast(sk).alias("s"),
+            (F.col("s.event_type") == F.col("t1"))
+            | (F.col("s.event_type") == F.col("t2")),
+        )
+        .groupBy("t1", "t2", "h")
+        .agg(
+            F.max(
+                (F.col("s.event_type") == F.col("t1")).cast("int")
+            ).alias("in1"),
+            F.max(
+                (F.col("s.event_type") == F.col("t2")).cast("int")
+            ).alias("in2"),
+        )
+    )
+    wbk = Window.partitionBy("t1", "t2").orderBy("h")
+    un = (
+        merged.withColumn("rn", F.row_number().over(wbk))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("t1", "t2")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.max("h").alias("kth_h"),
+            F.sum(F.col("in1") * F.col("in2")).cast("long").alias("n_both"),
+        )
+    )
+    est_union = F.when(
+        F.col("k_used") == _KMV_K,
+        F.lit(float(_KMV_K - 1) * _TWO56) / F.col("kth_h"),
+    ).otherwise(F.col("k_used").cast("double"))
+    su = ev.select("event_type", "user_id").distinct()
+    s1 = su.select(F.col("event_type").alias("t1"), "user_id")
+    s2 = su.select(F.col("event_type").alias("t2"), "user_id")
+    inter = (
+        s1.join(s2, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.countDistinct("user_id").cast("long").alias("true_inter"))
+    )
+    szs = su.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("nd")
+    )
+    tru = (
+        pairs.join(
+            szs.select(F.col("event_type").alias("t1"), F.col("nd").alias("n1")),
+            "t1",
+        )
+        .join(
+            szs.select(F.col("event_type").alias("t2"), F.col("nd").alias("n2")),
+            "t2",
+        )
+        .join(inter, ["t1", "t2"], "left")
+        .select(
+            "t1",
+            "t2",
+            (
+                F.col("n1")
+                + F.col("n2")
+                - F.coalesce(F.col("true_inter"), F.lit(0))
+            )
+            .cast("long")
+            .alias("true_union"),
+            F.coalesce(F.col("true_inter"), F.lit(0))
+            .cast("long")
+            .alias("true_inter"),
+        )
+    )
+    return (
+        un.withColumn("est_union", est_union)
+        .select(
+            "t1",
+            "t2",
+            "k_used",
+            "n_both",
+            "est_union",
+            (
+                F.col("n_both").cast("double")
+                * F.col("est_union")
+                / F.col("k_used")
+            ).alias("est_inter"),
+        )
+        .join(tru, ["t1", "t2"])
+    )

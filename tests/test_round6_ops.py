@@ -175,3 +175,66 @@ def test_cogrouped_asof_matches_jvm_asof(spark, sf_dir):
     for k, v in out.items():
         assert jvm_map.get(k, (None, None)) == v
     assert len(out) == p.count()
+
+
+def test_winnowing_containment_detects_crafted_inclusion(spark, tmp_path):
+    # doc 2 contains doc 1's full 12-word text verbatim -> containment
+    # of 1 in 2 must be ~1.0; the unrelated doc 3 must pair with no one.
+    inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    docs = spark.createDataFrame(
+        [
+            (1, inner),
+            (2, f"intro words here {inner} closing words after"),
+            (3, "totally unrelated vocabulary set speaking other things"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = Q["dedup_winnowing_containment"](spark, str(tmp_path)).collect()
+    pairs = {(r.doc1, r.doc2): r for r in rows}
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    assert r.contain_1_in_2 >= 0.9  # nearly every fp of the short doc
+    assert 0.0 < r.contain_2_in_1 <= 1.0
+
+
+def test_clustering_coefficient_consistent_with_triangles(spark, sf_dir):
+    cc = {r.doc_id: r for r in Q["graph_clustering_coefficient"](spark, sf_dir).collect()}
+    tri = {
+        r.doc_id: r.n_triangles
+        for r in Q["graph_triangle_count"](spark, sf_dir).collect()
+    }
+    assert cc
+    for doc_id, r in cc.items():
+        assert r.degree >= 1
+        assert 0 <= r.clustering_micro <= 1_000_000
+        assert r.n_triangles == tri.get(doc_id, 0)
+        if r.degree >= 2:
+            expected = (2 * r.n_triangles * 1_000_000) // (
+                r.degree * (r.degree - 1)
+            )
+            assert r.clustering_micro == expected
+    # nodes absent from cc (isolated) must have zero triangles
+    for doc_id, n in tri.items():
+        if doc_id not in cc:
+            assert n == 0
+
+
+def test_kmv_set_ops_estimates_and_truth(spark, sf_dir):
+    rows = Q["sketch_kmv_set_ops"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.t1 < r.t2
+        assert 0 <= r.n_both <= r.k_used <= 32
+        assert r.true_inter <= r.true_union
+        assert r.est_inter <= r.est_union + 1e-9
+        if r.k_used == 32:
+            # KMV union RSE ~ 1/sqrt(k-2); 4 sigma, non-flaky
+            assert abs(r.est_union - r.true_union) <= 4 * r.true_union / (30 ** 0.5)
+            # intersection estimate: binomial sampling on top of union
+            # error; loose but drift-catching bound
+            assert abs(r.est_inter - r.true_inter) <= max(
+                6 * r.true_union / (30 ** 0.5), 0.35 * r.true_union
+            )
+        else:
+            assert r.est_union == float(r.k_used)

@@ -63,7 +63,10 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # over the sweep cuts; build side is the constant spine)
                "dedup_threshold_sweep",
                # 1-row (L, N) corpus-scalar broadcast (BM25 normalizer)
-               "search_bm25_topk"}
+               "search_bm25_topk",
+               # |event_types| choose 2 pair spine (bounded metadata
+               # theta self-join of the distinct-type list)
+               "sketch_kmv_set_ops"}
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
@@ -165,6 +168,10 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/llm_similarity.py", "cb"): "PQ codebook (m x k = 64 rows)",
     ("queries/llm_similarity.py", "lut"): "ADC lookup table (n_q x m x k = 640 rows)",
     ("queries/llm_similarity.py", "tot"): "1-row totals aggregate",
+    ("queries/llm_text.py", "spine"): "threshold spine (5 constant rows)",
+    ("queries/sketches.py", "sk"): "bottom-k sketches (<= k x |event_types| rows)",
+    ("queries/training_data.py", "qterms"): "query-term spine (NQ=5 rows)",
+    ("queries/training_data.py", "scal"): "1-row (L, N) corpus scalar",
 }
 
 _BROADCAST_RE = None  # compiled lazily
