@@ -843,3 +843,112 @@ def agg_gini_spend(spark, sf_dir):
         den.cast("long").alias("gini_den"),
         (num.cast("double") / den.cast("double")).alias("gini"),
     )
+
+
+@register(
+    "stats_ols_user_spend",
+    """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                   AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY user_id),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+           CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+    FROM per_user),
+d AS (
+    SELECT n, sx, sy,
+           CAST(CAST(n AS HUGEINT) * sxy
+                - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cov_n,
+           CAST(CAST(n AS HUGEINT) * sxx
+                - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS var_x_n,
+           CAST(CAST(n AS HUGEINT) * syy
+                - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS var_y_n
+    FROM m)
+SELECT n AS n_users, sx AS sum_clicks, sy AS sum_spend_micro,
+       cov_n / sqrt(var_x_n * var_y_n) AS pearson_r,
+       cov_n / var_x_n AS slope_micro_per_click,
+       (CAST(sy AS DOUBLE) - cov_n / var_x_n * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept_micro
+FROM d
+""",
+    doc="Pearson correlation + OLS fit of per-user spend (micro-units) "
+    "on click count — the canonical two-metric relationship readout "
+    "(does engagement predict revenue?), done the distributed way: "
+    "ONE pass builds the five raw moments (n, Sx, Sy, Sxx, Syy, Sxy) "
+    "as EXACT wide integers (DECIMAL(38)/HUGEINT — y^2 reaches 1e23, "
+    "past int64), then r = (nSxy-SxSy)/sqrt((nSxx-Sx^2)(nSyy-Sy^2)) "
+    "and the slope/intercept are a fixed chain of correctly-rounded "
+    "int->double conversions: bit-identical across engines AND "
+    "partitionings, where a naive avg-centered two-pass float "
+    "covariance is neither. Two hash aggs (user rollup, 1-row "
+    "moments); nothing but the moment row leaves the executors.",
+)
+def stats_ols_user_spend(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                (F.col("value").cast("decimal(18,6)") * 1_000_000).cast(
+                    "long"
+                ),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+    )
+    cov_n = (
+        F.col("n").cast(dec) * F.col("sxy")
+        - F.col("sx").cast(dec) * F.col("sy")
+    ).cast("double")
+    var_x_n = (
+        F.col("n").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx")
+    ).cast("double")
+    var_y_n = (
+        F.col("n").cast(dec) * F.col("syy")
+        - F.col("sy").cast(dec) * F.col("sy")
+    ).cast("double")
+    d = m.select(
+        "n",
+        "sx",
+        "sy",
+        cov_n.alias("cov_n"),
+        var_x_n.alias("var_x_n"),
+        var_y_n.alias("var_y_n"),
+    )
+    slope = F.col("cov_n") / F.col("var_x_n")
+    return d.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("sum_clicks"),
+        F.col("sy").alias("sum_spend_micro"),
+        (F.col("cov_n") / F.sqrt(F.col("var_x_n") * F.col("var_y_n"))).alias(
+            "pearson_r"
+        ),
+        slope.alias("slope_micro_per_click"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_micro"),
+    )

@@ -411,3 +411,91 @@ def dq_distribution_drift(spark, sf_dir):
         excess.alias("excess"),
         F.when(F.col("o_early") > 0, excess * excess / e).alias("drift_term"),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+WITH checks AS (
+    SELECT 'orders.o_custkey->customer' AS fk_name,
+           CAST(count(*) AS BIGINT) AS n_child_rows,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+SELECT fk_name, n_child_rows, n_orphans,
+       (n_orphans = 0) AS fk_holds,
+       CAST(n_child_rows - n_orphans AS DOUBLE) / n_child_rows
+           AS match_ratio
+FROM checks
+""",
+    doc="referential-integrity audit across the star schema's four FK "
+    "edges (orders->customer, lineitem->{orders,part,supplier}) — the "
+    "DQ check that gates every downstream join's correctness (an "
+    "orphan FK silently drops rows from inner joins): per edge, child "
+    "cardinality, orphan count via left-join null-probe (one "
+    "pass per edge, counts move not rows), a boolean verdict, and the "
+    "match ratio as one exact division. The four probes are "
+    "independent equi-joins on their natural keys — at 100 TB each is "
+    "a shuffle join on the FK, orphan counting is map-side after the "
+    "join, and the output is 4 rows of metadata.",
+)
+def dq_referential_integrity(spark, sf_dir):
+    def probe(child, ckey, parent, pkey, name):
+        j = child.join(parent, child[ckey] == parent[pkey], "left")
+        return j.agg(
+            F.lit(name).alias("fk_name"),
+            F.count("*").cast("long").alias("n_child_rows"),
+            F.sum(parent[pkey].isNull().cast("int"))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    checks = (
+        probe(orders, "o_custkey", customer, "c_custkey",
+              "orders.o_custkey->customer")
+        .unionByName(
+            probe(lineitem, "l_orderkey", orders, "o_orderkey",
+                  "lineitem.l_orderkey->orders")
+        )
+        .unionByName(
+            probe(lineitem, "l_partkey", part, "p_partkey",
+                  "lineitem.l_partkey->part")
+        )
+        .unionByName(
+            probe(lineitem, "l_suppkey", supplier, "s_suppkey",
+                  "lineitem.l_suppkey->supplier")
+        )
+    )
+    return checks.select(
+        "fk_name",
+        "n_child_rows",
+        "n_orphans",
+        (F.col("n_orphans") == 0).alias("fk_holds"),
+        (
+            (F.col("n_child_rows") - F.col("n_orphans")).cast("double")
+            / F.col("n_child_rows")
+        ).alias("match_ratio"),
+    )

@@ -552,3 +552,143 @@ WHERE o_orderkey < 5000
 def sql_lateral_column_alias(spark, sf_dir):
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
     return spark.sql(_LCA_SQL)
+
+
+_ASOF_NEAR_TOL_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "join_asof_nearest_purchase",
+    f"""
+WITH c AS (SELECT event_id AS click_id, user_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+      WHERE event_type = 'purchase'),
+back AS (
+    SELECT click_id, purchase_id AS b_id, gap AS b_gap FROM (
+        SELECT c.click_id, p.purchase_id, c.t - p.t AS gap,
+               row_number() OVER (PARTITION BY c.click_id
+                                  ORDER BY p.t DESC, p.purchase_id DESC)
+                   AS rn
+        FROM c JOIN p ON c.user_id = p.user_id AND p.t <= c.t
+                     AND c.t - p.t <= {_ASOF_NEAR_TOL_US}
+    ) WHERE rn = 1),
+fwd AS (
+    SELECT click_id, purchase_id AS f_id, gap AS f_gap FROM (
+        SELECT c.click_id, p.purchase_id, p.t - c.t AS gap,
+               row_number() OVER (PARTITION BY c.click_id
+                                  ORDER BY p.t, p.purchase_id) AS rn
+        FROM c JOIN p ON c.user_id = p.user_id AND p.t >= c.t
+                     AND p.t - c.t <= {_ASOF_NEAR_TOL_US}
+    ) WHERE rn = 1)
+SELECT c.click_id, c.user_id, c.t AS click_ts_us,
+       CASE WHEN b.b_id IS NOT NULL
+                 AND (f.f_id IS NULL OR b.b_gap <= f.f_gap)
+            THEN b.b_id ELSE f.f_id END AS nearest_purchase_id,
+       CASE WHEN b.b_id IS NOT NULL
+                 AND (f.f_id IS NULL OR b.b_gap <= f.f_gap)
+            THEN -b.b_gap ELSE f.f_gap END AS signed_gap_us,
+       CASE WHEN b.b_id IS NOT NULL
+                 AND (f.f_id IS NULL OR b.b_gap <= f.f_gap)
+            THEN 'backward'
+            WHEN f.f_id IS NOT NULL THEN 'forward' END AS direction
+FROM c
+LEFT JOIN back b USING (click_id)
+LEFT JOIN fwd f USING (click_id)
+""",
+    doc="NEAREST as-of join with tolerance — the third merge_asof "
+    "direction (backward and forward are separate entries): each "
+    "click matches its temporally closest purchase within 1 hour in "
+    "EITHER direction; ties go backward (the state that already "
+    "existed), matching the attribution convention, then "
+    "(ts, id)-deterministic within each side. Spark-first shape: the "
+    "same union-merge timeline ONCE, carrying last-preceding and "
+    "first-following candidates from a single sort (two frames over "
+    "one shuffle — not two joins), then a row-local argmin; the "
+    "oracle is the explicit pair of ranked range joins. Signed gap "
+    "(negative = purchase preceded click) keeps the direction "
+    "auditable downstream.",
+)
+def join_asof_nearest_purchase(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("state_id"),
+        F.col("event_id").alias("query_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("state_id"),
+        F.lit(None).cast("long").alias("query_id"),
+    )
+    us = F.unix_micros(F.col("ts"))
+    # One per-user timeline, one sort. Backward frame: state rows sort
+    # BEFORE query rows at equal ts (inclusive <=) and last() favors
+    # the max (ts, id). Forward frame: query rows first at ties
+    # (inclusive >=) and first() favors the min (ts, id). is_q serves
+    # both: asc puts states first (backward), and the forward frame
+    # starting at currentRow still sees same-ts states because they
+    # sort AFTER the query row only when is_q is ordered... it is not:
+    # states (is_q=0) sort first, so the forward frame anchored at the
+    # query row would MISS same-ts states. Solution: order by
+    # (ts, is_q DESC) would break backward instead — so the timeline
+    # is sorted once by (ts, is_q, id) and the forward candidate uses
+    # an unbounded-following frame that starts at the query row; a
+    # same-ts state sits BEFORE the query row and is picked up by the
+    # backward frame (gap 0), which then always wins the tie — the
+    # nearest result is unaffected. Documented equivalence: gap-0
+    # matches are backward by definition here.
+    unioned = clicks.unionByName(purchases).withColumn(
+        "is_q", F.col("query_id").isNotNull().cast("int")
+    )
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_q", F.coalesce("state_id", "query_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_q", F.coalesce("state_id", "query_id"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    st_us = F.when(F.col("state_id").isNotNull(), us)
+    out = (
+        unioned.withColumn("b_id", F.last("state_id", ignorenulls=True).over(w_back))
+        .withColumn("b_us", F.last(st_us, ignorenulls=True).over(w_back))
+        .withColumn("f_id", F.first("state_id", ignorenulls=True).over(w_fwd))
+        .withColumn("f_us", F.first(st_us, ignorenulls=True).over(w_fwd))
+        .filter(F.col("is_q") == 1)
+        .withColumn("b_gap", us - F.col("b_us"))
+        .withColumn("f_gap", F.col("f_us") - us)
+        .withColumn(
+            "b_ok",
+            F.col("b_id").isNotNull() & (F.col("b_gap") <= _ASOF_NEAR_TOL_US),
+        )
+        .withColumn(
+            "f_ok",
+            F.col("f_id").isNotNull() & (F.col("f_gap") <= _ASOF_NEAR_TOL_US),
+        )
+    )
+    back_wins = F.col("b_ok") & (
+        ~F.col("f_ok") | (F.col("b_gap") <= F.col("f_gap"))
+    )
+    return out.select(
+        F.col("query_id").alias("click_id"),
+        "user_id",
+        us.alias("click_ts_us"),
+        F.when(back_wins, F.col("b_id"))
+        .when(F.col("f_ok"), F.col("f_id"))
+        .alias("nearest_purchase_id"),
+        F.when(back_wins, -F.col("b_gap"))
+        .when(F.col("f_ok"), F.col("f_gap"))
+        .alias("signed_gap_us"),
+        F.when(back_wins, F.lit("backward"))
+        .when(F.col("f_ok"), F.lit("forward"))
+        .alias("direction"),
+    )

@@ -631,3 +631,121 @@ def sketch_kmv_set_ops(spark, sf_dir):
         )
         .join(tru, ["t1", "t2"])
     )
+
+
+_HLL_M = 64  # registers (b = 6 bits)
+_HLL_WBITS = 50  # 56-bit hash minus 6 bucket bits
+# alpha_64 * m^2 * 2^WBITS+1 folded to ONE python-computed double
+# literal so both engines perform a single division, never a
+# constant-folding chain that could round differently.
+_HLL_C = 0.709 * (_HLL_M**2) * float(1 << (_HLL_WBITS + 1))
+
+
+def _hll_oracle() -> str:
+    h = _hex_fold_n("CAST(user_id AS VARCHAR)", 14)
+    w = _HLL_WBITS
+    return f"""
+WITH dh AS (SELECT DISTINCT event_type, {h} AS h FROM events),
+parts AS (
+    SELECT event_type, h // {1 << w} AS bucket, h % {1 << w} AS wv
+    FROM dh),
+rho AS (
+    SELECT event_type, bucket,
+           CASE WHEN wv = 0 THEN {w + 1}
+                ELSE {w + 1} - length(bin(wv)) END AS r
+    FROM parts),
+regs AS (
+    SELECT event_type, bucket, CAST(max(r) AS BIGINT) AS m_j
+    FROM rho GROUP BY 1, 2),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_used,
+           CAST(sum(1::BIGINT << ({w + 1} - m_j)) AS BIGINT) AS s_obs
+    FROM regs GROUP BY 1),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+              AS true_ndv
+       FROM events GROUP BY event_type)
+SELECT a.event_type, a.n_used,
+       CAST({_HLL_M} - a.n_used AS BIGINT) AS n_zero_registers,
+       CAST(a.s_obs + ({_HLL_M} - a.n_used) * (1::BIGINT << {w + 1})
+            AS BIGINT) AS s_scaled,
+       {_HLL_C!r} / CAST(a.s_obs + ({_HLL_M} - a.n_used)
+                         * (1::BIGINT << {w + 1}) AS DOUBLE) AS est_raw,
+       ex.true_ndv
+FROM agg a JOIN ex ON a.event_type = ex.event_type
+"""
+
+
+@register(
+    "sketch_hll_exact_registers",
+    _hll_oracle(),
+    doc=f"HyperLogLog from first principles with an EXACT value-hash "
+    f"oracle — the deterministic cousin of the rows-only "
+    f"approx_count_distinct entries (Spark's HLL++ register state is "
+    f"engine-internal; this one's is the spec): 56-bit md5 hash, top "
+    f"6 bits pick one of m={_HLL_M} registers, rho = leading-zero "
+    f"rank of the remaining {_HLL_WBITS} bits via base-2 string "
+    f"length (identical in both engines, no float log2 at power-of-2 "
+    f"boundaries), register = max rho. The harmonic mean is EXACT "
+    f"integer arithmetic: sum(2^-M_j) scaled by 2^{_HLL_WBITS + 1} "
+    f"is a BIGINT sum (empty registers contribute without a 64-row "
+    f"spine: (m - observed) * 2^{_HLL_WBITS + 1}), and the raw "
+    f"estimate alpha*m^2/sum is ONE double division by a "
+    f"python-folded constant. Raw estimator by design (no "
+    f"small-range correction — true_ndv rides along and the pytest "
+    f"bounds the error); register state is {_HLL_M} bytes per group "
+    f"at any corpus size — THE mergeable-sketch scale story.",
+)
+def sketch_hll_exact_registers(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    w = _HLL_WBITS
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 14),
+        16,
+        10,
+    ).cast("long")
+    dh = ev.select("event_type", h.alias("h")).distinct()
+    parts = dh.select(
+        "event_type",
+        F.expr(f"h DIV {1 << w}").alias("bucket"),
+        F.pmod(F.col("h"), F.lit(1 << w)).alias("wv"),
+    )
+    rho = parts.select(
+        "event_type",
+        "bucket",
+        F.when(F.col("wv") == 0, F.lit(w + 1))
+        .otherwise(
+            F.lit(w + 1)
+            - F.length(F.conv(F.col("wv").cast("string"), 10, 2))
+        )
+        .alias("r"),
+    )
+    regs = rho.groupBy("event_type", "bucket").agg(
+        F.max("r").cast("long").alias("m_j")
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - m_j)"))
+        .cast("long")
+        .alias("s_obs"),
+    )
+    s_scaled = (
+        F.col("s_obs")
+        + (F.lit(_HLL_M) - F.col("n_used")) * F.lit(1 << (w + 1))
+    ).cast("long")
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("true_ndv")
+    )
+    return (
+        agg.join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_used",
+            (F.lit(_HLL_M) - F.col("n_used")).cast("long").alias(
+                "n_zero_registers"
+            ),
+            s_scaled.alias("s_scaled"),
+            (F.lit(_HLL_C) / s_scaled.cast("double")).alias("est_raw"),
+            "true_ndv",
+        )
+    )

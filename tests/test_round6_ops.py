@@ -238,3 +238,81 @@ def test_kmv_set_ops_estimates_and_truth(spark, sf_dir):
             )
         else:
             assert r.est_union == float(r.k_used)
+
+
+def test_asof_nearest_agrees_with_directional_entries(spark, sf_dir):
+    near = {
+        r.click_id: r
+        for r in Q["join_asof_nearest_purchase"](spark, sf_dir).collect()
+    }
+    fwd = {
+        r.click_id: r
+        for r in Q["join_asof_forward_next_purchase"](spark, sf_dir).collect()
+    }
+    assert near and len(near) == len(fwd)
+    for cid, r in near.items():
+        if r.direction == "forward":
+            # a forward winner must BE the forward entry's match
+            assert fwd[cid].next_purchase_id == r.nearest_purchase_id
+            assert fwd[cid].gap_us == r.signed_gap_us >= 0
+        elif r.direction == "backward":
+            assert r.signed_gap_us <= 0
+            f = fwd[cid]
+            # backward won: any forward match within tolerance can't be
+            # strictly closer
+            if f.next_purchase_id is not None:
+                assert f.gap_us >= -r.signed_gap_us
+        else:
+            assert r.nearest_purchase_id is None and r.signed_gap_us is None
+            assert fwd[cid].next_purchase_id is None
+
+
+def test_ols_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    row = Q["stats_ols_user_spend"](spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from decimal import Decimal
+
+    per = {}
+    for r in ev.collect():
+        x, y = per.get(r.user_id, (0, 0))
+        if r.event_type == "click":
+            x += 1
+        elif r.event_type == "purchase":
+            y += int(
+                Decimal(str(r.value)).quantize(Decimal("0.000001"))
+                * 1_000_000
+            )
+        per[r.user_id] = (x, y)
+    xs = np.array([v[0] for v in per.values()], dtype=float)
+    ys = np.array([v[1] for v in per.values()], dtype=float)
+    assert row.n_users == len(per)
+    r_np = np.corrcoef(xs, ys)[0, 1]
+    slope_np = np.polyfit(xs, ys, 1)[0]
+    assert abs(row.pearson_r - r_np) < 1e-9
+    assert abs(row.slope_micro_per_click - slope_np) / abs(slope_np) < 1e-9
+
+
+def test_referential_integrity_holds_on_tpch(spark, sf_dir):
+    rows = {r.fk_name: r for r in Q["dq_referential_integrity"](spark, sf_dir).collect()}
+    assert len(rows) == 4
+    for name, r in rows.items():
+        # TPC-H generators emit consistent FKs — all edges must hold
+        assert r.fk_holds and r.n_orphans == 0, name
+        assert r.match_ratio == 1.0
+        assert r.n_child_rows > 0
+
+
+def test_hll_exact_registers_error_bound(spark, sf_dir):
+    rows = Q["sketch_hll_exact_registers"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_used <= 64
+        assert r.n_zero_registers == 64 - r.n_used
+        # raw HLL RSE ~ 1.04/sqrt(64) = 13%; allow 4 sigma, and skip
+        # the bound in the small-range regime where the raw estimator
+        # is biased by design (documented: no linear-counting branch)
+        if r.n_zero_registers == 0:
+            assert abs(r.est_raw - r.true_ndv) <= 4 * 0.13 * r.true_ndv
+        assert r.est_raw > 0
