@@ -1053,3 +1053,103 @@ def stream_python_datasource(spark, sf_dir):
         q.stop()
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_cdc_upsert_apply",
+    """
+WITH ops AS (
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_id,
+           CASE WHEN event_type = 'signup' THEN 'U' ELSE 'D' END AS op,
+           value
+    FROM events WHERE event_type IN ('signup', 'error')),
+last AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY t DESC, event_id DESC) AS rn
+    FROM ops)
+SELECT user_id, t AS last_ts_us, event_id AS version_id, value AS attr
+FROM last WHERE rn = 1 AND op = 'U'
+""",
+    doc="streaming CDC changelog apply — the Debezium-shaped workload: "
+    "signup events are keyed UPSERTs, error events are DELETEs, and "
+    "the stream folds them into a last-writer-wins keyed table via "
+    "foreachBatch merge (batch delta reduced to one winner per key by "
+    "max(struct(ts, event_id, ...)), then merged with the store the "
+    "same way). The merge is COMMUTATIVE-ASSOCIATIVE by construction "
+    "— max over (ts, id) — so the final state is independent of "
+    "micro-batch slicing, proven by forcing multiple batches "
+    "(maxFilesPerTrigger) against a batch-window oracle: the "
+    "exactly-once-effect idiom without sink transactions. Tombstones "
+    "stay in-store so a late pre-delete upsert can't resurrect a "
+    "deleted key (the classic CDC bug); output filters them. At "
+    "100 TB foreachBatch MERGEs into the sharded store "
+    "(streaming/sharded_store.py) instead of rewriting one dir.",
+)
+def stream_cdc_upsert_apply(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    state_dir = os.path.join(root, "cdc_state")
+    winner = F.max(
+        F.struct("t", "event_id", "op", "value")
+    ).alias("w")
+
+    def reduce_ops(df):
+        return df.groupBy("user_id").agg(winner).select(
+            "user_id",
+            F.col("w.t").alias("t"),
+            F.col("w.event_id").alias("event_id"),
+            F.col("w.op").alias("op"),
+            F.col("w.value").alias("value"),
+        )
+
+    def apply_batch(batch, _bid):
+        ops = batch.filter(
+            F.col("event_type").isin("signup", "error")
+        ).select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+            F.when(F.col("event_type") == "signup", "U")
+            .otherwise("D")
+            .alias("op"),
+            "value",
+        )
+        delta = reduce_ops(ops)
+        sp = batch.sparkSession
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            cur = sp.read.parquet(state_dir)
+            merged = reduce_ops(cur.unionByName(delta))
+        else:
+            merged = delta
+        # Rewrite via a temp dir: the source of the union is the dir
+        # being replaced, so materialize first.
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        out = sp.read.parquet(tmp)
+        out.write.mode("overwrite").parquet(state_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 8)  # force several micro-batches
+        .parquet(os.path.join(root, "events"))
+    )
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(state_dir)
+        .filter(F.col("op") == "U")
+        .select(
+            "user_id",
+            F.col("t").alias("last_ts_us"),
+            F.col("event_id").alias("version_id"),
+            F.col("value").alias("attr"),
+        )
+    )

@@ -316,3 +316,36 @@ def test_hll_exact_registers_error_bound(spark, sf_dir):
         if r.n_zero_registers == 0:
             assert abs(r.est_raw - r.true_ndv) <= 4 * 0.13 * r.true_ndv
         assert r.est_raw > 0
+
+
+def test_stream_cdc_tombstone_semantics(spark, tmp_path):
+    # Crafted changelog: deletes must win by (ts, id) order — including
+    # over a LATE-ARRIVING earlier upsert (no resurrection) — and a
+    # post-delete upsert must recreate the key.
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, t(1), 1, "signup", 10.0, "{}"),
+        (2, t(2), 1, "error", 0.0, "{}"),          # delete u1 -> gone
+        (3, t(1), 2, "signup", 20.0, "{}"),
+        (4, t(2), 2, "error", 0.0, "{}"),
+        (5, t(3), 2, "signup", 22.0, "{}"),        # recreate u2
+        (7, t(2), 3, "error", 0.0, "{}"),          # file-late upsert:
+        (6, t(1), 3, "signup", 30.0, "{}"),        # ts-earlier, no resurrect
+        (8, t(1), 4, "signup", 40.0, "{}"),        # plain insert
+        (9, t(5), 4, "purchase", 99.0, "{}"),      # non-CDC type ignored
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: r
+        for r in Q["stream_cdc_upsert_apply"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {2, 4}
+    assert out[2].version_id == 5 and out[2].attr == 22.0
+    assert out[4].version_id == 8 and out[4].attr == 40.0
