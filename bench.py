@@ -71,6 +71,14 @@ HEADLINE = [
     # per-vocab-entry expansion).
     "doc_length_bucket_batches",
     "vocab_bpe_merge_step",
+    # Round-6 additions: retrieval + fingerprint shapes the headline
+    # set didn't time — integer-exact BM25 over the inverted tf table,
+    # winnowing (two-window local sketch), the deterministic HLL
+    # register build, and the multi-batch CDC changelog apply.
+    "search_bm25_topk",
+    "doc_winnowing_fingerprints",
+    "sketch_hll_exact_registers",
+    "stream_cdc_upsert_apply",
     "stream_sessionize",
     # The reference's true workload end-to-end: streaming ingest ->
     # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;
