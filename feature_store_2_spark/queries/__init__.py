@@ -166,6 +166,7 @@ def _load_all() -> None:
         "windows_setops",
         "scalar_funcs",
         "behavior",
+        "timeseries",
         "llm_text",
         "llm_curation",
         "training_data",

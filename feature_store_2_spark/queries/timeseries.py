@@ -1,0 +1,563 @@
+"""Time-series & marketing analytics over the event log: EWMA smoothing,
+CUSUM change-point detection, Pareto revenue concentration, RFM
+segmentation, time-decay attribution, rate limiting, sequence-pattern
+matching (MATCH_RECOGNIZE analog).
+
+These are the classic "operational analytics" reads a platform layers on
+the same event stream the reference ingests (reference ingest path:
+/root/reference/services/ingest.py; its per-user aggregate state is the
+only analytic it ships — everything here is the surface a warehouse team
+would bolt on next).
+
+Determinism contract (repo-wide recipe): weighted sums use exact
+binary-fraction DECIMAL literals or integer weights (2^k), money sums
+accumulate in DECIMAL(18,6), and every DOUBLE is produced by ONE final
+division of two exactly-agreed numbers — so addition order can never
+perturb the driver's value hash. Ordered outputs carry total tie-break
+keys (ts, event_id) / (metric, user_id).
+
+Scale notes per entry are in each docstring; the shared shape is:
+aggregate the 100-TB event table down to a per-day / per-user grain
+FIRST (one shuffle, map-side partial aggs), then run the analytic on
+the aggregate, which is metadata-scale (days x types) or user-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# EWMA of daily event volume
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT cur.event_type,
+       cur.d,
+       CAST(sum(past.c * (1 << (9 - date_diff('day', past.d, cur.d))))
+            AS DOUBLE)
+       / CAST(sum(1 << (9 - date_diff('day', past.d, cur.d))) AS DOUBLE)
+           AS ewma,
+       CAST(count(*) AS INT) AS n_days
+FROM daily cur
+JOIN daily past
+  ON past.event_type = cur.event_type
+ AND past.d BETWEEN cur.d - 9 AND cur.d
+GROUP BY cur.event_type, cur.d
+"""
+
+
+@register(
+    "ts_ewma_daily_volume",
+    _EWMA_ORACLE,
+    doc="exponentially-weighted moving average (alpha=1/2) of daily "
+    "event volume per type over a trailing 10-day window. Exactness: "
+    "weights are integer powers of two (2^(9-lag)), so numerator and "
+    "denominator are exact BIGINTs and the single final division is "
+    "bit-identical on both engines. Scale: the raw 100-TB scan "
+    "collapses to per-(type, day) counts in ONE partial-agg shuffle; "
+    "the windowed self-join then runs on the metadata-scale daily "
+    "aggregate (days x types rows), so the quadratic-looking join is "
+    "O(types x days x 10) — never touches raw events twice.",
+)
+def ts_ewma_daily_volume(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    cur = daily.select(
+        F.col("event_type").alias("t"), F.col("d").alias("cd")
+    )
+    past = daily.select(
+        F.col("event_type").alias("pt"),
+        F.col("d").alias("pd"),
+        F.col("c").alias("pc"),
+    )
+    w = F.expr("CAST(shiftleft(1, 9 - datediff(cd, pd)) AS BIGINT)")
+    return (
+        cur.join(
+            past,
+            (F.col("pt") == F.col("t"))
+            & (F.col("pd") >= F.date_sub(F.col("cd"), 9))
+            & (F.col("pd") <= F.col("cd")),
+        )
+        .groupBy(F.col("t").alias("event_type"), F.col("cd").alias("d"))
+        .agg(
+            (
+                F.sum(F.col("pc") * w).cast("double")
+                / F.sum(w).cast("double")
+            ).alias("ewma"),
+            F.count("*").cast("int").alias("n_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+    FROM events GROUP BY 1, 2
+), cum AS (
+    SELECT event_type, d,
+           sum(c) OVER (PARTITION BY event_type ORDER BY d) AS prefix,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS idx,
+           sum(c) OVER (PARTITION BY event_type) AS total,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM daily
+), scored AS (
+    SELECT event_type, d,
+           CAST(n * prefix - idx * total AS BIGINT) AS cusum_scaled,
+           n AS n_days,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(n * prefix - idx * total) DESC, d ASC
+           ) AS rk
+    FROM cum
+)
+SELECT event_type, d AS change_day, cusum_scaled,
+       CAST(n_days AS INT) AS n_days
+FROM scored WHERE rk = 1
+"""
+
+
+@register(
+    "ts_cusum_changepoint",
+    _CUSUM_ORACLE,
+    doc="CUSUM change-point detection on daily event volume: the day "
+    "maximizing |running deviation from the per-type mean|. Exactness: "
+    "the statistic is scaled by n (S_t = n*prefix_t - t*total), which "
+    "keeps everything in BIGINT — no mean division ever happens, so "
+    "no float drift is possible. Scale: one partial-agg shuffle to "
+    "daily grain; both windows and the argmax run per event_type on "
+    "the metadata-scale daily table. The argmax tie-breaks to the "
+    "earliest day for determinism.",
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    wall = W.partitionBy("event_type")
+    word = wall.orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("c").over(word).alias("prefix"),
+        F.row_number().over(word).cast("long").alias("idx"),
+        F.sum("c").over(wall).alias("total"),
+        F.count("*").over(wall).cast("long").alias("n"),
+    )
+    s = F.col("n") * F.col("prefix") - F.col("idx") * F.col("total")
+    scored = cum.select(
+        "event_type",
+        "d",
+        s.alias("cusum_scaled"),
+        F.col("n").alias("n_days"),
+        F.row_number()
+        .over(wall.orderBy(F.abs(s).desc(), F.col("d").asc()))
+        .alias("rk"),
+    )
+    return scored.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("d").alias("change_day"),
+        "cusum_scaled",
+        F.col("n_days").cast("int").alias("n_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto (80/20) revenue concentration
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH rev AS (
+    SELECT c.c_custkey, r.r_name,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS crev
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT r_name,
+           sum(crev) OVER (PARTITION BY r_name
+                           ORDER BY crev DESC, c_custkey
+                           ROWS UNBOUNDED PRECEDING) AS running,
+           sum(crev) OVER (PARTITION BY r_name) AS total,
+           row_number() OVER (PARTITION BY r_name
+                              ORDER BY crev DESC, c_custkey) AS rk,
+           count(*) OVER (PARTITION BY r_name) AS n_customers
+    FROM rev
+)
+SELECT r_name AS region,
+       CAST(min(CASE WHEN running * 5 >= total * 4 THEN rk END) AS INT)
+           AS n_customers_80pct,
+       CAST(max(n_customers) AS INT) AS n_customers,
+       CAST(max(total) AS DOUBLE) AS region_revenue
+FROM ranked
+GROUP BY r_name
+"""
+
+
+@register(
+    "pareto_revenue_concentration",
+    _PARETO_ORACLE,
+    doc="Pareto concentration: per region, the minimum number of "
+    "top customers whose cumulative revenue reaches 80% of the "
+    "region's total. Exactness: revenue accumulates in DECIMAL(18,6) "
+    "and the 80% threshold is the integer comparison running*5 >= "
+    "total*4 — no float enters until the final reporting cast. "
+    "Scale: one shuffle to per-customer revenue (partial aggs), "
+    "dims broadcast (customer->nation->region), then the running "
+    "window partitions by region over the customer-grain aggregate. "
+    "Tie-break (crev DESC, custkey) makes the rank total.",
+)
+def pareto_revenue_concentration(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("c_custkey", "r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("crev")
+        )
+    )
+    wall = W.partitionBy("r_name")
+    word = wall.orderBy(F.col("crev").desc(), F.col("c_custkey"))
+    ranked = rev.select(
+        "r_name",
+        F.sum("crev").over(word.rowsBetween(W.unboundedPreceding, 0))
+        .alias("running"),
+        F.sum("crev").over(wall).alias("total"),
+        F.row_number().over(word).alias("rk"),
+        F.count("*").over(wall).alias("n_customers"),
+    )
+    hit = F.when(
+        F.col("running") * 5 >= F.col("total") * 4, F.col("rk")
+    )
+    return ranked.groupBy(F.col("r_name").alias("region")).agg(
+        F.min(hit).cast("int").alias("n_customers_80pct"),
+        F.max("n_customers").cast("int").alias("n_customers"),
+        F.max("total").cast("double").alias("region_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH p AS (
+    SELECT user_id,
+           max(CAST(ts AS DATE)) AS last_d,
+           count(*) AS freq,
+           sum(CAST(value AS DECIMAL(18,6))) AS monetary
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+), coh AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY 1
+), anchor AS (
+    SELECT max(CAST(ts AS DATE)) AS g FROM events
+), m AS (
+    SELECT p.user_id, coh.cohort_week,
+           date_diff('day', last_d, (SELECT g FROM anchor))
+               AS recency_days,
+           freq, monetary
+    FROM p JOIN coh ON p.user_id = coh.user_id
+)
+SELECT user_id, cohort_week,
+       CAST(recency_days AS INT) AS recency_days,
+       CAST(freq AS INT) AS frequency,
+       CAST(monetary AS DOUBLE) AS monetary,
+       CAST(ntile(5) OVER (PARTITION BY cohort_week
+                           ORDER BY recency_days ASC, user_id) AS INT)
+           AS r_score,
+       CAST(ntile(5) OVER (PARTITION BY cohort_week
+                           ORDER BY freq DESC, user_id) AS INT)
+           AS f_score,
+       CAST(ntile(5) OVER (PARTITION BY cohort_week
+                           ORDER BY monetary DESC, user_id) AS INT)
+           AS m_score
+FROM m
+"""
+
+
+@register(
+    "rfm_segmentation",
+    _RFM_ORACLE,
+    doc="cohort-relative RFM (recency/frequency/monetary) quintile "
+    "segmentation of purchasers: quintiles are assigned WITHIN each "
+    "signup-week cohort, the form CRM teams actually use (a 2019 "
+    "signup and a 2024 signup shouldn't share a recency scale). "
+    "Exactness: recency is integer days from the global max event "
+    "date, monetary sums in DECIMAL(18,6); every ntile ordering "
+    "carries a user_id tie-break so the quintile assignment is "
+    "total. Scale: one shuffle to per-user purchase aggregates; the "
+    "anchor date is a 1-row broadcast scalar (no collect); the "
+    "ntile windows are PARTITIONED by cohort week, so no global "
+    "sort exists and each window task handles one week's signups — "
+    "the partition count grows with corpus age, keeping per-task "
+    "size roughly constant as history accumulates.",
+)
+def rfm_segmentation(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_d"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary"),
+        )
+    )
+    coh = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("g"))
+    m = (
+        p.join(coh, "user_id")
+        .join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.datediff(F.col("g"), F.col("last_d")).alias("recency_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    wc = W.partitionBy("cohort_week")
+    return m.select(
+        "user_id",
+        "cohort_week",
+        F.col("recency_days").cast("int").alias("recency_days"),
+        F.col("freq").cast("int").alias("frequency"),
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(5)
+        .over(wc.orderBy(F.col("recency_days").asc(), F.col("user_id")))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(wc.orderBy(F.col("freq").desc(), F.col("user_id")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(wc.orderBy(F.col("monetary").desc(), F.col("user_id")))
+        .cast("int")
+        .alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay attribution
+# ---------------------------------------------------------------------------
+
+# 2^-d for d = 0..7 as exact decimal literals (7 fractional digits is
+# exactly enough for 2^-7): element d of this table is the credit a
+# touch d days before the purchase earns. Literal table keeps both
+# engines bit-identical without any decimal division.
+_DECAY = (
+    "1.0000000",
+    "0.5000000",
+    "0.2500000",
+    "0.1250000",
+    "0.0625000",
+    "0.0312500",
+    "0.0156250",
+    "0.0078125",
+)
+
+_DECAY_CASE = "CASE date_diff('day', CAST(t.ts AS DATE), CAST(p.ts AS DATE)) " + " ".join(
+    f"WHEN {d} THEN CAST({w} AS DECIMAL(9,7))" for d, w in enumerate(_DECAY)
+) + " END"
+
+_ATTR_ORACLE = f"""
+SELECT t.event_type,
+       CAST(sum({_DECAY_CASE}) AS DOUBLE) AS credit,
+       CAST(count(*) AS INT) AS n_touches
+FROM events p
+JOIN events t
+  ON t.user_id = p.user_id
+ AND t.ts < p.ts
+ AND t.ts >= p.ts - INTERVAL 7 DAY
+WHERE p.event_type = 'purchase'
+  AND t.event_type IN ('view', 'click')
+GROUP BY t.event_type
+"""
+
+
+@register(
+    "attribution_time_decay",
+    _ATTR_ORACLE,
+    doc="time-decay marketing attribution: every view/click touch in "
+    "the 7 days before a purchase earns credit 2^-(days before), "
+    "summed per touch channel. Exactness: the decay weights are a "
+    "literal DECIMAL(9,7) lookup table (2^-d is exact in 7 decimal "
+    "digits for d<=7), so the credit sum is pure decimal addition; "
+    "ONE final cast to DOUBLE. Scale: purchases and touches equi-join "
+    "on user_id (the high-cardinality key carries the shuffle); the "
+    "time-range predicate is a residual filter on the hash join, not "
+    "a cartesian — per-user fan-out is bounded by a user's own 7-day "
+    "touch density, the same skew profile as any sessionization.",
+)
+def attribution_time_decay(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    d = F.datediff(F.to_date("p_ts"), F.to_date("t_ts"))
+    weight = F.element_at(
+        F.array(*[F.lit(w).cast("decimal(9,7)") for w in _DECAY]), d + 1
+    )
+    return (
+        p.join(
+            t,
+            (F.col("t_user") == F.col("p_user"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (
+                F.col("t_ts")
+                >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(weight).cast("double").alias("credit"),
+            F.count("*").cast("int").alias("n_touches"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rate limiting / throttling
+# ---------------------------------------------------------------------------
+
+_THROTTLE_ORACLE = """
+WITH ranked AS (
+    SELECT user_id, event_id,
+           row_number() OVER (
+               PARTITION BY user_id, epoch_us(ts) // 600000000
+               ORDER BY ts, event_id
+           ) AS rk
+    FROM events
+)
+SELECT user_id,
+       CAST(count(CASE WHEN rk = 1 THEN 1 END) AS INT) AS n_kept,
+       CAST(count(CASE WHEN rk > 1 THEN 1 END) AS INT) AS n_suppressed,
+       CAST(sum(CASE WHEN rk = 1 THEN event_id END) AS BIGINT)
+           AS kept_id_checksum
+FROM ranked
+GROUP BY user_id
+"""
+
+
+@register(
+    "rate_limit_throttle",
+    _THROTTLE_ORACLE,
+    doc="rate limiter: at most one event per user per 10-minute "
+    "tumbling window — the earliest (ts, event_id) in each window is "
+    "kept, the rest counted as suppressed. The kept_id_checksum "
+    "(sum of surviving event ids) pins WHICH events were kept, not "
+    "just how many. This is the batch analog of the reference's "
+    "access-throttle concern (reference circuit breaker: "
+    "/root/reference/services/circuit_breaker.py). Scale: window id "
+    "is computed row-side (epoch//600s, no session state), so the "
+    "whole operator is one shuffle on (user_id, window) — "
+    "embarrassingly parallel, and the per-key row_number frame is "
+    "bounded by a single user's 10-minute burst.",
+)
+def rate_limit_throttle(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    win = F.expr("unix_micros(ts) div 600000000")
+    rk = F.row_number().over(
+        W.partitionBy("user_id", "win").orderBy("ts", "event_id")
+    )
+    ranked = ev.select(
+        "user_id", "event_id", "ts", win.alias("win")
+    ).withColumn("rk", rk)
+    return ranked.groupBy("user_id").agg(
+        F.count(F.when(F.col("rk") == 1, 1)).cast("int").alias("n_kept"),
+        F.count(F.when(F.col("rk") > 1, 1))
+        .cast("int")
+        .alias("n_suppressed"),
+        F.sum(F.when(F.col("rk") == 1, F.col("event_id"))).alias(
+            "kept_id_checksum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE analog)
+# ---------------------------------------------------------------------------
+
+_SEQ_ORACLE = """
+WITH seqs AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS INT) AS seq_len,
+       CAST((length(seq) - length(replace(seq, 'cp', ''))) // 2
+            AS INT) AS n_click_then_purchase,
+       regexp_matches(seq, 'p.*e') AS purchase_then_error
+FROM seqs
+"""
+
+
+@register(
+    "seq_pattern_match",
+    _SEQ_ORACLE,
+    doc="MATCH_RECOGNIZE-style sequence pattern matching: each user's "
+    "event-type timeline becomes a character string (one char per "
+    "event, ordered by ts with event_id tie-break) and patterns are "
+    "regexes over it — 'cp' counts click-immediately-then-purchase "
+    "adjacencies, 'p.*e' flags purchase-eventually-followed-by-error. "
+    "Exactness: adjacency count via length-delta of replace() (the "
+    "pattern is 2 distinct chars so matches can't overlap), identical "
+    "on both engines; ordering is total. Scale: ONE shuffle "
+    "(groupBy user), per-user state is the user's own event count; "
+    "a pathological user's string is bounded by their events, the "
+    "same skew exposure as collect_list sessionization. The regex "
+    "runs per user row, JVM-side, codegen'd — no Python.",
+)
+def seq_pattern_match(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    timeline = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    seq = F.array_join(
+        F.transform(timeline, lambda x: F.substring(x["event_type"], 1, 1)),
+        "",
+    )
+    seqs = ev.groupBy("user_id").agg(seq.alias("seq"))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("seq_len"),
+        F.expr(
+            "(length(seq) - length(replace(seq, 'cp', ''))) div 2"
+        )
+        .cast("int")
+        .alias("n_click_then_purchase"),
+        F.col("seq").rlike("p.*e").alias("purchase_then_error"),
+    )

@@ -66,7 +66,9 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "search_bm25_topk",
                # |event_types| choose 2 pair spine (bounded metadata
                # theta self-join of the distinct-type list)
-               "sketch_kmv_set_ops"}
+               "sketch_kmv_set_ops",
+               # 1-row global max-date anchor broadcast (RFM recency)
+               "rfm_segmentation"}
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
@@ -172,6 +174,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/sketches.py", "sk"): "bottom-k sketches (<= k x |event_types| rows)",
     ("queries/training_data.py", "qterms"): "query-term spine (NQ=5 rows)",
     ("queries/training_data.py", "scal"): "1-row (L, N) corpus scalar",
+    ("queries/timeseries.py", "n"): "fixed dim (25 rows)",
+    ("queries/timeseries.py", "r"): "fixed dim (5 rows)",
+    ("queries/timeseries.py", "anchor"): "1-row max-date scalar aggregate",
 }
 
 _BROADCAST_RE = None  # compiled lazily
