@@ -1801,3 +1801,173 @@ def graph_clustering_coefficient(spark, sf_dir):
             .alias("clustering_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring
+# ---------------------------------------------------------------------------
+
+_BIGRAM_CTE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bg AS (
+    SELECT doc_id, l[i] AS w1, l[i] || ' ' || l[i + 1] AS b
+    FROM w, unnest(range(1, len(l))) AS t(i)),
+bgc AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+voc AS (
+    SELECT count(DISTINCT term) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents))
+"""
+
+
+@register(
+    "lm_bigram_logprob",
+    _BIGRAM_CTE
+    + """
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_bigrams,
+       round(avg(ln((cb + 1.0) / (c1 + v))), 6) AS avg_logp
+FROM bg JOIN bgc USING (b) JOIN ctx USING (w1) CROSS JOIN voc
+GROUP BY doc_id
+""",
+    doc="bigram language-model quality score (the CCNet/KenLM-style "
+    "perplexity filter): train an add-one-smoothed bigram LM on the "
+    "corpus itself, then score every document by its mean bigram "
+    "log-probability ln((C(w1,w2)+1)/(C(w1)+V)) — unusually low "
+    "scorers are boilerplate/garbled text, unusually high scorers "
+    "are template spam; both tails get dropped before LLM training. "
+    "Everything is hash aggregation and equi-joins on token keys "
+    "(count bigrams, count contexts, join back, one corpus-vocab "
+    "1-row broadcast scalar): the 100-TB shape is three shuffles on "
+    "high-cardinality keys with map-side partial aggs, never a "
+    "driver-side model. Rounded to 6 dp — the per-doc float mean is "
+    "addition-order-dependent and libm ln differs by 1 ulp across "
+    "engines (same recipe as doc_word_entropy). Reference analog: "
+    "the quality gates in /root/reference/services/ingest.py "
+    "validate structure; this is the statistical-quality twin.",
+)
+def lm_bigram_logprob(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    w = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) AS w1, "
+                "concat(element_at(w, i), ' ', element_at(w, i + 1)) AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.b")
+    bgc = bg.groupBy("b").agg(F.count("*").alias("cb"))
+    ctx = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    voc = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    return (
+        bg.join(bgc, "b")
+        .join(ctx, "w1")
+        .join(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("cb") + F.lit(1.0))
+                        / (F.col("c1") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling) on the near-dup graph
+# ---------------------------------------------------------------------------
+
+_KCORE_ORACLE = _JACV_CTE + """
+, e0 AS (
+    SELECT doc1 AS a, doc2 AS b FROM jacv WHERE jaccard >= 0.5
+    UNION ALL
+    SELECT doc2 AS a, doc1 AS b FROM jacv WHERE jaccard >= 0.5),
+a1 AS (SELECT a FROM e0 GROUP BY a HAVING count(*) >= 2),
+e1 AS (SELECT e0.a, e0.b FROM e0
+       JOIN a1 x ON e0.a = x.a JOIN a1 y ON e0.b = y.a),
+a2 AS (SELECT a FROM e1 GROUP BY a HAVING count(*) >= 2),
+e2 AS (SELECT e1.a, e1.b FROM e1
+       JOIN a2 x ON e1.a = x.a JOIN a2 y ON e1.b = y.a),
+a3 AS (SELECT a FROM e2 GROUP BY a HAVING count(*) >= 2),
+e3 AS (SELECT e2.a, e2.b FROM e2
+       JOIN a3 x ON e2.a = x.a JOIN a3 y ON e2.b = y.a),
+deg AS (SELECT a AS doc_id, CAST(count(*) AS INT) AS core_degree
+        FROM e3 GROUP BY a)
+SELECT d.doc_id,
+       deg.core_degree IS NOT NULL AS in_2core,
+       CAST(COALESCE(deg.core_degree, 0) AS INT) AS core_degree
+FROM documents d LEFT JOIN deg USING (doc_id)
+"""
+
+
+@register(
+    "graph_kcore_membership",
+    _KCORE_ORACLE,
+    doc="2-core membership on the Jaccard>=0.5 near-dup graph via "
+    "THREE bounded peeling rounds (degree < 2 nodes removed, edges "
+    "restricted to survivors, repeat): the 2-core separates dense "
+    "duplicate blocks worth canonical-doc treatment from isolated "
+    "pairs/chains that pairwise suppression handles. Bounded-round "
+    "peeling is the distributed k-core recipe (each round is one "
+    "degree aggregation + two semi-joins, all on the edge key); the "
+    "loop localCheckpoints per round so round N's plan never embeds "
+    "round N-1's (same lineage discipline as connected_components "
+    "and the PageRank loop). Three rounds is exact on this corpus "
+    "(peeling converges in <=2); the round count is the documented "
+    "fixed-point bound, exactly like _PR_ITERS.",
+)
+def graph_kcore_membership(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select(
+        "doc1", "doc2"
+    )
+    edges = (
+        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .unionAll(
+            pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    for _ in range(3):
+        alive = (
+            edges.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= 2)
+            .select("a")
+        )
+        edges = (
+            edges.join(alive, "a", "left_semi")
+            .join(alive.withColumnRenamed("a", "b"), "b", "left_semi")
+            # truncate lineage each round: round N's plan must not
+            # embed all prior rounds' joins (operators/graph.py:70).
+            .localCheckpoint()
+        )
+    deg = edges.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count("*").cast("int").alias("core_degree")
+    )
+    return (
+        docs.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("core_degree").isNotNull().alias("in_2core"),
+            F.coalesce(F.col("core_degree"), F.lit(0))
+            .cast("int")
+            .alias("core_degree"),
+        )
+    )

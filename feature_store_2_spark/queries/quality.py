@@ -499,3 +499,61 @@ def dq_referential_integrity(spark, sf_dir):
             / F.col("n_child_rows")
         ).alias("match_ratio"),
     )
+
+
+_BENFORD_ORACLE = """
+WITH cents AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM orders
+), digit AS (
+    SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS d FROM cents
+), counts AS (
+    SELECT d, count(*) AS n FROM digit GROUP BY d
+), tot AS (SELECT sum(n) AS t FROM counts)
+SELECT d AS digit,
+       CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / t AS share,
+       round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS benford_expected
+FROM counts CROSS JOIN tot
+"""
+
+
+@register(
+    "stats_benford_distribution",
+    _BENFORD_ORACLE,
+    doc="Benford first-significant-digit audit on order totals - the "
+    "classic fraud/data-fabrication screen: organic monetary values "
+    "follow P(d) = log10(1 + 1/d); a fabricated or truncated feed "
+    "shows a flat or spiked digit histogram. Exactness: the first "
+    "digit is extracted from the DECIMAL(18,2) cents integer "
+    "rendered as a string (never via floating log10, whose 1-ulp "
+    "error flips the digit at exact powers of ten); share is one "
+    "exact BIGINT division; the Benford reference curve is rounded "
+    "to 6 dp (libm ln 1-ulp, same recipe as doc_word_entropy). "
+    "Scale: a 9-row hash aggregate over one column - partial aggs "
+    "do all the work, the 1-row total is a broadcast scalar.",
+)
+def stats_benford_distribution(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    digit = o.select(
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digit.groupBy("d").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    return counts.join(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("t")).alias("share"),
+        F.round(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("d")) / F.log(F.lit(10.0)),
+            6,
+        ).alias("benford_expected"),
+    )

@@ -561,3 +561,89 @@ def seq_pattern_match(spark, sf_dir):
         .alias("n_click_then_purchase"),
         F.col("seq").rlike("p.*e").alias("purchase_then_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing (merge overlapping activity intervals)
+# ---------------------------------------------------------------------------
+
+_COALESCE_ORACLE = """
+WITH iv AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS s,
+           CAST(epoch_us(ts) AS BIGINT) + 300000000 AS e
+    FROM events
+), m AS (
+    SELECT user_id, s, e,
+           max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+    FROM iv
+), fl AS (
+    SELECT user_id, s, e,
+           CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nf
+    FROM m
+), isl AS (
+    SELECT user_id, s, e,
+           sum(nf) OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS UNBOUNDED PRECEDING) AS island
+    FROM fl
+), g AS (
+    SELECT user_id, island, min(s) AS st, max(e) AS en
+    FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS INT) AS n_intervals,
+       CAST(sum(en - st) AS BIGINT) AS total_span_us,
+       CAST(max(en - st) AS BIGINT) AS longest_us
+FROM g GROUP BY user_id
+"""
+
+
+@register(
+    "window_interval_coalesce",
+    _COALESCE_ORACLE,
+    doc="interval coalescing: each event opens a 5-minute activity "
+    "interval; overlapping intervals per user merge into maximal "
+    "islands (the gaps-and-islands running-max recipe: an interval "
+    "starts a new island iff its start exceeds the max end of ALL "
+    "preceding intervals, then islands are running sums of the "
+    "new-island flags). Reports interval count, total coalesced "
+    "span and the longest island per user — the generalized form "
+    "of sessionization when events carry durations (media plays, "
+    "meetings, locks). Exactness: all arithmetic is BIGINT "
+    "microseconds; the (s, e) ordering is total within a user "
+    "because equal (s, e) rows merge either way. Scale: both "
+    "windows and the final agg partition by user_id — per-key "
+    "frames are a user's own events, one shuffle total.",
+)
+def window_interval_coalesce(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+    )
+    word = W.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "pmax",
+        F.max("e").over(word.rowsBetween(W.unboundedPreceding, -1)),
+    )
+    fl = m.withColumn(
+        "nf",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+        ).otherwise(0),
+    )
+    isl = fl.withColumn(
+        "island",
+        F.sum("nf").over(word.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").cast("int").alias("n_intervals"),
+        F.sum(F.col("en") - F.col("st")).alias("total_span_us"),
+        F.max(F.col("en") - F.col("st")).alias("longest_us"),
+    )

@@ -68,7 +68,11 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # theta self-join of the distinct-type list)
                "sketch_kmv_set_ops",
                # 1-row global max-date anchor broadcast (RFM recency)
-               "rfm_segmentation"}
+               "rfm_segmentation",
+               # 1-row corpus-vocab scalar broadcast (add-one smoothing V)
+               "lm_bigram_logprob",
+               # 1-row digit-total scalar broadcast (Benford shares)
+               "stats_benford_distribution"}
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
@@ -174,6 +178,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/sketches.py", "sk"): "bottom-k sketches (<= k x |event_types| rows)",
     ("queries/training_data.py", "qterms"): "query-term spine (NQ=5 rows)",
     ("queries/training_data.py", "scal"): "1-row (L, N) corpus scalar",
+    ("queries/llm_text.py", "voc"): "1-row corpus-vocab scalar aggregate",
     ("queries/timeseries.py", "n"): "fixed dim (25 rows)",
     ("queries/timeseries.py", "r"): "fixed dim (5 rows)",
     ("queries/timeseries.py", "anchor"): "1-row max-date scalar aggregate",
