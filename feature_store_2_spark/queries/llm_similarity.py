@@ -860,3 +860,150 @@ def emb_ivf_cell_stats(spark, sf_dir):
             "imbalance"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection (distance to own-label centroid)
+# ---------------------------------------------------------------------------
+
+_OUTLIER_N = 20
+
+_OUTLIER_ORACLE = f"""
+WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+sums AS (
+    SELECT label AS c_label, i.i AS d,
+           CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
+    FROM qv CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY 1, 2),
+cent AS (SELECT c_label, d,
+                CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) AS c
+         FROM sums),
+dists AS (
+    SELECT q.vec_id, q.label,
+           CAST(sum((q.v[cent.d] - cent.c) * (q.v[cent.d] - cent.c))
+                AS BIGINT) AS dist2_q
+    FROM qv q JOIN cent ON cent.c_label = q.label
+    GROUP BY 1, 2)
+SELECT vec_id, label, dist2_q
+FROM dists
+ORDER BY dist2_q DESC, vec_id
+LIMIT {_OUTLIER_N}
+"""
+
+
+@register(
+    "emb_outlier_centroid_distance",
+    _OUTLIER_ORACLE,
+    doc=f"embedding outlier detection: the {_OUTLIER_N} vectors "
+    "farthest (exact integer squared L2) from their OWN label's "
+    "centroid — the novelty/mislabeling screen run before using "
+    "class labels as training signal (contrast with "
+    "emb_centroid_assign, which finds the NEAREST centroid). "
+    "Centroids are the deterministic floor(sum/cnt) quantized form; "
+    "distances are pure BIGINT, the top-N is a "
+    "TakeOrderedAndProject with a vec_id tie-break (no global "
+    "window, no full sort — each partition keeps N candidates and "
+    "the driver merges). Scale: one tiny k x dim centroid aggregate "
+    "broadcast back, one narrow corpus pass, top-N combine.",
+)
+def emb_outlier_centroid_distance(spark, sf_dir):
+    from feature_store_2_spark.operators.similarity import (
+        _centroids,
+        _dist2,
+        _prepare,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _prepare(emb, "vec_id", "embedding")
+    qlab = emb.select("vec_id", "label").join(q, "vec_id")
+    cent = _centroids(emb)
+    return (
+        qlab.join(cent, F.col("label") == F.col("c_label"))
+        .select(
+            "vec_id",
+            "label",
+            _dist2(F.col("qvec"), F.col("centroid")).alias("dist2_q"),
+        )
+        .orderBy(F.col("dist2_q").desc(), F.col("vec_id"))
+        .limit(_OUTLIER_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (nearest different-label neighbor)
+# ---------------------------------------------------------------------------
+
+_HN_NQ = 20
+
+_HARD_NEG_ORACLE = f"""
+WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+pair AS (
+    SELECT q.vec_id AS query_id, q.label AS q_label,
+           c.vec_id AS hard_neg_id, c.label AS neg_label,
+           CAST(sum((q.v[i.i] - c.v[i.i]) * (q.v[i.i] - c.v[i.i]))
+                AS BIGINT) AS dist2_q
+    FROM qv q
+    JOIN qv c ON c.label <> q.label
+    CROSS JOIN generate_series(1, {DIM}) i(i)
+    WHERE q.vec_id < {_HN_NQ}
+    GROUP BY 1, 2, 3, 4)
+SELECT query_id, q_label, hard_neg_id, neg_label, dist2_q FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist2_q, hard_neg_id) AS rn
+    FROM pair)
+WHERE rn = 1
+"""
+
+
+@register(
+    "emb_hard_negative_mining",
+    _HARD_NEG_ORACLE,
+    doc=f"contrastive hard-negative mining: for each of the first "
+    f"{_HN_NQ} query vectors, the single nearest neighbor carrying a "
+    "DIFFERENT label (exact integer squared L2, vec_id tie-break) — "
+    "the pair-construction step for contrastive/triplet training "
+    "where the hardest negatives carry the gradient signal. The "
+    "query workload broadcasts (documented-small side, same shape "
+    "as emb_cosine_topk); candidates stream through one narrow "
+    "pass, and the per-query argmin shuffles only (query, best) "
+    "rows. At corpus x corpus scale the same semantics ride the "
+    "banded ANN candidate join (emb_knn_join_ann) with a "
+    "label-mismatch filter — this entry is the exact twin that "
+    "verifies that path's recall.",
+)
+def emb_hard_negative_mining(spark, sf_dir):
+    from feature_store_2_spark.operators.similarity import _dist2, _prepare
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _prepare(emb, "vec_id", "embedding")
+    qlab = emb.select("vec_id", "label").join(q, "vec_id")
+    qry = qlab.filter(F.col("vec_id") < _HN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("qvec").alias("q_qvec"),
+    )
+    cand = qlab.select(
+        F.col("vec_id").alias("hard_neg_id"),
+        F.col("label").alias("neg_label"),
+        "qvec",
+    )
+    pairs = cand.join(
+        F.broadcast(qry), F.col("neg_label") != F.col("q_label")
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy("dist2_q", "hard_neg_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            "q_label",
+            "hard_neg_id",
+            "neg_label",
+            _dist2(F.col("q_qvec"), F.col("qvec")).alias("dist2_q"),
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

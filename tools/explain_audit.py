@@ -72,7 +72,11 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # 1-row corpus-vocab scalar broadcast (add-one smoothing V)
                "lm_bigram_logprob",
                # 1-row digit-total scalar broadcast (Benford shares)
-               "stats_benford_distribution"}
+               "stats_benford_distribution",
+               # query-workload broadcast (first 20 vectors), same shape
+               # as emb_cosine_topk; label-mismatch theta join is the
+               # documented exact-twin form
+               "emb_hard_negative_mining"}
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
@@ -179,6 +183,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/training_data.py", "qterms"): "query-term spine (NQ=5 rows)",
     ("queries/training_data.py", "scal"): "1-row (L, N) corpus scalar",
     ("queries/llm_text.py", "voc"): "1-row corpus-vocab scalar aggregate",
+    ("queries/llm_similarity.py", "qry"): "query workload (first 20 vectors)",
     ("queries/timeseries.py", "n"): "fixed dim (25 rows)",
     ("queries/timeseries.py", "r"): "fixed dim (5 rows)",
     ("queries/timeseries.py", "anchor"): "1-row max-date scalar aggregate",
