@@ -1153,3 +1153,73 @@ def stream_cdc_upsert_apply(spark, sf_dir):
             F.col("value").alias("attr"),
         )
     )
+
+
+_STREAM_THROTTLE_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+ranked AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) // 600000000 AS w,
+           row_number() OVER (
+               PARTITION BY user_id, epoch_us(ts) // 600000000
+               ORDER BY ts, event_id) AS rk,
+           count(*) OVER (
+               PARTITION BY user_id, epoch_us(ts) // 600000000) AS n
+    FROM events
+)
+SELECT user_id,
+       CAST(w * 600000000 AS BIGINT) AS win_start_us,
+       event_id AS kept_event_id,
+       CAST(n - 1 AS INT) AS n_suppressed
+FROM ranked, mx
+WHERE rk = 1 AND (w + 1) * 600000000 <= epoch_us(mx.m)
+"""
+
+
+@register(
+    "stream_throttle_first_per_window",
+    _STREAM_THROTTLE_ORACLE,
+    doc="streaming rate limiter — the stream twin of "
+    "rate_limit_throttle: a watermarked 10-minute tumbling-window "
+    "aggregation keeps the earliest (ts, event_id) per user-window "
+    "as min(struct(ts, event_id)) and counts the suppressed rest. "
+    "Deterministic REGARDLESS of arrival order (the min-struct "
+    "aggregate is commutative, unlike streaming dropDuplicates "
+    "whose keeper depends on processing order — that is why this "
+    "is the correct streaming throttle shape), so the batch SQL is "
+    "an exact oracle over watermark-closed windows (same emission "
+    "rule stream_topk_trending pins). State per key is one struct + "
+    "one count, evicted at the watermark; at 100 TB/day the state "
+    "store holds only the open windows, not history.",
+)
+def stream_throttle_first_per_window(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(os.path.join(root, "events"))
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("first"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("win_start_us"),
+            F.col("first.event_id").alias("kept_event_id"),
+            (F.col("n") - 1).cast("int").alias("n_suppressed"),
+        )
+    )
+    name = "fs2_stream_throttle"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
