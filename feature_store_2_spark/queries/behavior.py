@@ -952,3 +952,152 @@ def stats_ols_user_spend(spark, sf_dir):
             / F.col("n").cast("double")
         ).alias("intercept_micro"),
     )
+
+
+_TTC_ORACLE = """
+WITH su AS (
+    SELECT user_id, min(ts) AS signup_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), pu AS (
+    SELECT e.user_id, min(e.ts) AS purchase_ts
+    FROM events e JOIN su ON e.user_id = su.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > su.signup_ts
+    GROUP BY e.user_id
+), conv AS (
+    SELECT su.user_id,
+           CAST(date_trunc('week', su.signup_ts) AS DATE) AS cohort_week,
+           epoch_us(pu.purchase_ts) - epoch_us(su.signup_ts) AS diff_us
+    FROM su JOIN pu ON su.user_id = pu.user_id
+)
+SELECT cohort_week,
+       CAST(count(*) AS INT) AS n_converted,
+       quantile_cont(diff_us, 0.5) AS median_us
+FROM conv GROUP BY cohort_week
+"""
+
+
+@register(
+    "funnel_time_to_convert",
+    _TTC_ORACLE,
+    doc="time-to-convert: per signup-week cohort, the median "
+    "microseconds from a user's first signup to their first "
+    "subsequent purchase — the funnel-velocity complement of "
+    "funnel_conversion's reach counts. Exactness: diffs are BIGINT "
+    "microseconds; the 0.5 quantile interpolates at position "
+    "(n-1)*0.5, which is exact in binary, and an even-count median "
+    "is the mean of two BIGINTs — one exact double operation on "
+    "both engines (higher quantiles would put (n-1)*q rounding in "
+    "play, which is why this entry pins the median only). Scale: "
+    "two per-user min-aggregations and an equi-join on user_id; "
+    "the median groups by cohort week, whose per-key row count is "
+    "one cohort's converters.",
+)
+def funnel_time_to_convert(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    conv = su.join(pu, "user_id").select(
+        F.to_date(F.date_trunc("week", F.col("signup_ts"))).alias(
+            "cohort_week"
+        ),
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")
+        ).alias("diff_us"),
+    )
+    return conv.groupBy("cohort_week").agg(
+        F.count("*").cast("int").alias("n_converted"),
+        F.expr("percentile(diff_us, 0.5)").alias("median_us"),
+    )
+
+
+_LTV_ORACLE = """
+WITH coh AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+), size_ AS (
+    SELECT cohort_week, count(*) AS cohort_size FROM coh GROUP BY 1
+), wk AS (
+    SELECT coh.cohort_week,
+           date_diff('day', coh.cohort_week,
+                     CAST(date_trunc('week', e.ts) AS DATE)) // 7
+               AS weeks_since,
+           sum(CAST(e.value AS DECIMAL(18,6))) AS wrev
+    FROM events e JOIN coh ON e.user_id = coh.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+), cum AS (
+    SELECT cohort_week, weeks_since,
+           sum(wrev) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+                           ROWS UNBOUNDED PRECEDING) AS crev
+    FROM wk
+)
+SELECT c.cohort_week,
+       CAST(c.weeks_since AS INT) AS weeks_since,
+       CAST(c.crev AS DOUBLE) AS cum_revenue,
+       CAST(c.crev AS DOUBLE) / s.cohort_size AS ltv_per_user
+FROM cum c JOIN size_ s ON c.cohort_week = s.cohort_week
+"""
+
+
+@register(
+    "cohort_ltv_curve",
+    _LTV_ORACLE,
+    doc="cohort lifetime-value curve: cumulative purchase revenue per "
+    "signup-week cohort by weeks-since-signup, absolute and per "
+    "cohort member — the revenue companion of cohort_retention's "
+    "activity matrix. Exactness: weekly revenue accumulates in "
+    "DECIMAL(18,6), the running sum stays decimal, and the two "
+    "DOUBLE outputs are one cast and one division of exactly-agreed "
+    "numbers; week arithmetic is integer days//7 on Monday-truncated "
+    "dates (both engines Monday-based, behavior.py header). Scale: "
+    "one shuffle to (cohort, week) grain, then a window over the "
+    "metadata-scale cohort x week matrix.",
+)
+def cohort_ltv_curve(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    coh = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    size = coh.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    wk = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(coh, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr(
+                "datediff(to_date(date_trunc('week', ts)), cohort_week) "
+                "div 7"
+            ).alias("weeks_since"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("wrev"))
+    )
+    cum = wk.withColumn(
+        "crev",
+        F.sum("wrev").over(
+            W.partitionBy("cohort_week")
+            .orderBy("weeks_since")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return cum.join(size, "cohort_week").select(
+        "cohort_week",
+        F.col("weeks_since").cast("int").alias("weeks_since"),
+        F.col("crev").cast("double").alias("cum_revenue"),
+        (F.col("crev").cast("double") / F.col("cohort_size")).alias(
+            "ltv_per_user"
+        ),
+    )

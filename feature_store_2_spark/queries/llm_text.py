@@ -1971,3 +1971,102 @@ def graph_kcore_membership(spark, sf_dir):
             .alias("core_degree"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation extraction (term co-occurrence)
+# ---------------------------------------------------------------------------
+
+_PMI_TOP = 50
+
+_PMI_ORACLE = f"""
+WITH dt AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+freq AS (
+    SELECT term, count(*) AS df FROM dt GROUP BY term
+), keep AS (
+    SELECT term, df FROM freq, nd WHERE df * 20 >= n_docs
+), kt AS (
+    SELECT dt.doc_id, dt.term, k.df FROM dt JOIN keep k USING (term)
+), pair AS (
+    SELECT a.term AS t1, b.term AS t2,
+           max(a.df) AS df1, max(b.df) AS df2, count(*) AS c12
+    FROM kt a JOIN kt b
+      ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+), scored AS (
+    SELECT t1, t2, c12,
+           round(ln(CAST(c12 AS DOUBLE) * n_docs / (df1 * df2)), 6)
+               AS pmi
+    FROM pair, nd)
+SELECT t1, t2, CAST(c12 AS BIGINT) AS n_codocs, pmi
+FROM scored
+ORDER BY pmi DESC, t1, t2
+LIMIT {_PMI_TOP}
+"""
+
+
+@register(
+    "doc_term_pmi_collocations",
+    _PMI_ORACLE,
+    doc=f"PMI collocation extraction: the top {_PMI_TOP} term pairs by "
+    "pointwise mutual information ln(P(a,b)/(P(a)P(b))) over "
+    "document-level co-occurrence, restricted to terms in >= 5% of "
+    "documents — the corpus-linguistics operator behind phrase "
+    "vocabularies (merging 'new york' before BPE) and topic drift "
+    "audits. The df floor is the scale guard: pair generation is a "
+    "self-equi-join on doc_id over FREQUENT terms only, so per-doc "
+    "fan-out is C(k,2) with k bounded by the frequent-vocabulary "
+    "size, never the raw vocabulary; counts are exact integers and "
+    "PMI is one ln per surviving pair rounded to 6 dp (libm 1-ulp, "
+    "doc_word_entropy recipe). n_docs is a 1-row broadcast scalar. "
+    "Top-N via TakeOrdered with (pmi, t1, t2) total tie-break.",
+)
+def doc_term_pmi_collocations(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    dt = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    freq = dt.groupBy("term").agg(F.count("*").alias("df"))
+    keep = freq.join(F.broadcast(nd)).filter(
+        F.col("df") * 20 >= F.col("n_docs")
+    )
+    kt = dt.join(keep.select("term", "df"), "term")
+    a = kt.select(
+        F.col("doc_id").alias("da"),
+        F.col("term").alias("t1"),
+        F.col("df").alias("df1"),
+    )
+    b = kt.select(
+        F.col("doc_id").alias("db"),
+        F.col("term").alias("t2"),
+        F.col("df").alias("df2"),
+    )
+    pair = (
+        a.join(b, (F.col("da") == F.col("db")) & (F.col("t1") < F.col("t2")))
+        .groupBy("t1", "t2")
+        .agg(
+            F.max("df1").alias("df1"),
+            F.max("df2").alias("df2"),
+            F.count("*").alias("c12"),
+        )
+    )
+    scored = pair.join(F.broadcast(nd)).select(
+        "t1",
+        "t2",
+        F.col("c12").cast("long").alias("n_codocs"),
+        F.round(
+            F.log(
+                F.col("c12").cast("double")
+                * F.col("n_docs")
+                / (F.col("df1") * F.col("df2"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("t1"), F.col("t2")
+    ).limit(_PMI_TOP)

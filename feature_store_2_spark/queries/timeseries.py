@@ -647,3 +647,87 @@ def window_interval_coalesce(spark, sf_dir):
         F.sum(F.col("en") - F.col("st")).alias("total_span_us"),
         F.max(F.col("en") - F.col("st")).alias("longest_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-type daily-volume trend (exact OLS slope)
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+    FROM events GROUP BY 1, 2
+), base AS (
+    SELECT event_type, d, c,
+           date_diff('day', min(d) OVER (PARTITION BY event_type), d) AS x
+    FROM daily
+), s AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(c) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(x * c) AS BIGINT) AS sxy
+    FROM base GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS INT) AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       CAST(sy * sxx - sx * sxy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+FROM s
+"""
+
+
+@register(
+    "ts_daily_trend_slope",
+    _TREND_ORACLE,
+    doc="per-event-type volume trend: exact OLS slope + intercept of "
+    "daily counts against day index (x = days since the type's first "
+    "active day, so calendar gaps keep their true spacing). "
+    "Exactness: all five sufficient statistics (n, Σx, Σy, Σx², Σxy) "
+    "are BIGINT; slope and intercept are each ONE division of two "
+    "exact integers — the same normal-equations recipe as "
+    "stats_ols_user_spend, here grouped per key (many small models "
+    "in one pass, the feature-engineering shape). Scale: one "
+    "partial-agg shuffle to daily grain; the per-type regression is "
+    "a second tiny hash agg. No windows over raw events.",
+)
+def ts_daily_trend_slope(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    base = daily.withColumn(
+        "x",
+        F.datediff(
+            F.col("d"), F.min("d").over(W.partitionBy("event_type"))
+        ),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("c")).alias("sxy"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("int").alias("n_days"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / den
+        ).alias("slope"),
+        (
+            (
+                F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+            ).cast("double")
+            / den
+        ).alias("intercept"),
+    )

@@ -1,0 +1,99 @@
+"""Hand-computed pins for batch-4 round-6 operators: exact OLS trend,
+median time-to-convert interpolation, cohort LTV accumulation, and PMI
+collocation values."""
+
+import datetime as dt
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from feature_store_2_spark.queries.behavior import (
+    cohort_ltv_curve,
+    funnel_time_to_convert,
+)
+from feature_store_2_spark.queries.llm_text import doc_term_pmi_collocations
+from feature_store_2_spark.queries.timeseries import ts_daily_trend_slope
+
+_BASE = dt.datetime(2024, 1, 1)  # a Monday
+
+
+def _events(spark, tmp_path, rows):
+    """rows: [(event_id, day_offset, user_id, event_type, value)]"""
+    df = spark.createDataFrame(
+        [
+            (eid, _BASE + dt.timedelta(days=day), uid, et, val, "{}")
+            for eid, day, uid, et, val in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = os.path.join(str(tmp_path), "sf")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    return sf
+
+
+def test_trend_slope_exact_line(spark, tmp_path):
+    # Daily view counts 1, 2, 3 on consecutive days: slope 1, intercept 1.
+    rows, eid = [], 0
+    for day, n in enumerate([1, 2, 3]):
+        for _ in range(n):
+            rows.append((eid, day + 0.5, 1, "view", 1.0))
+            eid += 1
+    sf = _events(spark, tmp_path, rows)
+    row = ts_daily_trend_slope(spark, sf).collect()[0]
+    assert row["n_days"] == 3
+    assert row["slope"] == 1.0
+    assert row["intercept"] == 1.0
+
+
+def test_time_to_convert_even_median_interpolates(spark, tmp_path):
+    # Two converters in one cohort: diffs of 1 day and 3 days -> median
+    # is the mean, 2 days in microseconds.
+    rows = [
+        (1, 0.0, 1, "signup", 0.0),
+        (2, 1.0, 1, "purchase", 5.0),
+        (3, 0.0, 2, "signup", 0.0),
+        (4, 3.0, 2, "purchase", 5.0),
+    ]
+    sf = _events(spark, tmp_path, rows)
+    row = funnel_time_to_convert(spark, sf).collect()[0]
+    assert row["n_converted"] == 2
+    assert row["median_us"] == 2 * 86400 * 1_000_000.0
+
+
+def test_ltv_curve_accumulates_per_cohort_member(spark, tmp_path):
+    # Two users join in week 0; purchases: 10 in week 0, 30 in week 1.
+    rows = [
+        (1, 0.0, 1, "signup", 0.0),
+        (2, 1.0, 2, "signup", 0.0),
+        (3, 2.0, 1, "purchase", 10.0),
+        (4, 8.0, 2, "purchase", 30.0),
+    ]
+    sf = _events(spark, tmp_path, rows)
+    out = {
+        r["weeks_since"]: (r["cum_revenue"], r["ltv_per_user"])
+        for r in cohort_ltv_curve(spark, sf).collect()
+    }
+    assert out[0] == (10.0, 5.0)
+    assert out[1] == (40.0, 20.0)
+
+
+def test_pmi_hand_computed(spark, tmp_path):
+    # Docs: "a b", "a b", "a c", "b c". df(a)=df(b)=3, df(c)=2, n=4.
+    # PMI(a,b) = ln(2*4/9); PMI(a,c) = PMI(b,c) = ln(1*4/6).
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in
+         enumerate(["a b", "a b", "a c", "b c"])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = os.path.join(str(tmp_path), "sf")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {
+        (r["t1"], r["t2"]): (r["n_codocs"], r["pmi"])
+        for r in doc_term_pmi_collocations(spark, sf).collect()
+    }
+    assert out[("a", "b")] == (2, round(math.log(8 / 9), 6))
+    assert out[("a", "c")] == (1, round(math.log(4 / 6), 6))
+    assert out[("b", "c")] == (1, round(math.log(4 / 6), 6))

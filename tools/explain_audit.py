@@ -73,6 +73,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "lm_bigram_logprob",
                # 1-row digit-total scalar broadcast (Benford shares)
                "stats_benford_distribution",
+               # 1-row n_docs scalar broadcast (df floor + PMI denominator)
+               "doc_term_pmi_collocations",
                # query-workload broadcast (first 20 vectors), same shape
                # as emb_cosine_topk; label-mismatch theta join is the
                # documented exact-twin form
@@ -183,6 +185,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/training_data.py", "qterms"): "query-term spine (NQ=5 rows)",
     ("queries/training_data.py", "scal"): "1-row (L, N) corpus scalar",
     ("queries/llm_text.py", "voc"): "1-row corpus-vocab scalar aggregate",
+    ("queries/llm_text.py", "nd"): "1-row n_docs scalar aggregate",
     ("queries/llm_similarity.py", "qry"): "query workload (first 20 vectors)",
     ("queries/timeseries.py", "n"): "fixed dim (25 rows)",
     ("queries/timeseries.py", "r"): "fixed dim (5 rows)",
