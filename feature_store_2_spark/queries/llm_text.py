@@ -2070,3 +2070,98 @@ def doc_term_pmi_collocations(spark, sf_dir):
     return scored.orderBy(
         F.col("pmi").desc(), F.col("t1"), F.col("t2")
     ).limit(_PMI_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (bounded rounds) on the near-dup graph
+# ---------------------------------------------------------------------------
+
+_LPA_ORACLE = _JACV_CTE + """
+, e AS (
+    SELECT doc1 AS a, doc2 AS b FROM jacv WHERE jaccard >= 0.5
+    UNION ALL
+    SELECT doc2 AS a, doc1 AS b FROM jacv WHERE jaccard >= 0.5),
+l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+n1 AS (SELECT e.a, l0.lbl, count(*) AS c
+       FROM e JOIN l0 ON e.b = l0.doc_id GROUP BY 1, 2),
+p1 AS (SELECT a, lbl, row_number() OVER (
+           PARTITION BY a ORDER BY c DESC, lbl) AS rk FROM n1),
+l1 AS (SELECT d.doc_id, COALESCE(p.lbl, d.doc_id) AS lbl
+       FROM documents d
+       LEFT JOIN (SELECT a, lbl FROM p1 WHERE rk = 1) p
+         ON d.doc_id = p.a),
+n2 AS (SELECT e.a, l1.lbl, count(*) AS c
+       FROM e JOIN l1 ON e.b = l1.doc_id GROUP BY 1, 2),
+p2 AS (SELECT a, lbl, row_number() OVER (
+           PARTITION BY a ORDER BY c DESC, lbl) AS rk FROM n2),
+l2 AS (SELECT d.doc_id, COALESCE(p.lbl, d.doc_id) AS lbl
+       FROM documents d
+       LEFT JOIN (SELECT a, lbl FROM p2 WHERE rk = 1) p
+         ON d.doc_id = p.a)
+SELECT doc_id, lbl AS community FROM l2
+"""
+
+
+@register(
+    "graph_label_propagation",
+    _LPA_ORACLE,
+    doc="label-propagation community detection (TWO synchronous "
+    "rounds, deterministic): every doc starts in its own community; "
+    "each round a node adopts the most frequent label among its "
+    "near-dup neighbors, ties broken by the smallest label, isolated "
+    "nodes keep their own. Unlike connected components (which merges "
+    "anything reachable), LPA keeps weakly-bridged blocks apart — "
+    "the right grouping when one spurious near-dup edge must not "
+    "glue two template families together. Each round is one "
+    "neighbor-label aggregation + one per-node argmax window on the "
+    "edge key, localCheckpointed (PageRank lineage discipline); the "
+    "fixed round count is the documented bound, exactly like "
+    "_PR_ITERS, and the synchronous update + min-label tie-break "
+    "makes both engines land on identical communities (async LPA "
+    "would be run-order-dependent).",
+)
+def graph_label_propagation(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    pairs = ngram_jaccard_pairs_prefix(
+        load_table(spark, "documents", sf_dir), threshold=0.5
+    ).select("doc1", "doc2")
+    edges = (
+        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .unionAll(
+            pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    lab = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(2):
+        nb = (
+            edges.join(
+                lab.select(
+                    F.col("doc_id").alias("b"), F.col("lbl").alias("nlbl")
+                ),
+                "b",
+            )
+            .groupBy("a", "nlbl")
+            .agg(F.count("*").alias("c"))
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("a").orderBy(
+                F.col("c").desc(), F.col("nlbl")
+            )
+        )
+        win = (
+            nb.withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .select(F.col("a").alias("doc_id"), F.col("nlbl"))
+        )
+        lab = (
+            docs.join(win, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("nlbl"), F.col("doc_id")).alias("lbl"),
+            )
+            # bounded synchronous rounds: truncate lineage per round so
+            # round N's plan never embeds round N-1's joins.
+            .localCheckpoint()
+        )
+    return lab.select("doc_id", F.col("lbl").alias("community"))

@@ -731,3 +731,65 @@ def ts_daily_trend_slope(spark, sf_dir):
             / den
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+_DOW_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+    FROM events GROUP BY 1, 2
+), dow AS (
+    SELECT event_type, d, c, isodow(d) AS dw FROM daily
+), base AS (
+    SELECT event_type, dw,
+           CAST(sum(c) AS BIGINT) AS dow_total,
+           CAST(count(*) AS BIGINT) AS dow_days
+    FROM dow GROUP BY 1, 2
+)
+SELECT o.event_type, o.d,
+       CAST(o.dw AS INT) AS iso_dow,
+       CAST(o.c AS BIGINT) AS n_events,
+       CAST(o.c * b.dow_days AS DOUBLE) / b.dow_total AS seasonal_ratio
+FROM dow o JOIN base b ON o.event_type = b.event_type AND o.dw = b.dw
+"""
+
+
+@register(
+    "ts_seasonality_dow_profile",
+    _DOW_ORACLE,
+    doc="day-of-week seasonality: each (type, day)'s volume as a ratio "
+    "to that type's average volume on the SAME weekday — the "
+    "deseasonalized view that stops Monday peaks from tripping "
+    "volume alerts (compose with ts_cusum_changepoint / "
+    "anomaly_daily_event_volume, which see raw counts). Exactness: "
+    "ratio = c * dow_days / dow_total is ONE division of two exact "
+    "BIGINTs (the weekday mean is never materialized as a float); "
+    "ISO weekday numbering (Mon=1) matches dayofweek conventions on "
+    "both engines via explicit iso mapping. Scale: daily grain "
+    "(one partial-agg shuffle), then a 7-row-per-type baseline "
+    "joined back — metadata-scale both sides.",
+)
+def ts_seasonality_dow_profile(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    # Spark dayofweek: Sun=1..Sat=7; ISO (Mon=1..Sun=7) via weekday()+1.
+    dow = daily.withColumn("dw", F.weekday("d") + F.lit(1))
+    base = dow.groupBy("event_type", "dw").agg(
+        F.sum("c").alias("dow_total"),
+        F.count("*").alias("dow_days"),
+    )
+    return dow.join(base, ["event_type", "dw"]).select(
+        "event_type",
+        "d",
+        F.col("dw").cast("int").alias("iso_dow"),
+        F.col("c").cast("long").alias("n_events"),
+        (
+            (F.col("c") * F.col("dow_days")).cast("double")
+            / F.col("dow_total")
+        ).alias("seasonal_ratio"),
+    )

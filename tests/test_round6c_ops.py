@@ -97,3 +97,43 @@ def test_pmi_hand_computed(spark, tmp_path):
     assert out[("a", "b")] == (2, round(math.log(8 / 9), 6))
     assert out[("a", "c")] == (1, round(math.log(4 / 6), 6))
     assert out[("b", "c")] == (1, round(math.log(4 / 6), 6))
+
+
+def test_label_propagation_clique_converges_and_isolated_keeps_own(
+    spark, tmp_path
+):
+    from feature_store_2_spark.queries.llm_text import graph_label_propagation
+
+    clique = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in
+         enumerate([clique, clique, clique, "u v w x y z"])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = os.path.join(str(tmp_path), "sf")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {
+        r["doc_id"]: r["community"]
+        for r in graph_label_propagation(spark, sf).collect()
+    }
+    # K3 clique: after 2 synchronous min-tie-break rounds all land on 0.
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0
+    assert out[3] == 3  # isolated keeps its own label
+
+
+def test_dow_seasonality_ratio(spark, tmp_path):
+    from feature_store_2_spark.queries.timeseries import (
+        ts_seasonality_dow_profile,
+    )
+
+    # Two Mondays (days 0, 7 from _BASE=Mon): volumes 1 and 3 ->
+    # dow mean 2 -> ratios 0.5 and 1.5; iso_dow must be 1.
+    rows = [(1, 0.5, 1, "view", 1.0)]
+    rows += [(2 + i, 7.5, 1, "view", 1.0) for i in range(3)]
+    sf = _events(spark, tmp_path, rows)
+    out = {
+        r["d"].isoformat(): (r["iso_dow"], r["n_events"], r["seasonal_ratio"])
+        for r in ts_seasonality_dow_profile(spark, sf).collect()
+    }
+    assert out["2024-01-01"] == (1, 1, 0.5)
+    assert out["2024-01-08"] == (1, 3, 1.5)
