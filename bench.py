@@ -80,6 +80,15 @@ HEADLINE = [
     "sketch_hll_exact_registers",
     "stream_cdc_upsert_apply",
     "stream_sessionize",
+    # Round-6 batch-2 additions: the corpus bigram LM (three token-key
+    # shuffles over every bigram instance — the heaviest new text
+    # shape), PMI collocations (frequent-term pair self-join), and the
+    # one-shuffle event-side analytics pair (rate limiter, interval
+    # coalescing) that time the window-over-user-grain path.
+    "lm_bigram_logprob",
+    "doc_term_pmi_collocations",
+    "rate_limit_throttle",
+    "window_interval_coalesce",
     # The reference's true workload end-to-end: streaming ingest ->
     # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;
     # wall seconds here are ~events/sec throughput vs BASELINE's 2k req/s.
