@@ -793,3 +793,57 @@ def ts_seasonality_dow_profile(spark, sf_dir):
             / F.col("dow_total")
         ).alias("seasonal_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (robust smoother)
+# ---------------------------------------------------------------------------
+
+_ROLLMED_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, d,
+       CAST(c AS BIGINT) AS n_events,
+       quantile_cont(c, 0.5) OVER (
+           PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median,
+       CAST(count(*) OVER (
+           PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS INT) AS n_in_frame
+FROM daily
+"""
+
+
+@register(
+    "ts_rolling_median_volume",
+    _ROLLMED_ORACLE,
+    doc="trailing 7-day rolling MEDIAN of daily event volume per type — "
+    "the robust smoother that shrugs off single-day spikes which pull "
+    "ts_ewma_daily_volume's mean (compose: spike detection = raw vs "
+    "rolling median). Exactness: the frame holds <= 7 BIGINT counts; "
+    "an odd frame's median is an exact element and an even frame's is "
+    "the mean of two BIGINTs — one exact double op, the same "
+    "binary-exact-interpolation argument as funnel_time_to_convert "
+    "(only the 0.5 quantile has this property). Scale: one "
+    "partial-agg shuffle to daily grain, then a 7-row frame per "
+    "type on the metadata-scale daily table.",
+)
+def ts_rolling_median_volume(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    frame = (
+        W.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "d",
+        F.col("c").cast("long").alias("n_events"),
+        F.expr("percentile(c, 0.5)")
+        .over(frame)
+        .alias("rolling_median"),
+        F.count("*").over(frame).cast("int").alias("n_in_frame"),
+    )

@@ -137,3 +137,25 @@ def test_dow_seasonality_ratio(spark, tmp_path):
     }
     assert out["2024-01-01"] == (1, 1, 0.5)
     assert out["2024-01-08"] == (1, 3, 1.5)
+
+
+def test_rolling_median_even_and_odd_frames(spark, tmp_path):
+    from feature_store_2_spark.queries.timeseries import (
+        ts_rolling_median_volume,
+    )
+
+    # Daily view counts 1, 9, 2: medians 1 (one day), 5.0 (even frame
+    # interpolates), 2 (odd frame exact element).
+    rows, eid = [], 0
+    for day, n in enumerate([1, 9, 2]):
+        for _ in range(n):
+            rows.append((eid, day + 0.5, 1, "view", 1.0))
+            eid += 1
+    sf = _events(spark, tmp_path, rows)
+    out = {
+        r["d"].isoformat(): (r["rolling_median"], r["n_in_frame"])
+        for r in ts_rolling_median_volume(spark, sf).collect()
+    }
+    assert out["2024-01-01"] == (1.0, 1)
+    assert out["2024-01-02"] == (5.0, 2)
+    assert out["2024-01-03"] == (2.0, 3)
