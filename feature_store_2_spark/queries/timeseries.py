@@ -847,3 +847,171 @@ def ts_rolling_median_volume(spark, sf_dir):
         .alias("rolling_median"),
         F.count("*").over(frame).cast("int").alias("n_in_frame"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity bitmaps (roaring-bitmap-style day encoding)
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+WITH anchor AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+days AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', (SELECT d0 FROM anchor), CAST(ts AS DATE))
+               AS day_idx
+    FROM events
+), masks AS (
+    SELECT user_id,
+           bit_or(CAST(1 AS BIGINT) << day_idx) AS mask,
+           count(*) AS n_active_days,
+           min(day_idx) AS first_day,
+           max(day_idx) AS last_day
+    FROM days GROUP BY user_id
+)
+SELECT user_id,
+       mask,
+       CAST(n_active_days AS INT) AS n_active_days,
+       CAST(first_day AS INT) AS first_day,
+       CAST(last_day AS INT) AS last_day,
+       CAST(last_day - first_day + 1 - n_active_days AS INT)
+           AS n_gap_days
+FROM masks
+"""
+
+
+@register(
+    "agg_activity_bitmap",
+    _BITMAP_ORACLE,
+    doc="activity bitmaps: each user's active-day set packed into one "
+    "BIGINT (bit i = active on day i since corpus start) via bit_or "
+    "of shifted ones — the roaring-bitmap idea that turns day-list "
+    "set operations (retention overlap, churn windows, cohort "
+    "intersections) into single-word bitwise ops. One distinct pass "
+    "+ one bit_or hash agg; the 64-bit word covers this corpus's "
+    "30-day span, and the documented scale form is an array of words "
+    "keyed by (user, epoch_week) — same aggregation shape, unbounded "
+    "horizon. Gap-day count (span minus active) falls out in integer "
+    "arithmetic. The corpus-start anchor is a 1-row broadcast "
+    "scalar.",
+)
+def agg_activity_bitmap(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    anchor = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    days = (
+        ev.join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("day_idx"),
+        )
+        .distinct()
+    )
+    masks = days.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), day_idx)")).alias(
+            "mask"
+        ),
+        F.count("*").alias("n_active_days"),
+        F.min("day_idx").alias("first_day"),
+        F.max("day_idx").alias("last_day"),
+    )
+    return masks.select(
+        "user_id",
+        "mask",
+        F.col("n_active_days").cast("int").alias("n_active_days"),
+        F.col("first_day").cast("int").alias("first_day"),
+        F.col("last_day").cast("int").alias("last_day"),
+        (
+            F.col("last_day") - F.col("first_day") + 1 - F.col("n_active_days")
+        )
+        .cast("int")
+        .alias("n_gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly autocorrelation (seasonality strength)
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+    FROM events GROUP BY 1, 2
+), pair AS (
+    SELECT a.event_type, a.c AS y, b.c AS x
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND b.d = a.d - 7
+), m AS (
+    SELECT event_type,
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS sx,
+           CAST(sum(y) AS HUGEINT) AS sy,
+           CAST(sum(x * x) AS HUGEINT) AS sxx,
+           CAST(sum(y * y) AS HUGEINT) AS syy,
+           CAST(sum(x * y) AS HUGEINT) AS sxy
+    FROM pair GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS INT) AS n_pairs,
+       CAST(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS INT)
+           AS r_sign,
+       CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+       / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
+           AS r_squared
+FROM m
+"""
+
+
+@register(
+    "ts_autocorr_weekly",
+    _AUTOCORR_ORACLE,
+    doc="lag-7 autocorrelation of daily volume per event type — the "
+    "seasonality-strength statistic that decides whether "
+    "ts_seasonality_dow_profile's weekday baseline is even "
+    "justified. Exactness: the five raw moments accumulate in "
+    "DECIMAL(38)/HUGEINT (their products overflow int64, the "
+    "stats_ols_user_spend recipe), r² is ONE division of two "
+    "exactly-agreed values, and the correlation sign is pure "
+    "integer — sqrt never happens. Scale: daily grain (one "
+    "partial-agg shuffle), self-join on (type, day-7) over the "
+    "metadata-scale daily table, one tiny moment aggregate.",
+)
+def ts_autocorr_weekly(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    a = daily.select(
+        F.col("event_type").alias("t"),
+        F.col("d").alias("da"),
+        F.col("c").alias("y"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("tb"),
+        F.col("d").alias("db"),
+        F.col("c").alias("x"),
+    )
+    pair = a.join(
+        b,
+        (F.col("t") == F.col("tb"))
+        & (F.col("db") == F.date_sub(F.col("da"), 7)),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    m = pair.groupBy(F.col("t").alias("event_type")).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        dec(F.sum("x")).alias("sx"),
+        dec(F.sum("y")).alias("sy"),
+        dec(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        dec(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+        dec(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("int").alias("n_pairs"),
+        F.when(num >= 0, 1).otherwise(-1).cast("int").alias("r_sign"),
+        ((num * num).cast("double") / den.cast("double")).alias(
+            "r_squared"
+        ),
+    )

@@ -159,3 +159,41 @@ def test_rolling_median_even_and_odd_frames(spark, tmp_path):
     assert out["2024-01-01"] == (1.0, 1)
     assert out["2024-01-02"] == (5.0, 2)
     assert out["2024-01-03"] == (2.0, 3)
+
+
+def test_activity_bitmap_mask_and_gaps(spark, tmp_path):
+    from feature_store_2_spark.queries.timeseries import agg_activity_bitmap
+
+    # User 1 active on days 0, 2, 3 (relative to corpus min): mask
+    # 0b1101 = 13, 3 active days, 1 gap day inside the [0,3] span.
+    rows = [
+        (1, 0.1, 1, "view", 1.0),
+        (2, 2.1, 1, "view", 1.0),
+        (3, 2.9, 1, "click", 1.0),
+        (4, 3.5, 1, "view", 1.0),
+    ]
+    sf = _events(spark, tmp_path, rows)
+    row = agg_activity_bitmap(spark, sf).collect()[0]
+    assert row["mask"] == 0b1101
+    assert row["n_active_days"] == 3
+    assert (row["first_day"], row["last_day"]) == (0, 3)
+    assert row["n_gap_days"] == 1
+
+
+def test_autocorr_perfect_weekly_cycle(spark, tmp_path):
+    from feature_store_2_spark.queries.timeseries import ts_autocorr_weekly
+
+    # 14 days with volumes 1,2,1,2,... (period 2, so lag-7 pairs see a
+    # perfectly ANTI-correlated series: odd lag flips phase): r^2 = 1,
+    # sign negative.
+    rows, eid = [], 0
+    for day in range(14):
+        n = 1 if day % 2 == 0 else 2
+        for _ in range(n):
+            rows.append((eid, day + 0.5, 1, "view", 1.0))
+            eid += 1
+    sf = _events(spark, tmp_path, rows)
+    row = ts_autocorr_weekly(spark, sf).collect()[0]
+    assert row["n_pairs"] == 7
+    assert row["r_sign"] == -1
+    assert row["r_squared"] == 1.0

@@ -75,6 +75,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "stats_benford_distribution",
                # 1-row n_docs scalar broadcast (df floor + PMI denominator)
                "doc_term_pmi_collocations",
+               # 1-row corpus-start-date scalar broadcast (bitmap anchor)
+               "agg_activity_bitmap",
                # query-workload broadcast (first 20 vectors), same shape
                # as emb_cosine_topk; label-mismatch theta join is the
                # documented exact-twin form
