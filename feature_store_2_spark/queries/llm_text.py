@@ -2165,3 +2165,73 @@ def graph_label_propagation(spark, sf_dir):
             .localCheckpoint()
         )
     return lab.select("doc_id", F.col("lbl").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law)
+# ---------------------------------------------------------------------------
+
+_VOCAB_GROWTH_ORACLE = """
+WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+first_occ AS (
+    SELECT term, min(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+    GROUP BY term
+), bucketed AS (
+    SELECT CAST(first_doc * 10 // n AS INT) AS decile,
+           count(*) AS n_new_terms
+    FROM first_occ, mx GROUP BY 1
+)
+SELECT decile,
+       CAST(n_new_terms AS BIGINT) AS n_new_terms,
+       CAST(sum(n_new_terms) OVER (ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_vocab
+FROM bucketed
+"""
+
+
+@register(
+    "doc_vocab_growth_curve",
+    _VOCAB_GROWTH_ORACLE,
+    doc="Heaps'-law vocabulary growth: cumulative distinct-term count "
+    "after each tenth of the corpus (by doc_id range) — the curve "
+    "whose flattening says when more data stops buying new "
+    "vocabulary (tokenizer sizing, corpus-mix diligence). The "
+    "running-distinct problem becomes embarrassingly parallel by "
+    "the first-occurrence trick: a term's min(doc_id) fully "
+    "determines which prefix buckets contain it, so the answer is "
+    "one token hash-agg + a 10-row cumulative window — no "
+    "cumulative DISTINCT ever runs. The doc-count scalar is a "
+    "1-row broadcast; the final window is over TEN rows (metadata "
+    "by construction).",
+)
+def doc_vocab_growth_curve(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    mx = d.agg((F.max("doc_id") + 1).alias("n"))
+    first_occ = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bucketed = (
+        first_occ.join(F.broadcast(mx))
+        .select(
+            F.expr("CAST(first_doc * 10 DIV n AS INT)").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_new_terms"))
+    )
+    return bucketed.select(
+        "decile",
+        F.col("n_new_terms").cast("long").alias("n_new_terms"),
+        F.sum("n_new_terms")
+        .over(
+            Window.orderBy("decile").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+        .alias("cum_vocab"),
+    )

@@ -197,3 +197,22 @@ def test_autocorr_perfect_weekly_cycle(spark, tmp_path):
     assert row["n_pairs"] == 7
     assert row["r_sign"] == -1
     assert row["r_squared"] == 1.0
+
+
+def test_vocab_growth_first_occurrence_buckets(spark, tmp_path):
+    from feature_store_2_spark.queries.llm_text import doc_vocab_growth_curve
+
+    # 10 docs: doc 0 introduces {a, b}; doc 5 introduces {c}; doc 9
+    # introduces {d}. Deciles: 0 -> 2 new, 5 -> 1, 9 -> 1; cum 2, 3, 4.
+    texts = ["a b"] * 5 + ["a c"] * 4 + ["b d"]
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = os.path.join(str(tmp_path), "sf")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {
+        r["decile"]: (r["n_new_terms"], r["cum_vocab"])
+        for r in doc_vocab_growth_curve(spark, sf).collect()
+    }
+    assert out == {0: (2, 2), 5: (1, 3), 9: (1, 4)}

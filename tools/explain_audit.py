@@ -77,6 +77,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "doc_term_pmi_collocations",
                # 1-row corpus-start-date scalar broadcast (bitmap anchor)
                "agg_activity_bitmap",
+               # 1-row doc-count scalar broadcast (decile denominator)
+               "doc_vocab_growth_curve",
                # query-workload broadcast (first 20 vectors), same shape
                # as emb_cosine_topk; label-mismatch theta join is the
                # documented exact-twin form
@@ -92,8 +94,11 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
 # doc_tokenize_to_ids: its global window assigns dense ids over the
 # DISTINCT-TERM vocabulary (metadata-scale, and a one-time artifact at
 # 100 TB — its docstring says so), never the corpus.
+# doc_vocab_growth_curve: its global cumulative window runs over the
+# TEN decile rows (metadata by construction — its docstring says so),
+# never the corpus.
 GLOBAL_WINDOW_OK = {"window_ntile_percentrank", "doc_pack_token_budget",
-                    "doc_tokenize_to_ids"}
+                    "doc_tokenize_to_ids", "doc_vocab_growth_curve"}
 
 _WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
 
@@ -188,6 +193,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/training_data.py", "scal"): "1-row (L, N) corpus scalar",
     ("queries/llm_text.py", "voc"): "1-row corpus-vocab scalar aggregate",
     ("queries/llm_text.py", "nd"): "1-row n_docs scalar aggregate",
+    ("queries/llm_text.py", "mx"): "1-row doc-count scalar aggregate",
     ("queries/llm_similarity.py", "qry"): "query workload (first 20 vectors)",
     ("queries/timeseries.py", "n"): "fixed dim (25 rows)",
     ("queries/timeseries.py", "r"): "fixed dim (5 rows)",
