@@ -221,7 +221,14 @@ GROUP BY r_name
     "Scale: one shuffle to per-customer revenue (partial aggs), "
     "dims broadcast (customer->nation->region), then the running "
     "window partitions by region over the customer-grain aggregate. "
-    "Tie-break (crev DESC, custkey) makes the rank total.",
+    "Tie-break (crev DESC, custkey) makes the rank total. The "
+    "low-cardinality region partition funnels one region's "
+    "customers through one window task; the 100-TB refinement is "
+    "two-phase: bucket customers by floor(log2(revenue)) (one hash "
+    "agg), run the prefix over the ~60-bucket metadata table to "
+    "locate the boundary bucket, then sort ONLY that bucket's "
+    "customers to refine the exact count — same answer, per-task "
+    "input shrinks from the region to one revenue band.",
 )
 def pareto_revenue_concentration(spark, sf_dir):
     o = load_table(spark, "orders", sf_dir)
