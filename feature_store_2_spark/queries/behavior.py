@@ -1101,3 +1101,137 @@ def cohort_ltv_curve(spark, sf_dir):
             "ltv_per_user"
         ),
     )
+
+
+_LOCF_TTL_ORACLE = """
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch_us(ts) - epoch_us(lp.lts) <= 172800000000
+            THEN lp.lval END AS fresh_purchase_value,
+       lp.lts IS NOT NULL
+       AND epoch_us(ts) - epoch_us(lp.lts) > 172800000000 AS went_stale
+FROM (
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lts,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lval
+    FROM events
+) lp
+"""
+
+
+@register(
+    "window_locf_with_ttl",
+    _LOCF_TTL_ORACLE,
+    doc="LOCF with a staleness TTL: forward-fill the last purchase "
+    "value ONLY while it is at most 48 h old at read time, else NULL "
+    "with an explicit went_stale flag — the feature-freshness "
+    "semantics every serving store enforces (a carried-forward "
+    "feature older than its TTL must not silently serve; the "
+    "reference's point-lookup fail-open policy is the same concern, "
+    "services/user_feature.py). Same one-window shape as "
+    "window_locf_forward_fill, carrying (ts, value) of the last "
+    "observation so the TTL check is exact BIGINT microsecond "
+    "arithmetic at each read row. One window pass on the natural "
+    "key, total (ts, event_id) order.",
+)
+def window_locf_with_ttl(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lts = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), True
+    ).over(w)
+    lval = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), True
+    ).over(w)
+    ttl_us = 172_800_000_000
+    age = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("lts"))
+    return ev.select(
+        "event_id", "user_id", "ts", lts.alias("lts"), lval.alias("lval")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(age <= ttl_us, F.col("lval")).alias("fresh_purchase_value"),
+        (F.col("lts").isNotNull() & (age > ttl_us)).alias("went_stale"),
+    )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+), m AS (
+    SELECT user_id,
+           CAST(count(gap) AS HUGEINT) AS n,
+           CAST(sum(gap) AS HUGEINT) AS s,
+           CAST(sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT))
+                AS HUGEINT) AS ss
+    FROM g WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n AS INT) AS n_gaps,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_us,
+       CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)
+           AS var_gap_us2
+FROM m
+"""
+
+
+@register(
+    "feat_interarrival_stats",
+    _INTERARRIVAL_ORACLE,
+    doc="inter-arrival statistics per user: mean and population "
+    "variance of the microsecond gaps between consecutive events — "
+    "the burstiness features (high variance vs steady cadence) a "
+    "fraud/engagement model consumes alongside the reference's "
+    "count/sum aggregates (services/aggregates.py). Exactness: gaps "
+    "are BIGINT µs from one lag() window; moments accumulate in "
+    "DECIMAL(38)/HUGEINT (gap² up to ~7e24 overflows int64 — the "
+    "stats_ols recipe); mean and variance are each ONE division of "
+    "two exactly-agreed values, variance via the n-scaled form "
+    "(n·Σx² − (Σx)²)/n² so no float mean is ever subtracted. One "
+    "window + one hash agg on the natural key.",
+)
+def feat_interarrival_stats(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")
+    # gap^2 overflows int64 (30-day gaps are ~2.6e12 us) — lift each
+    # factor to DECIMAL BEFORE multiplying, then sum in decimal.
+    gd = F.col("gap").cast("decimal(19,0)")
+    m = g.groupBy("user_id").agg(
+        F.count("gap").cast("decimal(38,0)").alias("n"),
+        dec(F.sum("gap")).alias("s"),
+        F.sum(gd * gd).cast("decimal(38,0)").alias("ss"),
+    )
+    return m.select(
+        "user_id",
+        F.col("n").cast("int").alias("n_gaps"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "mean_gap_us"
+        ),
+        (
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("var_gap_us2"),
+    )

@@ -216,3 +216,42 @@ def test_vocab_growth_first_occurrence_buckets(spark, tmp_path):
         for r in doc_vocab_growth_curve(spark, sf).collect()
     }
     assert out == {0: (2, 2), 5: (1, 3), 9: (1, 4)}
+
+
+def test_locf_ttl_serves_fresh_nulls_stale(spark, tmp_path):
+    from feature_store_2_spark.queries.behavior import window_locf_with_ttl
+
+    # Purchase at day 0; reads at day 1 (fresh), day 3 (stale -> NULL +
+    # flag), and a read BEFORE any purchase (NULL, not stale).
+    rows = [
+        (1, 0.0, 1, "purchase", 42.0),
+        (2, 1.0, 1, "view", 0.0),
+        (3, 3.0, 1, "view", 0.0),
+        (4, 0.0, 2, "view", 0.0),
+    ]
+    sf = _events(spark, tmp_path, rows)
+    out = {
+        r["event_id"]: (r["fresh_purchase_value"], r["went_stale"])
+        for r in window_locf_with_ttl(spark, sf).collect()
+    }
+    assert out[1] == (42.0, False)  # the purchase row itself, age 0
+    assert out[2] == (42.0, False)
+    assert out[3] == (None, True)
+    assert out[4] == (None, False)
+
+
+def test_interarrival_mean_and_variance(spark, tmp_path):
+    from feature_store_2_spark.queries.behavior import feat_interarrival_stats
+
+    # Gaps of 1 day and 3 days: mean 2 days, population variance 1 day^2.
+    rows = [
+        (1, 0.0, 1, "view", 0.0),
+        (2, 1.0, 1, "view", 0.0),
+        (3, 4.0, 1, "view", 0.0),
+    ]
+    sf = _events(spark, tmp_path, rows)
+    row = feat_interarrival_stats(spark, sf).collect()[0]
+    day = 86400 * 1_000_000
+    assert row["n_gaps"] == 2
+    assert row["mean_gap_us"] == 2.0 * day
+    assert row["var_gap_us2"] == 1.0 * day * day
