@@ -1,7 +1,9 @@
-"""Time-series & marketing analytics over the event log: EWMA smoothing,
-CUSUM change-point detection, Pareto revenue concentration, RFM
-segmentation, time-decay attribution, rate limiting, sequence-pattern
-matching (MATCH_RECOGNIZE analog).
+"""Time-series & marketing analytics over the event log: EWMA and
+rolling-median smoothing, CUSUM change-point detection, OLS trend
+slopes, day-of-week seasonality, lag-7 autocorrelation, Pareto revenue
+concentration, RFM segmentation, time-decay attribution, rate limiting,
+sequence-pattern matching (MATCH_RECOGNIZE analog), interval
+coalescing, and activity bitmaps.
 
 These are the classic "operational analytics" reads a platform layers on
 the same event stream the reference ingests (reference ingest path:
