@@ -1223,3 +1223,82 @@ def stream_throttle_first_per_window(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+_STREAM_BITMAP_ORACLE = """
+WITH anchor AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+days AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', (SELECT d0 FROM anchor), CAST(ts AS DATE))
+               AS day_idx
+    FROM events
+)
+SELECT user_id,
+       bit_or(CAST(1 AS BIGINT) << day_idx) AS mask,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << day_idx)) AS INT)
+           AS n_active_days,
+       CAST(min(day_idx) AS INT) AS first_day,
+       CAST(max(day_idx) AS INT) AS last_day
+FROM days GROUP BY user_id
+"""
+
+
+@register(
+    "stream_activity_bitmap",
+    _STREAM_BITMAP_ORACLE,
+    doc="STREAMING activity bitmaps — the stream twin of "
+    "agg_activity_bitmap: per-user active-day masks accumulate as "
+    "bit_or keyed state (with min/max day), complete-mode output. "
+    "bit_or is commutative AND idempotent, so the state is "
+    "arrival-order independent and re-delivery-safe without any "
+    "dedup — the ideal streaming aggregate shape (n_active_days is "
+    "derived as bit_count(mask) AFTER aggregation, because "
+    "streaming countDistinct is unsupported — the bitmap IS the "
+    "distinct set). The corpus epoch anchor comes from the static "
+    "side via a stream-static broadcast join, the deployment shape "
+    "(epoch is config, not stream state). State per user is three "
+    "words, horizon-bounded by the word-array scale form the batch "
+    "twin documents.",
+)
+def stream_activity_bitmap(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    anchor = load_table(spark, "events", sf_dir).agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(os.path.join(root, "events"))
+    agg = (
+        stream.join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("day_idx"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), day_idx)")
+            ).alias("mask"),
+            F.min("day_idx").alias("first_day"),
+            F.max("day_idx").alias("last_day"),
+        )
+        .select(
+            "user_id",
+            "mask",
+            F.bit_count("mask").cast("int").alias("n_active_days"),
+            F.col("first_day").cast("int").alias("first_day"),
+            F.col("last_day").cast("int").alias("last_day"),
+        )
+    )
+    name = "fs2_stream_activity_bitmap"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
