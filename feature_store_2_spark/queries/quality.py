@@ -557,3 +557,102 @@ def stats_benford_distribution(spark, sf_dir):
             6,
         ).alias("benford_expected"),
     )
+
+
+_ROC_THRESHOLDS = (0, 1000, 2000, 3000, 4000)
+
+_ROC_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id,
+           CAST(50 * len(string_split(text, ' '))
+                + 30 * len(list_distinct(string_split(text, ' ')))
+                - 2 * n_chars AS BIGINT) AS score,
+           lang = 'en' AS truth
+    FROM documents),
+thr AS (SELECT unnest([{', '.join(str(t) for t in _ROC_THRESHOLDS)}]) AS threshold),
+cell AS (
+    SELECT t.threshold,
+           count(CASE WHEN f.score > t.threshold AND f.truth THEN 1 END) AS tp,
+           count(CASE WHEN f.score > t.threshold AND NOT f.truth THEN 1 END) AS fp,
+           count(CASE WHEN f.score <= t.threshold AND f.truth THEN 1 END) AS fn,
+           count(CASE WHEN f.score <= t.threshold AND NOT f.truth THEN 1 END) AS tn
+    FROM f CROSS JOIN thr t
+    GROUP BY t.threshold)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS tpr,
+       CAST(fp AS DOUBLE) / nullif(fp + tn, 0) AS fpr
+FROM cell
+"""
+
+
+@register(
+    "eval_roc_points",
+    _ROC_ORACLE,
+    doc="ROC operating points for a classifier sweep: the fixed "
+    "integer-weight linear quality score (same features as "
+    "udf_model_score_linear) evaluated against an independent truth "
+    "column (lang='en') at five literal thresholds — TP/FP/FN/TN "
+    "counts plus TPR/FPR per point, the curve a curation team reads "
+    "before picking a filter cut. Exactness: the score is pure "
+    "integer, every cell is a conditional count, and each rate is "
+    "ONE division of two exact integers (NULLIF-guarded for the "
+    "degenerate all-one-class corpus). Scale: the threshold spine "
+    "is a 5-row broadcast against one corpus pass — counts move to "
+    "the driver, never rows; adding thresholds widens the spine, "
+    "not the scan count.",
+)
+def eval_roc_points(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    w = F.split("text", " ")
+    score = (
+        F.lit(50) * F.size(w)
+        + F.lit(30) * F.size(F.array_distinct(w))
+        - F.lit(2) * F.col("n_chars")
+    ).cast("long")
+    f = d.select(score.alias("score"), (F.col("lang") == "en").alias("truth"))
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in _ROC_THRESHOLDS])
+        ).alias("threshold")
+    )
+    cell = (
+        f.join(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.count(
+                F.when((F.col("score") > F.col("threshold")) & F.col("truth"), 1)
+            ).alias("tp"),
+            F.count(
+                F.when(
+                    (F.col("score") > F.col("threshold")) & ~F.col("truth"), 1
+                )
+            ).alias("fp"),
+            F.count(
+                F.when(
+                    (F.col("score") <= F.col("threshold")) & F.col("truth"), 1
+                )
+            ).alias("fn"),
+            F.count(
+                F.when(
+                    (F.col("score") <= F.col("threshold")) & ~F.col("truth"), 1
+                )
+            ).alias("tn"),
+        )
+    )
+    return cell.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        (
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fn")).cast("long"), F.lit(0))
+        ).alias("tpr"),
+        (
+            F.col("fp").cast("double")
+            / F.nullif((F.col("fp") + F.col("tn")).cast("long"), F.lit(0))
+        ).alias("fpr"),
+    )

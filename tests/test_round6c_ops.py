@@ -255,3 +255,25 @@ def test_interarrival_mean_and_variance(spark, tmp_path):
     assert row["n_gaps"] == 2
     assert row["mean_gap_us"] == 2.0 * day
     assert row["var_gap_us2"] == 1.0 * day * day
+
+
+def test_roc_points_cells_and_rates(spark, tmp_path):
+    from feature_store_2_spark.queries.quality import eval_roc_points
+
+    # Two docs: an 'en' doc scoring high and a 'de' doc scoring low.
+    # "a b c" (n_chars=5): score = 50*3 + 30*3 - 2*5 = 230.
+    # At threshold 0: both predicted positive -> TP=1, FP=1, TPR=FPR=1.
+    # At threshold 1000: both negative -> FN=1, TN=1, TPR=FPR=0.
+    df = spark.createDataFrame(
+        [(0, "a b c", "en", "web", 5), (1, "a b c", "de", "web", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = os.path.join(str(tmp_path), "sf")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["tn"], r["tpr"], r["fpr"])
+        for r in eval_roc_points(spark, sf).collect()
+    }
+    assert out[0] == (1, 1, 0, 0, 1.0, 1.0)
+    assert out[1000] == (0, 0, 1, 1, 0.0, 0.0)
+    assert len(out) == 5

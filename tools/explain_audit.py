@@ -79,6 +79,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "agg_activity_bitmap",
                # 1-row doc-count scalar broadcast (decile denominator)
                "doc_vocab_growth_curve",
+               # 5-row threshold-spine broadcast (ROC sweep)
+               "eval_roc_points",
                # query-workload broadcast (first 20 vectors), same shape
                # as emb_cosine_topk; label-mismatch theta join is the
                # documented exact-twin form
@@ -167,6 +169,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/quality.py", "uniq"): "1-row scalar aggregate",
     ("queries/quality.py", "tot"): "1-row scalar aggregate",
     ("queries/quality.py", "act"): "1-row scalar aggregate",
+    ("queries/quality.py", "thr"): "5-row ROC threshold spine",
     ("queries/llm_text.py", "n"): "1-row n_docs aggregate",
     ("queries/llm_text.py", "shard_prefix"): "shard-totals prefix (1 row/shard, W-tuned ~1e5)",
     ("queries/windows_setops.py", "b"): "equi-depth bucket bounds (k rows)",
