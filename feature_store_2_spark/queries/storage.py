@@ -530,3 +530,80 @@ def scan_python_datasource(spark, sf_dir):
             "total_value"
         ),
     )
+
+
+_WAP_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, d,
+       CAST(c AS BIGINT) AS n_events,
+       CAST(n_users AS BIGINT) AS n_users
+FROM daily
+"""
+
+
+@register(
+    "storage_write_audit_publish",
+    _WAP_ORACLE,
+    doc="write-audit-publish (WAP): the daily-aggregate table is "
+    "written to a STAGING directory, audited there (row count > 0, "
+    "no NULL keys, per-row user count never exceeds event count — "
+    "conditional-count audit, one pass), and only then atomically "
+    "published via directory rename; readers only ever see the "
+    "published path, and a failed audit raises with the staging dir "
+    "quarantined instead of half-published data. This is the "
+    "Iceberg/Delta WAP ceremony over the same rename-is-atomic "
+    "primitive the sharded store's manifest commit uses "
+    "(streaming/sharded_store.py). The returned DataFrame reads the "
+    "PUBLISHED table — so the oracle also proves the round trip "
+    "lossless. Per-process staging cache keeps repeat invocations "
+    "from re-publishing (commit-after-write protocol above).",
+)
+def storage_write_audit_publish(spark, sf_dir):
+    root, ready = _staged_root("wap_daily", sf_dir)
+    published = os.path.join(root, "published", "daily")
+    if not ready:
+        ev = load_table(spark, "events", sf_dir)
+        daily = ev.groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        ).agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        staging = os.path.join(root, "staging", "daily")
+        daily.write.mode("overwrite").parquet(staging)
+        # Audit the STAGED files (not the in-memory plan): what was
+        # actually written is what gets published.
+        staged = spark.read.parquet(staging)
+        audit = staged.agg(
+            F.count("*").alias("rows"),
+            F.count(
+                F.when(
+                    F.col("event_type").isNull() | F.col("d").isNull(), 1
+                )
+            ).alias("null_keys"),
+            F.count(
+                F.when(F.col("n_users") > F.col("n_events"), 1)
+            ).alias("impossible_rows"),
+        ).collect()[0]
+        if (
+            audit["rows"] == 0
+            or audit["null_keys"] > 0
+            or audit["impossible_rows"] > 0
+        ):
+            raise ValueError(
+                f"WAP audit failed, staging quarantined at {staging}: "
+                f"{audit.asDict()}"
+            )
+        os.makedirs(os.path.dirname(published), exist_ok=True)
+        os.rename(staging, published)  # atomic publish
+        _commit_staging("wap_daily", sf_dir, root)
+    return spark.read.parquet(published).select(
+        "event_type",
+        F.col("d"),
+        "n_events",
+        "n_users",
+    )

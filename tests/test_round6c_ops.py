@@ -277,3 +277,33 @@ def test_roc_points_cells_and_rates(spark, tmp_path):
     assert out[0] == (1, 1, 0, 0, 1.0, 1.0)
     assert out[1000] == (0, 0, 1, 1, 0.0, 0.0)
     assert len(out) == 5
+
+
+def test_wap_publishes_and_round_trips(spark, tmp_path):
+    from feature_store_2_spark.queries.storage import (
+        _STAGING_CACHE,
+        storage_write_audit_publish,
+    )
+
+    rows = [
+        (1, 0.5, 1, "view", 1.0),
+        (2, 0.6, 2, "view", 1.0),
+        (3, 1.5, 1, "click", 1.0),
+    ]
+    sf = _events(spark, tmp_path, rows)
+    out1 = {
+        (r["event_type"], r["d"].isoformat()): (r["n_events"], r["n_users"])
+        for r in storage_write_audit_publish(spark, sf).collect()
+    }
+    assert out1[("view", "2024-01-01")] == (2, 2)
+    assert out1[("click", "2024-01-02")] == (1, 1)
+    # Second call serves the published table from the process cache —
+    # same rows, no re-publish (the staging dir was renamed away).
+    root = _STAGING_CACHE[("wap_daily", os.path.abspath(sf))]
+    assert os.path.isdir(os.path.join(root, "published", "daily"))
+    assert not os.path.exists(os.path.join(root, "staging", "daily"))
+    out2 = {
+        (r["event_type"], r["d"].isoformat()): (r["n_events"], r["n_users"])
+        for r in storage_write_audit_publish(spark, sf).collect()
+    }
+    assert out2 == out1
