@@ -141,3 +141,133 @@ def fs_windowed_denial_rate(spark, sf_dir):
         "denial_rate",
         "circuit_open",
     )
+
+
+_PIT_ORACLE = """
+WITH labels AS (
+    SELECT event_id AS label_id, user_id, ts AS label_ts, value AS label
+    FROM events WHERE event_type = 'purchase'
+), sig AS (
+    SELECT user_id, ts, value, event_id FROM events
+    WHERE event_type = 'signup'
+), f1 AS (
+    SELECT label_id, last_signup_value FROM (
+        SELECT l.label_id, s.value AS last_signup_value,
+               row_number() OVER (
+                   PARTITION BY l.label_id
+                   ORDER BY s.ts DESC, s.event_id DESC) AS rk
+        FROM labels l JOIN sig s
+          ON s.user_id = l.user_id AND s.ts < l.label_ts)
+    WHERE rk = 1
+), f2 AS (
+    SELECT l.label_id, count(*) AS clicks_7d
+    FROM labels l JOIN events c
+      ON c.user_id = l.user_id AND c.event_type = 'click'
+     AND c.ts < l.label_ts AND c.ts >= l.label_ts - INTERVAL 7 DAY
+    GROUP BY l.label_id
+)
+SELECT l.label_id, l.user_id,
+       CAST(epoch_us(l.label_ts) AS BIGINT) AS label_ts_us,
+       l.label,
+       f1.last_signup_value,
+       CAST(COALESCE(f2.clicks_7d, 0) AS BIGINT) AS clicks_7d
+FROM labels l
+LEFT JOIN f1 ON l.label_id = f1.label_id
+LEFT JOIN f2 ON l.label_id = f2.label_id
+"""
+
+
+@register(
+    "fs_point_in_time_training_set",
+    _PIT_ORACLE,
+    doc="point-in-time-correct training-set assembly — THE feature-store "
+    "read (reference: the per-user aggregates of "
+    "services/aggregates.py become features; this is how they join "
+    "onto labels WITHOUT leakage): each purchase (label) is enriched "
+    "with (a) the user's last signup value STRICTLY BEFORE the label "
+    "timestamp (as-of semantics — a later signup must never leak "
+    "backward) and (b) the trailing-7-day click count ending strictly "
+    "before the label. Spark side runs both features leakage-free in "
+    "ONE pass each: the as-of via a union-merge (ts, kind) window "
+    "(no range join), the trailing count via the same user-keyed "
+    "hash join + residual time filter as attribution_time_decay. "
+    "Exactness: BIGINT microseconds, integer counts, doubles only "
+    "copied (never computed); as-of ties broken toward the latest "
+    "(ts, event_id). The oracle states the same semantics as "
+    "correlated range joins — two independent formulations agreeing "
+    "is the leakage proof.",
+)
+def fs_point_in_time_training_set(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    # Feature (a): last signup value strictly before each purchase, via
+    # one union-merge timeline per user — signups carry their value,
+    # purchases read the running last signup seen so far. Strictly
+    # before: order purchases ahead of same-ts signups via kind flag
+    # (signup kind=0 sorts after purchase kind=-1 at equal ts? No:
+    # "strictly before" means a same-ts signup must NOT be visible, so
+    # purchases sort FIRST at equal ts -> kind purchase=0 < signup=1).
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("sig_id"),
+        F.col("value").alias("sig_value"),
+        F.lit(None).cast("long").alias("label_id"),
+        F.lit(None).cast("double").alias("label"),
+    )
+    lab = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("sig_id"),
+        F.lit(None).cast("double").alias("sig_value"),
+        F.col("event_id").alias("label_id"),
+        F.col("value").alias("label"),
+    )
+    merged = sig.unionByName(lab)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "sig_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    asof = (
+        merged.withColumn("last_signup_value", F.last("sig_value", True).over(w))
+        .filter(F.col("label_id").isNotNull())
+        .select(
+            "label_id",
+            "user_id",
+            F.unix_micros("ts").alias("label_ts_us"),
+            F.col("ts").alias("label_ts"),
+            "label",
+            "last_signup_value",
+        )
+    )
+    # Feature (b): trailing 7-day click count, strictly before.
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    f2 = (
+        asof.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") < F.col("label_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("label_ts") - F.expr("INTERVAL 7 DAYS")
+            ),
+        )
+        .groupBy("label_id")
+        .agg(F.count("*").alias("clicks_7d"))
+    )
+    return asof.join(f2, "label_id", "left").select(
+        "label_id",
+        "user_id",
+        "label_ts_us",
+        "label",
+        "last_signup_value",
+        F.coalesce(F.col("clicks_7d"), F.lit(0))
+        .cast("long")
+        .alias("clicks_7d"),
+    )

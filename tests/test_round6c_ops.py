@@ -307,3 +307,32 @@ def test_wap_publishes_and_round_trips(spark, tmp_path):
         for r in storage_write_audit_publish(spark, sf).collect()
     }
     assert out2 == out1
+
+
+def test_pit_training_set_no_leakage(spark, tmp_path):
+    from feature_store_2_spark.queries.feature_store import (
+        fs_point_in_time_training_set,
+    )
+
+    # User 1: signup v=1 at day 0, purchase at day 1 (sees v=1), signup
+    # v=2 at day 2, purchase at day 3 (sees v=2). A same-timestamp
+    # signup must NOT be visible: user 2's signup and purchase share
+    # ts -> last_signup_value NULL. Clicks: one inside 7d, one outside.
+    rows = [
+        (1, 0.0, 1, "signup", 1.0),
+        (2, 1.0, 1, "purchase", 10.0),
+        (3, 2.0, 1, "signup", 2.0),
+        (4, 3.0, 1, "purchase", 20.0),
+        (5, 3.0, 2, "signup", 9.0),
+        (6, 3.0, 2, "purchase", 30.0),
+        (7, 2.5, 1, "click", 0.0),    # within 7d of both purchases? of day-3 yes
+        (8, 0.5, 1, "click", 0.0),    # before day-1 purchase (0.5d), within 7d
+    ]
+    sf = _events(spark, tmp_path, rows)
+    out = {
+        r["label_id"]: (r["last_signup_value"], r["clicks_7d"])
+        for r in fs_point_in_time_training_set(spark, sf).collect()
+    }
+    assert out[2] == (1.0, 1)   # day-1 purchase: signup v=1; click at 0.5
+    assert out[4] == (2.0, 2)   # day-3 purchase: signup v=2; clicks 0.5, 2.5
+    assert out[6] == (None, 0)  # same-ts signup invisible (strictly before)
