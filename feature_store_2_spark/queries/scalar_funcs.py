@@ -568,3 +568,50 @@ def func_collation_case_insensitive(spark, sf_dir):
         "n",
         "n_case_variants",
     )
+
+
+_ARRAY_SETOPS_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS types
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(types) AS INT) AS n_types,
+       list_sort(list_intersect(types, ['view', 'click'])) AS browse_types,
+       CAST(len(list_filter(types,
+                t -> NOT list_contains(['view', 'click'], t))) AS INT)
+           AS n_non_browse,
+       list_contains(types, 'error') AS saw_error
+FROM u
+"""
+
+
+@register(
+    "func_array_set_ops",
+    _ARRAY_SETOPS_ORACLE,
+    doc="array set algebra on collected sets: each user's distinct "
+    "event-type array intersected / differenced against a constant "
+    "browse set, plus membership — array_intersect, array_except "
+    "(as a filtered cardinality, the form both engines order "
+    "identically), array_contains over one collect_set aggregate. "
+    "Arrays are sorted so set results compare deterministically. "
+    "One shuffle; per-user arrays bounded by the 5-type domain.",
+)
+def func_array_set_ops(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    browse = F.array(F.lit("view"), F.lit("click"))
+    return u.select(
+        "user_id",
+        F.size("types").cast("int").alias("n_types"),
+        F.array_sort(F.array_intersect("types", browse)).alias(
+            "browse_types"
+        ),
+        F.size(F.array_except("types", browse)).cast("int").alias(
+            "n_non_browse"
+        ),
+        F.array_contains("types", "error").alias("saw_error"),
+    )

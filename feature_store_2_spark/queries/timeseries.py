@@ -1024,3 +1024,57 @@ def ts_autocorr_weekly(spark, sf_dir):
             "r_squared"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative share (market share over time)
+# ---------------------------------------------------------------------------
+
+_CUMSHARE_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+    FROM events GROUP BY 1, 2
+), cum AS (
+    SELECT event_type, d, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS running,
+           sum(c) OVER (PARTITION BY event_type) AS total
+    FROM daily
+)
+SELECT event_type, d,
+       CAST(c AS BIGINT) AS n_events,
+       CAST(running AS BIGINT) AS running_total,
+       CAST(running AS DOUBLE) / total AS pct_complete
+FROM cum
+"""
+
+
+@register(
+    "window_cumulative_share",
+    _CUMSHARE_ORACLE,
+    doc="cumulative completion share: each (type, day)'s running event "
+    "total as a fraction of the type's whole-period volume — the "
+    "'how much of the quarter's traffic had arrived by day d' read "
+    "behind pacing dashboards and backfill progress bars. Exactness: "
+    "running and total are BIGINT window sums over the daily "
+    "aggregate; the share is one exact division per row. Scale: "
+    "daily grain first (one partial-agg shuffle), windows on the "
+    "metadata-scale daily table partitioned by type.",
+)
+def window_cumulative_share(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    wall = W.partitionBy("event_type")
+    run = F.sum("c").over(
+        wall.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    )
+    tot = F.sum("c").over(wall)
+    return daily.select(
+        "event_type",
+        "d",
+        F.col("c").cast("long").alias("n_events"),
+        run.cast("long").alias("running_total"),
+        (run.cast("double") / tot).alias("pct_complete"),
+    )
