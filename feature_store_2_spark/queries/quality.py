@@ -656,3 +656,53 @@ def eval_roc_points(spark, sf_dir):
             / F.nullif((F.col("fp") + F.col("tn")).cast("long"), F.lit(0))
         ).alias("fpr"),
     )
+
+
+_KANON_ORACLE = """
+WITH g AS (
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS group_size,
+           count(DISTINCT CAST(c_acctbal >= 0 AS INT)) AS l_diversity
+    FROM customer
+    GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(group_size AS BIGINT) AS group_size,
+       group_size >= 5 AS k_anonymous,
+       CAST(l_diversity AS INT) AS l_diversity,
+       l_diversity >= 2 AS l_diverse
+FROM g
+"""
+
+
+@register(
+    "dq_k_anonymity",
+    _KANON_ORACLE,
+    doc="k-anonymity / l-diversity privacy audit: customers grouped by "
+    "their quasi-identifier tuple (nation, market segment) — a group "
+    "smaller than k=5 is re-identifiable and must be generalized or "
+    "suppressed before the table ships as training data; l-diversity "
+    "additionally requires >= 2 distinct values of the sensitive "
+    "attribute (account-balance sign) inside each group, or the "
+    "quasi-identifiers alone REVEAL the sensitive value even at "
+    "k>=5. One hash aggregate with a distinct-count — the privacy "
+    "twin of dq_constraint_audit, and the pre-release gate an "
+    "LLM-training pipeline runs before user-derived tables enter a "
+    "corpus. Exact integer counts; booleans derive from them.",
+)
+def dq_k_anonymity(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir)
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct(
+            (F.col("c_acctbal") >= 0).cast("int")
+        ).alias("l_diversity"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("group_size") >= 5).alias("k_anonymous"),
+        F.col("l_diversity").cast("int").alias("l_diversity"),
+        (F.col("l_diversity") >= 2).alias("l_diverse"),
+    )

@@ -615,3 +615,58 @@ def func_array_set_ops(spark, sf_dir):
         ),
         F.array_contains("types", "error").alias("saw_error"),
     )
+
+
+_BIZDAYS_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+           isodow(CAST(o_orderdate AS DATE)) AS dw
+    FROM orders
+)
+SELECT o_orderkey, d AS order_date,
+       CAST(dw AS INT) AS iso_dow,
+       dw >= 6 AS placed_on_weekend,
+       -- next business day: Fri(5)->+3, Sat(6)->+2, else +1
+       d + CASE WHEN dw = 5 THEN 3 WHEN dw = 6 THEN 2 ELSE 1 END
+           AS next_business_day,
+       -- order date + 5 business days = +7 calendar days from a
+       -- weekday start; weekend starts roll forward to Monday first
+       CASE WHEN dw = 6 THEN d + 2 + 7
+            WHEN dw = 7 THEN d + 1 + 7
+            ELSE d + 7 END AS sla_5bd
+FROM o
+"""
+
+
+@register(
+    "func_business_days",
+    _BIZDAYS_ORACLE,
+    doc="business-day calendar arithmetic, closed-form: next business "
+    "day and a 5-business-day SLA deadline per order, from pure "
+    "ISO-weekday integer CASE arithmetic — no calendar table, no "
+    "UDF, no loop (5 business days from a weekday is exactly 7 "
+    "calendar days; weekend starts roll forward to Monday first). "
+    "The Mon=1 ISO convention is made explicit on both engines "
+    "(Spark weekday()+1 vs DuckDB isodow), the same mapping "
+    "ts_seasonality_dow_profile pins. Zero-shuffle codegen pass.",
+)
+def func_business_days(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    d = F.to_date("o_orderdate")
+    dw = F.weekday(d) + F.lit(1)
+    nbd = F.date_add(
+        d,
+        F.when(dw == 5, 3).when(dw == 6, 2).otherwise(1),
+    )
+    sla = F.date_add(
+        d,
+        F.when(dw == 6, 9).when(dw == 7, 8).otherwise(7),
+    )
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        dw.cast("int").alias("iso_dow"),
+        (dw >= 6).alias("placed_on_weekend"),
+        nbd.alias("next_business_day"),
+        sla.alias("sla_5bd"),
+    )

@@ -336,3 +336,64 @@ def test_pit_training_set_no_leakage(spark, tmp_path):
     assert out[2] == (1.0, 1)   # day-1 purchase: signup v=1; click at 0.5
     assert out[4] == (2.0, 2)   # day-3 purchase: signup v=2; clicks 0.5, 2.5
     assert out[6] == (None, 0)  # same-ts signup invisible (strictly before)
+
+
+def test_business_days_weekend_rolls(spark, tmp_path):
+    from feature_store_2_spark.queries.scalar_funcs import func_business_days
+
+    # Fri 2024-01-05 -> next biz Mon 01-08, SLA Fri 01-12.
+    # Sat 2024-01-06 -> next biz Mon 01-08, SLA Mon 01-15.
+    # Sun 2024-01-07 -> next biz Mon 01-08, SLA Mon 01-15.
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 1.0, dt.datetime(2024, 1, 5), "1"),
+         (2, 1, "O", 1.0, dt.datetime(2024, 1, 6), "1"),
+         (3, 1, "O", 1.0, dt.datetime(2024, 1, 7), "1")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    sf = os.path.join(str(tmp_path), "sf")
+    orders.write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+    out = {
+        r["o_orderkey"]: (
+            r["next_business_day"].isoformat(),
+            r["sla_5bd"].isoformat(),
+            r["placed_on_weekend"],
+        )
+        for r in func_business_days(spark, sf).collect()
+    }
+    assert out[1] == ("2024-01-08", "2024-01-12", False)
+    assert out[2] == ("2024-01-08", "2024-01-15", True)
+    assert out[3] == ("2024-01-08", "2024-01-15", True)
+
+
+def test_k_anonymity_flags_small_and_undiverse_groups(spark, tmp_path):
+    from feature_store_2_spark.queries.quality import dq_k_anonymity
+
+    # Group (0, A): 5 members, balances both signs -> anonymous+diverse.
+    # Group (1, B): 2 members -> NOT k-anonymous.
+    # Group (2, C): 5 members, all positive -> anonymous but NOT diverse.
+    rows = []
+    for i in range(5):
+        rows.append((i, f"c{i}", 0, 10.0 if i % 2 else -5.0, "A"))
+    for i in range(5, 7):
+        rows.append((i, f"c{i}", 1, 1.0, "B"))
+    for i in range(7, 12):
+        rows.append((i, f"c{i}", 2, 3.0, "C"))
+    customer = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    sf = os.path.join(str(tmp_path), "sf")
+    customer.write.mode("overwrite").parquet(
+        os.path.join(sf, "customer.parquet")
+    )
+    out = {
+        (r["c_nationkey"], r["c_mktsegment"]): (
+            r["k_anonymous"], r["l_diverse"]
+        )
+        for r in dq_k_anonymity(spark, sf).collect()
+    }
+    assert out[(0, "A")] == (True, True)
+    assert out[(1, "B")] == (False, False)
+    assert out[(2, "C")] == (True, False)
