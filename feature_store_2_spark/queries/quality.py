@@ -706,3 +706,76 @@ def dq_k_anonymity(spark, sf_dir):
         F.col("l_diversity").cast("int").alias("l_diversity"),
         (F.col("l_diversity") >= 2).alias("l_diverse"),
     )
+
+
+_LEDGER_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS line_total,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+), rec AS (
+    SELECT o.o_orderkey,
+           CAST(o.o_totalprice AS DECIMAL(18,6)) AS header_total,
+           li.line_total,
+           CAST(li.n_lines AS INT) AS n_lines,
+           abs(CAST(o.o_totalprice AS DECIMAL(18,6)) - li.line_total)
+               AS abs_diff
+    FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT o_orderkey,
+       CAST(header_total AS DOUBLE) AS header_total,
+       CAST(line_total AS DOUBLE) AS line_total,
+       n_lines,
+       CAST(abs_diff AS DOUBLE) AS abs_diff
+FROM rec
+ORDER BY abs_diff DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register(
+    "dq_ledger_reconciliation",
+    _LEDGER_ORACLE,
+    doc="ledger reconciliation: per order, the header total vs the sum "
+    "of its line items — the 20 worst absolute discrepancies, the "
+    "daily close-of-books audit every billing pipeline runs (and a "
+    "denormalization-drift detector for any header/detail pair). "
+    "Exactness: both sides accumulate in DECIMAL(18,6); the "
+    "difference and its abs stay decimal, doubles appear only in "
+    "the final reporting casts; top-20 via TakeOrdered with an "
+    "orderkey tie-break. Scale: one partial-agg shuffle of lineitem "
+    "on its join key, then an equi-join at order grain — the "
+    "header side never re-shuffles the detail side.",
+)
+def dq_ledger_reconciliation(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias(
+                "line_total"
+            ),
+            F.count("*").cast("int").alias("n_lines"),
+        )
+    )
+    header = F.col("o_totalprice").cast("decimal(18,6)")
+    rec = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey",
+        header.alias("header_total"),
+        "line_total",
+        "n_lines",
+        F.abs(header - F.col("line_total")).alias("abs_diff"),
+    )
+    return (
+        rec.orderBy(F.col("abs_diff").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.col("header_total").cast("double").alias("header_total"),
+            F.col("line_total").cast("double").alias("line_total"),
+            "n_lines",
+            F.col("abs_diff").cast("double").alias("abs_diff"),
+        )
+    )

@@ -607,3 +607,79 @@ def storage_write_audit_publish(spark, sf_dir):
         "n_events",
         "n_users",
     )
+
+
+_MV_ORACLE = """
+SELECT event_type, CAST(ts AS DATE) AS d,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "mv_incremental_maintenance",
+    _MV_ORACLE,
+    doc="incremental materialized-view maintenance: the daily-aggregate "
+    "view is maintained as base state (history = all but the last "
+    "day) PLUS a delta batch (the last day), merged by full-outer "
+    "key union and additive combination — counts add, decimal sums "
+    "add — instead of recomputing from raw history. The oracle IS "
+    "the full recompute, so the correctness gate proves "
+    "delta-maintenance == recompute, which is the entire IVM "
+    "contract (and why the aggregates must be self-decomposable: "
+    "count/sum merge, avg would not). At 100 TB the delta path "
+    "touches one day of data + the view, never the history — the "
+    "same additive-merge shape as the streaming grants store's "
+    "incremental MERGE (streaming/sharded_store.py). Split point "
+    "derives from the data (max date), a 1-row broadcast scalar.",
+)
+def mv_incremental_maintenance(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    mx = ev.agg(F.max(F.to_date("ts")).alias("split_d"))
+    tagged = ev.join(F.broadcast(mx)).select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.to_date("ts") == F.col("split_d")).alias("is_delta"),
+    )
+
+    def agg(df):
+        return df.groupBy("event_type", "d").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        )
+
+    base = agg(tagged.filter(~F.col("is_delta")))
+    delta = agg(tagged.filter(F.col("is_delta")))
+    merged = (
+        base.select(
+            "event_type", "d", F.col("n").alias("bn"), F.col("s").alias("bs")
+        )
+        .join(
+            delta.select(
+                "event_type",
+                "d",
+                F.col("n").alias("dn"),
+                F.col("s").alias("ds"),
+            ),
+            ["event_type", "d"],
+            "full_outer",
+        )
+        .select(
+            "event_type",
+            "d",
+            (
+                F.coalesce(F.col("bn"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_events"),
+            (
+                F.coalesce(F.col("bs"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,6)"))
+            )
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return merged

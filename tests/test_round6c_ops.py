@@ -397,3 +397,55 @@ def test_k_anonymity_flags_small_and_undiverse_groups(spark, tmp_path):
     assert out[(0, "A")] == (True, True)
     assert out[(1, "B")] == (False, False)
     assert out[(2, "C")] == (True, False)
+
+
+def test_ivm_merge_equals_recompute_with_new_key_in_delta(spark, tmp_path):
+    from feature_store_2_spark.queries.storage import (
+        mv_incremental_maintenance,
+    )
+
+    # 'error' appears ONLY on the last (delta) day: the full-outer merge
+    # must surface it; 'view' spans both sides and must add up.
+    rows = [
+        (1, 0.5, 1, "view", 1.5),
+        (2, 1.5, 1, "view", 2.5),
+        (3, 1.6, 2, "error", 4.0),
+    ]
+    sf = _events(spark, tmp_path, rows)
+    out = {
+        (r["event_type"], r["d"].isoformat()): (r["n_events"], r["total_value"])
+        for r in mv_incremental_maintenance(spark, sf).collect()
+    }
+    assert out[("view", "2024-01-01")] == (1, 1.5)
+    assert out[("view", "2024-01-02")] == (1, 2.5)
+    assert out[("error", "2024-01-02")] == (1, 4.0)
+
+
+def test_ledger_reconciliation_ranks_worst_diffs(spark, tmp_path):
+    from feature_store_2_spark.queries.quality import dq_ledger_reconciliation
+
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 100.0, _BASE, "1"), (2, 1, "O", 50.0, _BASE, "1")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 60.0, 0.0, 0.0, "N", "O", _BASE),
+         (1, 2, 1, 2, 1.0, 40.0, 0.0, 0.0, "N", "O", _BASE),
+         (2, 3, 1, 1, 1.0, 80.0, 0.0, 0.0, "N", "O", _BASE)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    sf = os.path.join(str(tmp_path), "sf")
+    orders.write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+    lineitem.write.mode("overwrite").parquet(
+        os.path.join(sf, "lineitem.parquet")
+    )
+    rows = dq_ledger_reconciliation(spark, sf).collect()
+    # Order 2 reconciles worst (|50-80|=30), order 1 exactly (|100-100|=0).
+    assert [r["o_orderkey"] for r in rows] == [2, 1]
+    assert rows[0]["abs_diff"] == 30.0
+    assert rows[1]["abs_diff"] == 0.0
+    assert rows[1]["n_lines"] == 2

@@ -81,6 +81,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "doc_vocab_growth_curve",
                # 5-row threshold-spine broadcast (ROC sweep)
                "eval_roc_points",
+               # 1-row max-date split scalar broadcast (IVM delta cut)
+               "mv_incremental_maintenance",
                # query-workload broadcast (first 20 vectors), same shape
                # as emb_cosine_topk; label-mismatch theta join is the
                # documented exact-twin form
@@ -177,6 +179,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/sketches.py", "counters"): "Count-Min d x w counter table",
     ("queries/sketches.py", "words"): "Bloom word table (m/32 rows, bytes-sized)",
     ("queries/storage.py", "dim"): "day dimension (bounded calendar)",
+    ("queries/storage.py", "mx"): "1-row max-date split scalar",
     ("operators/curation.py", "bench"): "eval-suite shingles (MB-scale)",
     ("operators/curation.py", "n_docs"): "1-row scalar aggregate",
     ("operators/similarity.py", "qry"): "query workload (documented small)",
