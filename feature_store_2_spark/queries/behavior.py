@@ -1235,3 +1235,127 @@ def feat_interarrival_stats(spark, sf_dir):
             / (F.col("n") * F.col("n")).cast("double")
         ).alias("var_gap_us2"),
     )
+
+
+_ASSOC_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000
+                OR lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+), sess AS (
+    SELECT user_id, event_type,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM ordered
+), basket AS (
+    SELECT DISTINCT user_id, sid, event_type FROM sess
+), nsess AS (SELECT count(DISTINCT (user_id, sid)) AS n FROM basket),
+item AS (
+    SELECT event_type, count(*) AS c FROM basket GROUP BY event_type
+), pair AS (
+    SELECT a.event_type AS lhs, b.event_type AS rhs, count(*) AS c12
+    FROM basket a JOIN basket b
+      ON a.user_id = b.user_id AND a.sid = b.sid
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.lhs, p.rhs,
+       CAST(p.c12 AS BIGINT) AS n_cosessions,
+       CAST(p.c12 AS DOUBLE) / n.n AS support,
+       CAST(p.c12 AS DOUBLE) / i1.c AS confidence_lhs_rhs,
+       CAST(p.c12 * n.n AS DOUBLE) / (i1.c * i2.c) AS lift
+FROM pair p
+JOIN item i1 ON p.lhs = i1.event_type
+JOIN item i2 ON p.rhs = i2.event_type
+CROSS JOIN nsess n
+"""
+
+
+@register(
+    "assoc_rules_session_pairs",
+    _ASSOC_ORACLE,
+    doc="association rules over session baskets (market-basket "
+    "analysis): sessionize with the 30-minute gap rule, reduce each "
+    "session to its distinct event-type basket, then score every "
+    "type pair with support, confidence and lift — lift > 1 says "
+    "the types co-occur beyond chance, the signal behind "
+    "'users who X also Y'. Exactness: all three metrics are single "
+    "divisions of exact integer counts (lift as c12*n/(c1*c2), one "
+    "division — the PMI-without-ln form). Scale: sessionization is "
+    "one user-keyed window; baskets collapse sessions to distinct "
+    "types BEFORE pairing, so the pair join fans out C(k,2) per "
+    "session with k bounded by the type domain, never by session "
+    "length; the session-count scalar is a 1-row broadcast.",
+)
+def assoc_rules_session_pairs(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(
+        gap.isNull() | (gap > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(new_s)
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    basket = sess.select("user_id", "sid", "event_type").distinct()
+    nsess = basket.select("user_id", "sid").distinct().agg(
+        F.count("*").alias("n")
+    )
+    item = basket.groupBy(F.col("event_type").alias("t")).agg(
+        F.count("*").alias("c")
+    )
+    a = basket.select(
+        F.col("user_id").alias("ua"),
+        F.col("sid").alias("sa"),
+        F.col("event_type").alias("lhs"),
+    )
+    b = basket.select(
+        F.col("user_id").alias("ub"),
+        F.col("sid").alias("sb"),
+        F.col("event_type").alias("rhs"),
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("lhs") < F.col("rhs")),
+        )
+        .groupBy("lhs", "rhs")
+        .agg(F.count("*").alias("c12"))
+    )
+    return (
+        pair.join(
+            F.broadcast(item.select(F.col("t").alias("lhs"), F.col("c").alias("c1"))),
+            "lhs",
+        )
+        .join(
+            F.broadcast(item.select(F.col("t").alias("rhs"), F.col("c").alias("c2"))),
+            "rhs",
+        )
+        .join(F.broadcast(nsess))
+        .select(
+            "lhs",
+            "rhs",
+            F.col("c12").cast("long").alias("n_cosessions"),
+            (F.col("c12").cast("double") / F.col("n")).alias("support"),
+            (F.col("c12").cast("double") / F.col("c1")).alias(
+                "confidence_lhs_rhs"
+            ),
+            (
+                (F.col("c12") * F.col("n")).cast("double")
+                / (F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+    )

@@ -449,3 +449,29 @@ def test_ledger_reconciliation_ranks_worst_diffs(spark, tmp_path):
     assert rows[0]["abs_diff"] == 30.0
     assert rows[1]["abs_diff"] == 0.0
     assert rows[1]["n_lines"] == 2
+
+
+def test_assoc_rules_support_confidence_lift(spark, tmp_path):
+    from feature_store_2_spark.queries.behavior import (
+        assoc_rules_session_pairs,
+    )
+
+    # 4 sessions (one per user, tight timestamps):
+    #   u1: {view, click}; u2: {view, click}; u3: {view}; u4: {click}.
+    # c(view)=3, c(click)=3, c12=2, n=4 ->
+    # support 0.5, confidence 2/3, lift 2*4/9.
+    rows = [
+        (1, 0.000, 1, "view", 1.0), (2, 0.001, 1, "click", 1.0),
+        (3, 0.000, 2, "view", 1.0), (4, 0.001, 2, "click", 1.0),
+        (5, 0.000, 3, "view", 1.0),
+        (6, 0.000, 4, "click", 1.0),
+    ]
+    sf = _events(spark, tmp_path, rows)
+    rowsout = assoc_rules_session_pairs(spark, sf).collect()
+    assert len(rowsout) == 1
+    r = rowsout[0]
+    assert (r["lhs"], r["rhs"]) == ("click", "view")
+    assert r["n_cosessions"] == 2
+    assert r["support"] == 0.5
+    assert r["confidence_lhs_rhs"] == 2 / 3
+    assert r["lift"] == 8 / 9

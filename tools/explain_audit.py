@@ -83,6 +83,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "eval_roc_points",
                # 1-row max-date split scalar broadcast (IVM delta cut)
                "mv_incremental_maintenance",
+               # 1-row session-count scalar broadcast (support denominator)
+               "assoc_rules_session_pairs",
                # query-workload broadcast (first 20 vectors), same shape
                # as emb_cosine_topk; label-mismatch theta join is the
                # documented exact-twin form
@@ -168,6 +170,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/behavior.py", "med"): "1-row scalar aggregate",
     ("queries/behavior.py", "mad"): "1-row scalar aggregate",
     ("queries/behavior.py", "stats"): "1-row scalar aggregate",
+    ("queries/behavior.py", "item"): "item-count table (|event_types| rows)",
+    ("queries/behavior.py", "nsess"): "1-row session-count scalar",
     ("queries/quality.py", "uniq"): "1-row scalar aggregate",
     ("queries/quality.py", "tot"): "1-row scalar aggregate",
     ("queries/quality.py", "act"): "1-row scalar aggregate",
