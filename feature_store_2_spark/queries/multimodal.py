@@ -122,3 +122,33 @@ def mm_audio_window_energy(spark, sf_dir):
     from feature_store_2_spark.operators.multimodal import audio_window_energy
 
     return audio_window_energy(with_payload(load_table(spark, "documents", sf_dir)))
+
+
+@register(
+    "mm_payload_dedup",
+    """
+SELECT sha256(text) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(doc_id) AS canonical_id,
+       CAST(max(strlen(text)) AS BIGINT) AS byte_len
+FROM documents
+GROUP BY sha256(text)
+""",
+    doc="binary-content dedup: opaque payload bytes (the image/audio "
+    "stand-in, operators/multimodal.with_payload) grouped by their "
+    "sha256 — the content-addressable-storage primitive behind "
+    "asset dedup in multimodal corpora (identical bytes stored once, "
+    "metadata rows keep pointers). Hash computed JVM-side over the "
+    "BINARY column (never the string), canonical = min doc_id. One "
+    "hash aggregate; at 100 TB the 32-byte digests shuffle, never "
+    "the payloads.",
+)
+def mm_payload_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    d = with_payload(load_table(spark, "documents", sf_dir))
+    return d.groupBy(F.sha2(F.col("payload"), 256).alias("content_hash")).agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("doc_id").alias("canonical_id"),
+        F.max("byte_len").cast("long").alias("byte_len"),
+    )

@@ -475,3 +475,28 @@ def test_assoc_rules_support_confidence_lift(spark, tmp_path):
     assert r["support"] == 0.5
     assert r["confidence_lhs_rhs"] == 2 / 3
     assert r["lift"] == 8 / 9
+
+
+def test_link_prediction_wedge_minus_edges(spark, tmp_path):
+    from feature_store_2_spark.queries.llm_text import graph_link_prediction
+
+    # Path graph A-B-C (via >= 8 shared purchase days): A and C are
+    # non-adjacent with one common neighbor B of degree 2 ->
+    # AA = 1/ln(2). A-B and B-C adjacent -> excluded.
+    rows, eid = [], 0
+    # A(1)-B(2) share days 0-7; B(2)-C(3) share days 10-17; A and C
+    # share only 0 days.
+    for day in range(8):
+        for uid in (1, 2):
+            rows.append((eid, day + 0.5, uid, "purchase", 1.0)); eid += 1
+    for day in range(10, 18):
+        for uid in (2, 3):
+            rows.append((eid, day + 0.5, uid, "purchase", 1.0)); eid += 1
+    sf = _events(spark, tmp_path, rows)
+    out = graph_link_prediction(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    import math
+    assert (r["user_a"], r["user_b"]) == (1, 3)
+    assert r["common_neighbors"] == 1
+    assert r["adamic_adar"] == round(1 / math.log(2), 6)
