@@ -1078,3 +1078,76 @@ def window_cumulative_share(spark, sf_dir):
         run.cast("long").alias("running_total"),
         (run.cast("double") / tot).alias("pct_complete"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily value bands (exact discrete quantiles)
+# ---------------------------------------------------------------------------
+
+_BANDS_ORACLE = """
+WITH p AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm,
+           event_id
+    FROM events WHERE event_type = 'purchase'
+), rk AS (
+    SELECT d, vm,
+           row_number() OVER (PARTITION BY d ORDER BY vm, event_id) AS r,
+           count(*) OVER (PARTITION BY d) AS n
+    FROM p
+)
+SELECT d,
+       CAST(max(n) AS INT) AS n_purchases,
+       max(CASE WHEN r = CAST(ceil(0.1 * n) AS BIGINT) THEN vm END)
+           AS p10_micro,
+       max(CASE WHEN r = CAST(ceil(0.5 * n) AS BIGINT) THEN vm END)
+           AS p50_micro,
+       max(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT) THEN vm END)
+           AS p90_micro
+FROM rk GROUP BY d
+"""
+
+
+@register(
+    "ts_value_band_profile",
+    _BANDS_ORACLE,
+    doc="daily purchase-value bands: exact DISCRETE P10/P50/P90 per "
+    "day in fixed-point micro-units — the percentile ribbons behind "
+    "'typical order value' dashboards. Discrete semantics (the "
+    "element at rank ceil(q*n), (value, event_id) total order) "
+    "means NO interpolation ever happens, so any quantile is exact "
+    "BIGINT — the general-q complement to funnel_time_to_convert's "
+    "median-only interpolated form. ceil(q*n) is computed on "
+    "doubles whose inputs are small integers (exact in binary for "
+    "q = 0.1/0.5/0.9 times any n < 2^50... the CASE rank-pick makes "
+    "engine agreement structural, not numeric: both engines pick "
+    "the SAME rank or the hash fails loudly). One window + one "
+    "conditional agg per day partition.",
+)
+def ts_value_band_profile(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.to_date("ts").alias("d"),
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("vm"),
+        "event_id",
+    )
+    w = W.partitionBy("d")
+    rk = p.select(
+        "d",
+        "vm",
+        F.row_number().over(w.orderBy("vm", "event_id")).alias("r"),
+        F.count("*").over(w).alias("n"),
+    )
+
+    def pick(q):
+        target = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("r") == target, F.col("vm")))
+
+    return rk.groupBy("d").agg(
+        F.max("n").cast("int").alias("n_purchases"),
+        pick(0.1).alias("p10_micro"),
+        pick(0.5).alias("p50_micro"),
+        pick(0.9).alias("p90_micro"),
+    )

@@ -500,3 +500,17 @@ def test_link_prediction_wedge_minus_edges(spark, tmp_path):
     assert (r["user_a"], r["user_b"]) == (1, 3)
     assert r["common_neighbors"] == 1
     assert r["adamic_adar"] == round(1 / math.log(2), 6)
+
+
+def test_value_bands_exact_rank_picks(spark, tmp_path):
+    from feature_store_2_spark.queries.timeseries import ts_value_band_profile
+
+    # 10 purchases on one day with values 1..10: ceil ranks 1, 5, 9 ->
+    # p10 = 1.0, p50 = 5.0, p90 = 9.0 (micro-units).
+    rows = [(i, 0.5, 1, "purchase", float(i + 1)) for i in range(10)]
+    sf = _events(spark, tmp_path, rows)
+    row = ts_value_band_profile(spark, sf).collect()[0]
+    assert row["n_purchases"] == 10
+    assert row["p10_micro"] == 1_000_000
+    assert row["p50_micro"] == 5_000_000
+    assert row["p90_micro"] == 9_000_000
