@@ -1359,3 +1359,84 @@ def assoc_rules_session_pairs(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+_MOTIF_ORACLE = """
+WITH tl AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list({'t': epoch_us(ts), 'e': event_id,
+                               'y': event_type})),
+               x -> x.y) AS seq
+    FROM events GROUP BY user_id
+), tri AS (
+    SELECT seq[i] || '>' || seq[i+1] || '>' || seq[i+2] AS motif,
+           user_id
+    FROM tl, unnest(range(1, len(seq) - 1)) AS t(i)
+), counts AS (
+    SELECT motif,
+           count(*) AS n_occurrences,
+           count(DISTINCT user_id) AS n_users
+    FROM tri GROUP BY motif
+), tot AS (SELECT sum(n_occurrences) AS t FROM counts)
+SELECT motif,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_occurrences AS DOUBLE) / t AS share
+FROM counts CROSS JOIN tot
+ORDER BY n_occurrences DESC, motif
+LIMIT 20
+"""
+
+
+@register(
+    "seq_frequent_motifs",
+    _MOTIF_ORACLE,
+    doc="frequent behavioral motifs: the top-20 event-type TRIGRAMS "
+    "across all per-user timelines (total (ts, event_id) order), "
+    "with occurrence count, distinct-user support and share — the "
+    "sequence-mining step up from path_transitions' first-order "
+    "Markov bigrams, where 'view>click>purchase' vs "
+    "'view>click>error' separates converting journeys from broken "
+    "ones. One shuffle builds the timelines (collect+sort per user, "
+    "the funnel_conversion shape), trigrams explode JVM-side from "
+    "the sorted array (per-user cost = their own event count), one "
+    "hash agg counts motifs; the grand total is a 1-row broadcast "
+    "scalar and share is ONE exact division. Top-20 via TakeOrdered "
+    "with a motif tie-break.",
+)
+def seq_frequent_motifs(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    timeline = F.expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, "
+        "event_type))), x -> x.event_type)"
+    )
+    tl = ev.groupBy("user_id").agg(timeline.alias("seq"))
+    tri = tl.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(seq) - 2, 0)), "
+                "i -> concat(element_at(seq, i), '>', "
+                "element_at(seq, i + 1), '>', element_at(seq, i + 2)))"
+            )
+        ).alias("motif"),
+    )
+    counts = tri.groupBy("motif").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    tot = counts.agg(F.sum("n_occurrences").alias("t"))
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "motif",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_users").cast("long").alias("n_users"),
+            (F.col("n_occurrences").cast("double") / F.col("t")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("motif"))
+        .limit(20)
+    )

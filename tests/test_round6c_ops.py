@@ -514,3 +514,24 @@ def test_value_bands_exact_rank_picks(spark, tmp_path):
     assert row["p10_micro"] == 1_000_000
     assert row["p50_micro"] == 5_000_000
     assert row["p90_micro"] == 9_000_000
+
+
+def test_frequent_motifs_counts_and_share(spark, tmp_path):
+    from feature_store_2_spark.queries.behavior import seq_frequent_motifs
+
+    # u1: v c p v c p -> trigrams vcp, cpv, pvc, vcp; u2: v c p -> vcp.
+    # vcp: 3 occurrences across 2 users; total trigrams = 5.
+    rows = []
+    eid = 0
+    for off, et in enumerate(["view", "click", "purchase"] * 2):
+        rows.append((eid, 0.01 * off, 1, et, 1.0)); eid += 1
+    for off, et in enumerate(["view", "click", "purchase"]):
+        rows.append((eid, 0.01 * off, 2, et, 1.0)); eid += 1
+    sf = _events(spark, tmp_path, rows)
+    out = {
+        r["motif"]: (r["n_occurrences"], r["n_users"], r["share"])
+        for r in seq_frequent_motifs(spark, sf).collect()
+    }
+    assert out["view>click>purchase"] == (3, 2, 3 / 5)
+    assert out["click>purchase>view"] == (1, 1, 1 / 5)
+    assert len(out) == 3

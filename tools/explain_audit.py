@@ -85,6 +85,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "mv_incremental_maintenance",
                # 1-row session-count scalar broadcast (support denominator)
                "assoc_rules_session_pairs",
+               # 1-row motif-total scalar broadcast (share denominator)
+               "seq_frequent_motifs",
                # query-workload broadcast (first 20 vectors), same shape
                # as emb_cosine_topk; label-mismatch theta join is the
                # documented exact-twin form
