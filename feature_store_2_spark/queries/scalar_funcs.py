@@ -670,3 +670,58 @@ def func_business_days(spark, sf_dir):
         nbd.alias("next_business_day"),
         sla.alias("sla_5bd"),
     )
+
+
+_TZ_ZONES = ("America/New_York", "Europe/Berlin", "Asia/Kolkata")
+
+_TZ_ORACLE = f"""
+WITH z AS (SELECT unnest(['{_TZ_ZONES[0]}', '{_TZ_ZONES[1]}',
+                          '{_TZ_ZONES[2]}']) AS zone),
+conv AS (
+    SELECT e.event_id, z.zone,
+           (e.ts AT TIME ZONE 'UTC') AT TIME ZONE z.zone AS lts,
+           e.ts
+    FROM events e CROSS JOIN z
+    WHERE e.event_type = 'purchase'
+)
+SELECT event_id, zone,
+       CAST(lts AS DATE) AS local_date,
+       CAST(hour(lts) AS INT) AS local_hour,
+       CAST((epoch_us(lts) - epoch_us(ts)) // 60000000 AS INT)
+           AS utc_offset_min
+FROM conv
+"""
+
+
+@register(
+    "func_timezone_convert",
+    _TZ_ORACLE,
+    doc="timezone conversion with real tzdb semantics: every purchase "
+    "timestamp (stored UTC) rendered in three business zones — "
+    "including Asia/Kolkata's +05:30 half-hour offset — with local "
+    "date, local hour, and the derived UTC offset in minutes "
+    "(epoch-difference of the wall-clock shift, so the offset is "
+    "what the tz database actually applied, not a hardcoded "
+    "constant). Both engines defer to the IANA tzdb (Spark "
+    "from_utc_timestamp / DuckDB ICU AT TIME ZONE), so agreement "
+    "checks the DST rules themselves; the DST spring-forward "
+    "boundary is pinned on crafted March data in pytest. "
+    "Zero-shuffle codegen pass; the 3-zone spine is a literal "
+    "explode (x3 row expansion, no join).",
+)
+def func_timezone_convert(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase")
+    z = F.explode(F.array(*[F.lit(z) for z in _TZ_ZONES])).alias("zone")
+    conv = p.select("event_id", "ts", z).withColumn(
+        "lts", F.from_utc_timestamp(F.col("ts"), F.col("zone"))
+    )
+    return conv.select(
+        "event_id",
+        "zone",
+        F.to_date("lts").alias("local_date"),
+        F.hour("lts").cast("int").alias("local_hour"),
+        F.expr(
+            "CAST((unix_micros(lts) - unix_micros(ts)) div 60000000 AS INT)"
+        ).alias("utc_offset_min"),
+    )

@@ -535,3 +535,30 @@ def test_frequent_motifs_counts_and_share(spark, tmp_path):
     assert out["view>click>purchase"] == (3, 2, 3 / 5)
     assert out["click>purchase>view"] == (1, 1, 1 / 5)
     assert len(out) == 3
+
+
+def test_timezone_dst_spring_forward(spark, tmp_path):
+    from feature_store_2_spark.queries.scalar_funcs import (
+        func_timezone_convert,
+    )
+
+    # 2024-03-10: US DST jump at 07:00 UTC. 06:30 UTC is still EST
+    # (-300 min, 01:30 local); 07:30 UTC is EDT (-240 min, 03:30
+    # local — 02:30 never exists). Kolkata stays +330 all year.
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 3, 10, 6, 30), 1, "purchase", 1.0, "{}"),
+            (2, dt.datetime(2024, 3, 10, 7, 30), 1, "purchase", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = os.path.join(str(tmp_path), "sf")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    out = {
+        (r["event_id"], r["zone"]): (r["local_hour"], r["utc_offset_min"])
+        for r in func_timezone_convert(spark, sf).collect()
+    }
+    assert out[(1, "America/New_York")] == (1, -300)
+    assert out[(2, "America/New_York")] == (3, -240)
+    assert out[(1, "Asia/Kolkata")] == (12, 330)
