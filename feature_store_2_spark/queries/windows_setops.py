@@ -772,3 +772,60 @@ def func_transpose_metrics(spark, sf_dir):
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
     return m.transpose("l_returnflag")
+
+
+_PYTH_MEANS_ORACLE = """
+WITH p AS (
+    SELECT event_type, CAST(value AS DOUBLE) AS v
+    FROM events WHERE value > 0
+), m AS (
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(v AS DECIMAL(18,6))) AS s,
+           sum(ln(v)) AS slog,
+           sum(1.0 / v) AS srecip
+    FROM p GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(s AS DOUBLE) / n AS arithmetic_mean,
+       round(exp(slog / n), 6) AS geometric_mean,
+       round(n / srecip, 6) AS harmonic_mean
+FROM m
+"""
+
+
+@register(
+    "agg_pythagorean_means",
+    _PYTH_MEANS_ORACLE,
+    doc="the three Pythagorean means of positive event values per "
+    "type: arithmetic (exact — DECIMAL sum, one division), geometric "
+    "(exp of the mean log — the right average for ratios/growth "
+    "rates), harmonic (n over the reciprocal sum — the right average "
+    "for rates, and the mean AM >= GM >= HM inequality makes a "
+    "free self-check, pytest-pinned). Geometric and harmonic emit "
+    "at 6 dp: their float sums are addition-order-dependent across "
+    "partitions and libm ln/exp differ by 1 ulp (doc_word_entropy "
+    "recipe); the arithmetic mean stays bit-exact. One hash "
+    "aggregate, partial aggs do all the work.",
+)
+def agg_pythagorean_means(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("value") > 0).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    m = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,6)")).alias("s"),
+        F.sum(F.log("v")).alias("slog"),
+        F.sum(F.lit(1.0) / F.col("v")).alias("srecip"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("s").cast("double") / F.col("n")).alias("arithmetic_mean"),
+        F.round(F.exp(F.col("slog") / F.col("n")), 6).alias(
+            "geometric_mean"
+        ),
+        F.round(F.col("n") / F.col("srecip"), 6).alias("harmonic_mean"),
+    )

@@ -562,3 +562,19 @@ def test_timezone_dst_spring_forward(spark, tmp_path):
     assert out[(1, "America/New_York")] == (1, -300)
     assert out[(2, "America/New_York")] == (3, -240)
     assert out[(1, "Asia/Kolkata")] == (12, 330)
+
+
+def test_pythagorean_means_inequality_and_values(spark, tmp_path):
+    from feature_store_2_spark.queries.windows_setops import (
+        agg_pythagorean_means,
+    )
+
+    # Values 1, 4: AM = 2.5, GM = 2, HM = 1.6; AM >= GM >= HM.
+    rows = [(1, 0.5, 1, "view", 1.0), (2, 0.6, 1, "view", 4.0)]
+    sf = _events(spark, tmp_path, rows)
+    r = agg_pythagorean_means(spark, sf).collect()[0]
+    assert r["n"] == 2
+    assert r["arithmetic_mean"] == 2.5
+    assert r["geometric_mean"] == 2.0
+    assert r["harmonic_mean"] == 1.6
+    assert r["arithmetic_mean"] >= r["geometric_mean"] >= r["harmonic_mean"]
