@@ -1239,7 +1239,7 @@ def feat_interarrival_stats(spark, sf_dir):
 
 _ASSOC_ORACLE = """
 WITH ordered AS (
-    SELECT user_id, event_type, ts,
+    SELECT user_id, event_type, ts, event_id,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id)
                     > 1800000000
@@ -1249,7 +1249,7 @@ WITH ordered AS (
     FROM events
 ), sess AS (
     SELECT user_id, event_type,
-           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
     FROM ordered
 ), basket AS (
@@ -1412,6 +1412,11 @@ def seq_frequent_motifs(spark, sf_dir):
         "event_type))), x -> x.event_type)"
     )
     tl = ev.groupBy("user_id").agg(timeline.alias("seq"))
+    # Guard short timelines: sequence(1, greatest(size-2, 0)) yields
+    # [1, 0] (step -1) when size(seq) < 3 and element_at then indexes
+    # past the array — filter exactly as the oracle's trigram window
+    # produces no rows for such users.
+    tl = tl.filter(F.expr("size(seq) >= 3"))
     tri = tl.select(
         "user_id",
         F.explode(

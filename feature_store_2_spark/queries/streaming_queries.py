@@ -1275,6 +1275,22 @@ def stream_activity_bitmap(spark, sf_dir):
             "user_id",
             F.datediff(F.to_date("ts"), F.col("d0")).alias("day_idx"),
         )
+        # Same loud 64-day horizon guard as agg_activity_bitmap:
+        # shiftleft wraps shift mod 64 silently, DuckDB raises — make
+        # both engines fail the same way (un-prunable assert filter).
+        .filter(
+            F.coalesce(
+                F.assert_true(
+                    F.col("day_idx") <= F.lit(63),
+                    F.lit(
+                        "stream_activity_bitmap: corpus spans > 64 "
+                        "days — use the (user, epoch_week) word-array "
+                        "form"
+                    ),
+                ),
+                F.lit(True),
+            )
+        )
         .groupBy("user_id")
         .agg(
             F.bit_or(

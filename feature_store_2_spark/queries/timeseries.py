@@ -914,6 +914,25 @@ def agg_activity_bitmap(spark, sf_dir):
         )
         .distinct()
     )
+    # Enforce the single-word horizon LOUDLY: DuckDB raises Out of
+    # Range for shift >= 64 while Spark shiftleft silently wraps the
+    # shift amount mod 64 (day N aliases onto day N-64). assert_true
+    # inside a pass-through filter (coalesce(NULL, true)) cannot be
+    # pruned by Catalyst, so both engines now fail the same way; the
+    # documented scale form past 64 days is words keyed by
+    # (user, epoch_week).
+    days = days.filter(
+        F.coalesce(
+            F.assert_true(
+                F.col("day_idx") <= F.lit(63),
+                F.lit(
+                    "agg_activity_bitmap: corpus spans > 64 days — "
+                    "use the (user, epoch_week) word-array form"
+                ),
+            ),
+            F.lit(True),
+        )
+    )
     masks = days.groupBy("user_id").agg(
         F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), day_idx)")).alias(
             "mask"
@@ -1004,13 +1023,19 @@ def ts_autocorr_weekly(spark, sf_dir):
         & (F.col("db") == F.date_sub(F.col("da"), 7)),
     )
     dec = lambda c: c.cast("decimal(38,0)")
+    # Lift each factor to DECIMAL BEFORE multiplying and sum in
+    # decimal (the feat_interarrival_stats recipe) — summing x*x in
+    # BIGINT silently overflows int64 once daily counts reach ~3e9,
+    # while the oracle accumulates in HUGEINT.
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     m = pair.groupBy(F.col("t").alias("event_type")).agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
-        dec(F.sum("x")).alias("sx"),
-        dec(F.sum("y")).alias("sy"),
-        dec(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
-        dec(F.sum(F.col("y") * F.col("y"))).alias("syy"),
-        dec(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        dec(F.sum(xd)).alias("sx"),
+        dec(F.sum(yd)).alias("sy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
