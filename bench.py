@@ -187,23 +187,41 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        # Adjudication block (r5 verdict ask #4): per-query attempt
-        # spreads, /proc/loadavg sampled before each query, and run
-        # timestamps — enough to attribute a round-over-round total
-        # delta to box contention vs plan change from this artifact
-        # alone. Consumers of the headline keys above are unaffected.
-        "noise": {
-            "attempts_sec": spreads,
-            "loadavg_before": loads,
-            "run_started_utc": time.strftime(
-                "%Y-%m-%dT%H:%M:%SZ", time.gmtime(t_run_start)
-            ),
-            "run_seconds": round(time.time() - t_run_start, 1),
-            "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
-        },
+    }
+    # Adjudication block (r5 verdict ask #4): per-query attempt
+    # spreads, /proc/loadavg sampled before each query, and run
+    # timestamps — enough to attribute a round-over-round total delta
+    # to box contention vs plan change. Round 6 lesson: this payload
+    # pushed the single stdout line past the driver's 2 000-char tail
+    # capture and the official headline was lost ("parsed": null) —
+    # so the noise detail now goes to a LOCAL file and only the
+    # compact headline (≈1.3 kB at 36 queries) is printed, as the
+    # LAST stdout line.
+    detail = dict(out)
+    detail["noise"] = {
+        "attempts_sec": spreads,
+        "loadavg_before": loads,
+        "run_started_utc": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(t_run_start)
+        ),
+        "run_seconds": round(time.time() - t_run_start, 1),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
     }
     if errors:
-        out["errors"] = errors
+        # Full error strings live in the detail file; the compact line
+        # carries only the failing names so it cannot blow the budget.
+        detail["errors"] = errors
+        out["errors"] = sorted(errors)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        out["detail"] = os.path.basename(detail_path)
+    except OSError:
+        pass  # detail is best-effort; the headline line must survive
+    sys.stdout.flush()
     print(json.dumps(out))
     spark.stop()
     if errors:

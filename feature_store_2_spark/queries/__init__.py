@@ -76,6 +76,14 @@ _STAPLES: tuple[str, ...] = (
     "sessionize_events",
 )
 
+# Entries whose LAST driver row predates a material upgrade (e.g.
+# emb_kmeans_fit's r4 row is rows-only but the entry has carried an
+# exact unrolled oracle since r6 — r6 verdict ask #5). They queue
+# immediately after the never-scored tier so the upgraded evidence
+# reaches the driver ahead of ordinary staleness rotation; remove a
+# name once its fresh row lands.
+_PINNED_RESCORE: tuple[str, ...] = ("emb_kmeans_fit",)
+
 
 def _scored_rounds() -> dict[str, int]:
     """name -> most recent round with a driver CORRECTNESS row.
@@ -141,6 +149,10 @@ def _derive_head(names_in_order: list[str]) -> list[str]:
         (n for n in names_in_order if n not in scored and n not in taken),
         key=lambda n: (reg.get(n, 1 << 30), order[n]),
     )
+    taken = set(head)
+    head += [
+        n for n in _PINNED_RESCORE if n in order and n not in taken
+    ]
     taken = set(head)
     stale = sorted(
         (n for n in names_in_order if n not in taken),
