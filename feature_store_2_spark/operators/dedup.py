@@ -22,6 +22,7 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
+import math
 from functools import reduce
 
 import numpy as np
@@ -307,6 +308,52 @@ def minhash_lsh_candidate_pairs(
 
 SRP_BITS = 32
 SRP_BAND_BITS = 4  # 8 bands of 4 bits
+
+
+def srp_adaptive_params(
+    n: int,
+    threshold: float,
+    target_occupancy: int = 64,
+    recall: float = 0.9,
+    max_bits: int = 256,
+) -> tuple[int, int]:
+    """(n_bits, band_bits) sized to the CORPUS, not a constant.
+
+    The round-7 scale rehearsal measured the failure mode of fixed
+    band width directly: with SRP_BAND_BITS=4 every band has only 16
+    possible buckets, so expected candidate pairs are ~n^2/16 per band
+    REGARDLESS of corpus size — a hidden quadratic invisible at sf0.1
+    (time-vs-rows exponent 1.42 at 10x, BENCH_NOTES.md r7). The fix is
+    standard LSH sizing: band_bits grows with log2(n/occupancy) so
+    expected bucket occupancy — and with it per-vector candidate work —
+    stays bounded, and the band COUNT grows to hold the recall bound
+    1-(1-p^r)^b >= recall at the given cosine threshold
+    (p = 1 - acos(t)/pi). Candidate volume is then ~n * occupancy *
+    bands: linear in n with a log-ish band factor.
+
+    No parameter choice makes an LSH similarity JOIN truly linear:
+    theory gives ~n^(1+rho) with rho = ln(1/p1)/ln(1/p2). At the
+    catalog demo threshold 0.45 (p1≈0.65) rho≈0.62 — LSH barely beats
+    brute force, which is WHY production near-dup runs t >= 0.8
+    (rho≈0.33) or 0.9 (rho≈0.21). ``max_bits`` caps the signature so a
+    low-threshold/high-recall ask degrades recall instead of exploding
+    the hyperplane matrix (bands are clamped to max_bits//band_bits).
+
+    The catalog entry keeps the fixed 32/4 layout because its DuckDB
+    oracle rebuilds that exact hyperplane matrix; this helper is the
+    production entry point for corpus-sized runs (used by the scale
+    rehearsal; recall floor pytest-pinned at small scale)."""
+    band_bits = max(
+        SRP_BAND_BITS, math.ceil(math.log2(max(n, 2) / target_occupancy))
+    )
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    pr = p**band_bits
+    if pr >= 1.0:
+        bands = 1
+    else:
+        bands = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - pr)))
+    bands = min(bands, max(1, max_bits // band_bits))
+    return bands * band_bits, band_bits
 
 
 def _srp_sign(h: int, i: int) -> int:

@@ -183,6 +183,7 @@ def _load_all() -> None:
         "llm_curation",
         "training_data",
         "quality",
+        "feature_eng",
         "llm_similarity",
         "multimodal",
         "storage",

@@ -1,0 +1,423 @@
+"""Feature-engineering + model-evaluation query family (round 7).
+
+The transforms a training pipeline applies between the raw event store
+and the model: missing-value imputation, leave-one-out target encoding,
+the hashing trick, score-calibration audit, and a two-sample KS test
+for covariate shift. Reference parity: the reference computes per-user
+aggregates that feed scalar rules (/root/reference/models/aggregate.py:
+41-83, /root/reference/models/rules.py:25-75); these entries are the
+same per-key-aggregate → per-row-derived-feature shape, generalized to
+the encodings a 100 TB feature pipeline actually ships.
+
+Exactness doctrine (repo standard): monetary doubles go through the
+DECIMAL(18,6) micro-unit cast, all accumulation is integer/decimal, and
+every double in the output is ONE division (or a chain of per-row
+deterministic ops) over exactly-agreed operands — so driver value
+hashes match bit-for-bit. All sampling/bucketing randomness is
+md5(id)-derived (the training_data.py idiom), never rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+_HEXD = "0123456789abcdef"
+
+
+def _v_micro(col: str = "value") -> F.Column:
+    """DECIMAL(18,6) round-half-up micro-units (the agg_gini_spend
+    recipe) — never floor-on-double."""
+    return (F.col(col).cast("decimal(18,6)") * 1_000_000).cast("long")
+
+
+_V_MICRO_SQL = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Mean imputation
+# ---------------------------------------------------------------------------
+
+_IMPUTE_ORACLE = f"""
+WITH base AS (
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE {_V_MICRO_SQL} END AS v_micro
+    FROM events
+), per_user AS (
+    SELECT user_id,
+           sum(v_micro) AS s,
+           count(v_micro) AS n
+    FROM base GROUP BY user_id
+), overall AS (
+    SELECT sum(v_micro) AS gs, count(v_micro) AS gn FROM base
+)
+SELECT b.event_id,
+       b.user_id,
+       b.v_micro IS NULL AS was_missing,
+       CASE
+         WHEN b.v_micro IS NOT NULL THEN CAST(b.v_micro AS DOUBLE)
+         WHEN u.n > 0 THEN CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE)
+         ELSE CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)
+       END / 1e6 AS value_filled
+FROM base b
+JOIN per_user u ON b.user_id = u.user_id
+CROSS JOIN overall g
+"""
+
+
+@register(
+    "feat_mean_impute",
+    _IMPUTE_ORACLE,
+    doc="missing-value imputation: 'error' events' value is treated as "
+    "unobserved and filled with the user's mean over observed rows, "
+    "falling back to the global mean for users with no observed "
+    "values — the imputer every tabular training pipeline runs "
+    "before a model that can't take NULLs. Exactness: observed "
+    "values go through micro-units; each mean is division of an "
+    "exact BIGINT sum by an exact count (then one /1e6), identical "
+    "on both engines. Scale: one per-user partial agg (map-side "
+    "combine), the global mean is a 1-row broadcast, and the "
+    "join-back is on the pre-aggregated user table — per-row work "
+    "stays JVM-side, no window over the raw fact.",
+)
+def feat_mean_impute(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            _v_micro()
+        ).alias("v_micro"),
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.sum("v_micro").alias("s"), F.count("v_micro").alias("n")
+    )
+    glob = base.agg(
+        F.sum("v_micro").alias("gs"), F.count("v_micro").alias("gn")
+    )
+    user_mean = (
+        F.col("s").cast("double") / F.col("n").cast("double")
+    )
+    glob_mean = F.col("gs").cast("double") / F.col("gn").cast("double")
+    return (
+        base.join(per_user, "user_id")
+        .join(F.broadcast(glob))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("v_micro").isNull().alias("was_missing"),
+            (
+                F.when(
+                    F.col("v_micro").isNotNull(),
+                    F.col("v_micro").cast("double"),
+                )
+                .when(F.col("n") > 0, user_mean)
+                .otherwise(glob_mean)
+                / 1e6
+            ).alias("value_filled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+_TE_ORACLE = f"""
+WITH base AS (
+    SELECT event_id, event_type, {_V_MICRO_SQL} AS y
+    FROM events
+), cat AS (
+    SELECT event_type, sum(y) AS s, count(*) AS n
+    FROM base GROUP BY event_type
+)
+SELECT b.event_id,
+       b.event_type,
+       CAST(c.n AS BIGINT) AS n_category,
+       CASE WHEN c.n > 1
+            THEN CAST(c.s - b.y AS DOUBLE) / CAST(c.n - 1 AS DOUBLE) / 1e6
+       END AS te_loo
+FROM base b JOIN cat c ON b.event_type = c.event_type
+"""
+
+
+@register(
+    "feat_target_encoding_loo",
+    _TE_ORACLE,
+    doc="leave-one-out target encoding: each row's category "
+    "(event_type) is replaced by the mean target (value) of the "
+    "OTHER rows in that category — (sum_c - y_i)/(n_c - 1) — the "
+    "leakage-safe form of mean encoding (plain per-category mean "
+    "leaks each row's own label into its feature; LOO is the "
+    "standard fix, NULL for singleton categories). Exactness: "
+    "targets in micro-units, the encoding is one division of "
+    "exact BIGINTs per row. Scale: the category table is tiny "
+    "(distinct event types) — one partial agg then a BROADCAST "
+    "join-back; no per-category window over the raw fact, so a "
+    "skewed category costs nothing extra.",
+)
+def feat_target_encoding_loo(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select("event_id", "event_type", _v_micro().alias("y"))
+    cat = base.groupBy("event_type").agg(
+        F.sum("y").alias("s"), F.count("*").alias("n")
+    )
+    return base.join(F.broadcast(cat), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("n").cast("long").alias("n_category"),
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("y")).cast("double")
+            / (F.col("n") - 1).cast("double")
+            / 1e6,
+        ).alias("te_loo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins
+# ---------------------------------------------------------------------------
+
+_CALIB_DIGIT = (
+    "(CAST(position(substr(md5(CAST(event_id AS VARCHAR)), {i}, 1) IN "
+    f"'{_HEXD}') AS BIGINT) - 1)"
+)
+_CALIB_SCORE = " + ".join(
+    f"{_CALIB_DIGIT.format(i=i)} * {16 ** (4 - i)}" for i in range(1, 5)
+)
+
+_CALIB_ORACLE = f"""
+WITH scored AS (
+    SELECT ({_CALIB_SCORE}) AS s,
+           event_type = 'purchase' AS y
+    FROM events
+), binned AS (
+    SELECT (s * 10) // 65536 AS bin, s, y FROM scored
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 65536
+           AS mean_score,
+       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS frac_positive
+FROM binned GROUP BY bin
+"""
+
+
+@register(
+    "eval_calibration_bins",
+    _CALIB_ORACLE,
+    doc="calibration-curve bins (reliability diagram): scores bucketed "
+    "into 10 equal-width bins, each reporting mean predicted score "
+    "vs realized positive rate — the audit that catches a model "
+    "whose 0.9 scores hit 60% of the time. The score here is the "
+    "md5(event_id)-derived uniform in [0,1) (16 bits parsed from "
+    "hex digits — the repo's deterministic stand-in for a model "
+    "score; the operator is the binning/audit, not the model), "
+    "label = purchase events. Exactness: scores and bin ids are "
+    "pure integer arithmetic, the two ratios are divisions of "
+    "exact BIGINTs. Scale: one hash agg onto ≤10 groups with "
+    "map-side partials — the cheapest possible shape.",
+)
+def eval_calibration_bins(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    m = F.md5(F.col("event_id").cast("string").cast("binary"))
+
+    def digit(i: int) -> F.Column:
+        return (
+            F.position(F.substring(m, i, 1), F.lit(_HEXD)).cast("long")
+            - 1
+        )
+
+    s = sum(
+        (digit(i) * (16 ** (4 - i)) for i in range(1, 5)), F.lit(0)
+    )
+    scored = ev.select(
+        s.alias("s"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    binned = scored.select(
+        F.expr("(s * 10) DIV 65536").alias("bin"), "s", "y"
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        (
+            F.sum("s").cast("double") / F.count("*").cast("double") / 65536
+        ).alias("mean_score"),
+        (
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("frac_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing trick
+# ---------------------------------------------------------------------------
+
+_HASH_FEAT_DIGIT = (
+    "(CAST(position(substr(md5(f), 1, 1) IN "
+    f"'{_HEXD}') AS BIGINT) - 1)"
+)
+
+_HASHING_ORACLE = f"""
+WITH feats AS (
+    SELECT user_id, 'et=' || event_type AS f FROM events
+    UNION ALL
+    SELECT user_id, 'k=' || json_extract_string(props, '$.k') AS f
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+)
+SELECT user_id,
+       {_HASH_FEAT_DIGIT} AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM feats
+GROUP BY user_id, bucket
+"""
+
+
+@register(
+    "feat_hashing_trick",
+    _HASHING_ORACLE,
+    doc="the hashing trick: categorical features (event type, the "
+    "props.k attribute) are folded into a FIXED 16-slot space by "
+    "hashing the feature string — the unbounded-vocabulary encoder "
+    "(no fitted dictionary, new categories at serving time just "
+    "hash somewhere) every large-scale linear/FM model uses. "
+    "Bucket = first md5 hex digit, identical on both engines; "
+    "collisions are the accepted trade. Scale: explode to 2 "
+    "feature rows per event JVM-side, one hash agg on "
+    "(user, bucket) with map-side combine; output is bounded by "
+    "users x 16 — the dimensionality cap is the point.",
+)
+def feat_hashing_trick(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    feats = ev.select(
+        "user_id",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.concat(F.lit("et="), F.col("event_type")),
+                    F.when(
+                        F.get_json_object("props", "$.k").isNotNull(),
+                        F.concat(
+                            F.lit("k="),
+                            F.get_json_object("props", "$.k"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("f"),
+    )
+    bucket = (
+        F.position(
+            F.substring(F.md5(F.col("f").cast("binary")), 1, 1),
+            F.lit(_HEXD),
+        ).cast("long")
+        - 1
+    )
+    return feats.groupBy(
+        "user_id", bucket.alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS test
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = f"""
+WITH a AS (
+    SELECT {_V_MICRO_SQL} AS v FROM events WHERE event_type = 'click'
+), b AS (
+    SELECT {_V_MICRO_SQL} AS v FROM events WHERE event_type = 'purchase'
+), hist AS (
+    SELECT v,
+           sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+    FROM (SELECT v, 'a' AS side FROM a
+          UNION ALL SELECT v, 'b' FROM b)
+    GROUP BY v
+), cum AS (
+    SELECT v,
+           sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+           sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+    FROM hist
+), n AS (
+    SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb
+)
+SELECT CAST(n.na AS BIGINT) AS n_a,
+       CAST(n.nb AS BIGINT) AS n_b,
+       CAST(max(abs(CAST(cuma AS DECIMAL(38,0)) * n.nb
+                  - CAST(cumb AS DECIMAL(38,0)) * n.na)) AS DOUBLE)
+           / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS ks_d
+FROM cum CROSS JOIN n
+GROUP BY n.na, n.nb
+"""
+
+
+@register(
+    "stats_ks_test",
+    _KS_ORACLE,
+    doc="two-sample Kolmogorov-Smirnov statistic between the value "
+    "distributions of click vs purchase events — the unbinned "
+    "covariate-shift test (dq_distribution_drift is the binned-PSI "
+    "sibling; KS is what you run when the binning itself is in "
+    "question). D = sup|ECDF_a - ECDF_b|, computed EXACTLY by "
+    "cross-multiplication: at each distinct value, |cumA*nB - "
+    "cumB*nA| in DECIMAL(38,0) (the counts' product overflows "
+    "int64 at 100 TB), one final division of exact operands. "
+    "Scale: both ECDFs collapse onto the micro-unit VALUE "
+    "HISTOGRAM first (the agg_gini_spend move) so the running sum "
+    "ranges over the bounded distinct-value domain, never the row "
+    "count; the scale path for the single ordered pass is "
+    "range-partitioned partials + broadcast prefix offsets.",
+)
+def stats_ks_test(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    sides = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        _v_micro().alias("v"),
+        F.when(F.col("event_type") == "click", "a")
+        .otherwise("b")
+        .alias("side"),
+    )
+    hist = sides.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        F.sum("ca").over(wcum).alias("cuma"),
+        F.sum("cb").over(wcum).alias("cumb"),
+    )
+    n = sides.agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("nb"),
+    )
+    d = cum.join(F.broadcast(n)).select(
+        "na",
+        "nb",
+        F.abs(
+            F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+            - F.col("cumb").cast("decimal(38,0)") * F.col("na")
+        ).alias("dnum"),
+    )
+    return d.groupBy("na", "nb").agg(F.max("dnum").alias("m")).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (
+            F.col("m").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("ks_d"),
+    )

@@ -361,3 +361,42 @@ def test_pii_scan_matches_duckdb_on_crafted_rows(spark, tmp_path):
         for r in con.execute(q.oracle).fetchall()
     }
     assert got == exp, (got, exp)
+
+
+def test_srp_adaptive_params_sizing_and_recall(spark, sf_dir):
+    """srp_adaptive_params (r7 scale-rehearsal fix): band width grows
+    with corpus size so bucket occupancy — the n^2/16 fixed-band
+    candidate term the 10x rehearsal measured — stays bounded, band
+    count holds the recall bound, and the signature is capped. Recall
+    floor checked on the real corpus at the catalog threshold."""
+    from feature_store_2_spark.operators.dedup import srp_adaptive_params
+
+    # occupancy-bounded: band_bits strictly grows with corpus size
+    bb = [srp_adaptive_params(n, 0.8)[1] for n in (10**3, 10**6, 10**9)]
+    assert bb == sorted(bb) and bb[-1] > bb[0]
+    # cap honored at the expensive corner (low threshold, high recall)
+    n_bits, band_bits = srp_adaptive_params(10**9, 0.45, max_bits=256)
+    assert n_bits <= 256 and n_bits % band_bits == 0
+    # production threshold needs far fewer bits than the demo threshold
+    # (uncapped comparison: both sides hit a small max_bits otherwise)
+    assert srp_adaptive_params(10**6, 0.8, max_bits=10**6)[0] < (
+        srp_adaptive_params(10**6, 0.45, max_bits=10**6)[0]
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    t = 0.45
+    n = e.count()
+    nb, bb2 = srp_adaptive_params(n, t)
+    exact = {
+        (r["vec1"], r["vec2"], round(r["cosine"], 12))
+        for r in _exact_cosine_pairs(e, t).collect()
+    }
+    ann = {
+        (r["vec1"], r["vec2"], round(r["cosine"], 12))
+        for r in embedding_srp_near_pairs(
+            e, threshold=t, n_bits=nb, band_bits=bb2
+        ).collect()
+    }
+    assert ann <= exact  # precision 1.0: exact re-rank
+    assert exact
+    assert len(ann) / len(exact) >= 0.6  # adaptive bound targets 0.9

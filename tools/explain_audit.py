@@ -90,7 +90,13 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # query-workload broadcast (first 20 vectors), same shape
                # as emb_cosine_topk; label-mismatch theta join is the
                # documented exact-twin form
-               "emb_hard_negative_mining"}
+               "emb_hard_negative_mining",
+               # 1-row global-mean scalar broadcast (all-missing-user
+               # imputation fallback)
+               "feat_mean_impute",
+               # 1-row (n_a, n_b) sample-size scalar broadcast (KS
+               # cross-multiplication denominators)
+               "stats_ks_test"}
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
@@ -105,8 +111,13 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
 # doc_vocab_growth_curve: its global cumulative window runs over the
 # TEN decile rows (metadata by construction — its docstring says so),
 # never the corpus.
+# stats_ks_test: its global ECDF running sum runs over the micro-unit
+# VALUE HISTOGRAM (bounded distinct-value domain, the agg_gini_spend
+# move — its docstring says so), never the row count; scale path is
+# range-partitioned partials + broadcast prefix offsets.
 GLOBAL_WINDOW_OK = {"window_ntile_percentrank", "doc_pack_token_budget",
-                    "doc_tokenize_to_ids", "doc_vocab_growth_curve"}
+                    "doc_tokenize_to_ids", "doc_vocab_growth_curve",
+                    "stats_ks_test"}
 
 _WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
 
@@ -211,6 +222,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/timeseries.py", "n"): "fixed dim (25 rows)",
     ("queries/timeseries.py", "r"): "fixed dim (5 rows)",
     ("queries/timeseries.py", "anchor"): "1-row max-date scalar aggregate",
+    ("queries/feature_eng.py", "glob"): "1-row global-mean scalar aggregate",
+    ("queries/feature_eng.py", "cat"): "category table (|event_types| rows)",
+    ("queries/feature_eng.py", "n"): "1-row sample-sizes scalar aggregate",
 }
 
 _BROADCAST_RE = None  # compiled lazily
