@@ -421,3 +421,69 @@ def stats_ks_test(spark, sf_dir):
             / (F.col("na").cast("double") * F.col("nb").cast("double"))
         ).alias("ks_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = f"""
+WITH base AS (
+    SELECT event_id, event_type, {_V_MICRO_SQL} AS v FROM events
+), ranked AS (
+    SELECT event_id, event_type,
+           rank() OVER (PARTITION BY event_type ORDER BY v) AS r,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM base
+)
+SELECT event_id, event_type,
+       CAST(r AS BIGINT) AS value_rank,
+       CAST(r AS DOUBLE) / CAST(n + 1 AS DOUBLE) AS quantile
+FROM ranked
+"""
+
+
+@register(
+    "feat_quantile_normalize",
+    _QNORM_ORACLE,
+    doc="quantile normalization: each row's value replaced by its "
+    "empirical quantile within its event type — rank/(n+1), the "
+    "distribution-free feature transform that makes heavy-tailed "
+    "columns comparable across types (min rank on ties, so equal "
+    "values get equal quantiles deterministically). Exactness: "
+    "ranks are pure integers, the quantile is one division. Scale: "
+    "NOT a per-type window over the raw fact (5 types = 5 window "
+    "partitions = skew): rows collapse onto the micro-unit VALUE "
+    "HISTOGRAM per type first (the agg_gini_spend move), the "
+    "cumulative count runs over that bounded distinct-value domain, "
+    "and rank = cum_prev + 1 joins back on (type, value) — a "
+    "metadata-scale broadcastable map at any corpus size. The "
+    "ORACLE keeps the textbook per-row rank() form: matching "
+    "hashes prove the histogram identity cross-engine.",
+)
+def feat_quantile_normalize(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select("event_id", "event_type", _v_micro().alias("v"))
+    hist = base.groupBy("event_type", "v").agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    ranks = hist.select(
+        "event_type",
+        "v",
+        (F.sum("c").over(wcum) - F.col("c") + 1).alias("r"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    return base.join(ranks, ["event_type", "v"]).select(
+        "event_id",
+        "event_type",
+        F.col("r").cast("long").alias("value_rank"),
+        (
+            F.col("r").cast("double") / (F.col("n") + 1).cast("double")
+        ).alias("quantile"),
+    )

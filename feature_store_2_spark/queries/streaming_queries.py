@@ -873,6 +873,132 @@ def stream_stream_left_outer(spark, sf_dir):
 
 
 @register(
+    "stream_stream_full_outer",
+    """
+WITH mx AS (
+    SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'click')) AS m),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+    SELECT p.event_id AS purchase_id,
+           COALESCE(p.user_id, c.user_id) AS user_id,
+           epoch_us(p.ts) AS p_ts_us,
+           c.event_id AS click_id,
+           epoch_us(c.ts) AS c_ts_us
+    FROM p FULL JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts)
+SELECT purchase_id, user_id, p_ts_us, click_id, c_ts_us,
+       CASE WHEN purchase_id IS NOT NULL AND click_id IS NOT NULL
+                 THEN 'both'
+            WHEN click_id IS NULL THEN 'purchase_only'
+            ELSE 'click_only' END AS side
+FROM j, mx
+WHERE (p_ts_us IS NOT NULL AND p_ts_us < epoch_us(m))
+   OR (p_ts_us IS NULL AND c_ts_us + 1800000000 < epoch_us(m))
+""",
+    doc="STREAM-STREAM FULL OUTER interval join — both null-padded "
+    "halves at once: purchases with no click in the preceding 30 "
+    "minutes AND clicks that preceded no purchase in the following "
+    "30 each emit padded once the watermark passes their match "
+    "window (the state-eviction path on BOTH sides of the state "
+    "machine, which inner and left outer only half exercise). Same "
+    "range-bounded state as the inner form. Determinism cut at the "
+    "TERMINAL QUERY WATERMARK mx = least(max purchase ts, max click "
+    "ts): purchase-side rows need p_ts < mx (no click with c_ts <= "
+    "p_ts can still arrive), click-only rows need c_ts + 30min < mx "
+    "(no purchase can still match) — rows past the cut are exactly "
+    "the state a finished run never evicts, filtered identically "
+    "from the Spark output and the batch full-join oracle.",
+)
+def stream_stream_full_outer(spark, sf_dir):
+    root = _stage_events(spark, sf_dir)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    path = os.path.join(root, "events")
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    joined = purchases.join(
+        clicks,
+        [
+            purchases.p_user == clicks.c_user,
+            F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"),
+            F.col("c_ts") <= F.col("p_ts"),
+        ],
+        "full_outer",
+    ).select(
+        "purchase_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        "click_id",
+        F.unix_micros("c_ts").alias("c_ts_us"),
+        F.when(
+            F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull(),
+            "both",
+        )
+        .when(F.col("click_id").isNull(), "purchase_only")
+        .otherwise("click_only")
+        .alias("side"),
+    )
+    name = "fs2_stream_stream_full_outer"
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    ev = load_table(spark, "events", sf_dir)
+    mx = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        ).alias("m")
+    ).select(F.unix_micros("m").alias("mx_us"))
+    out = spark.table(name)
+    determined = (
+        F.col("p_ts_us").isNotNull() & (F.col("p_ts_us") < F.col("mx_us"))
+    ) | (
+        F.col("p_ts_us").isNull()
+        & (F.col("c_ts_us") + 1_800_000_000 < F.col("mx_us"))
+    )
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .filter(determined)
+        .select(
+            "purchase_id", "user_id", "p_ts_us", "click_id", "c_ts_us",
+            "side",
+        )
+    )
+
+
+@register(
     "stream_kafka_shaped_ingest",
     """
 SELECT event_type,

@@ -120,3 +120,24 @@ def test_ks_statistic_matches_pandas_ecdf(spark, sf_dir, events_pd):
     )
     assert math.isclose(r["ks_d"], d, rel_tol=1e-12)
     assert 0 <= r["ks_d"] <= 1
+
+
+def test_quantile_normalize_ranks(spark, sf_dir, events_pd):
+    out = _BY["feat_quantile_normalize"].fn(spark, sf_dir).toPandas()
+    assert len(out) == len(events_pd)
+    ev = events_pd.assign(v=[_micro(v) for v in events_pd["value"]])
+    merged = out.merge(ev[["event_id", "v", "event_type"]], on="event_id")
+    for et, grp in list(merged.groupby("event_type_x"))[:2]:
+        n = len(grp)
+        # min-rank ties: rank == 1 + count of strictly smaller values
+        vs = sorted(grp["v"])
+        import bisect
+
+        for _, r in grp.head(20).iterrows():
+            expect = bisect.bisect_left(vs, r["v"]) + 1
+            assert r["value_rank"] == expect
+            assert math.isclose(
+                r["quantile"], expect / (n + 1), rel_tol=1e-12
+            )
+    # quantiles bounded away from 0 and 1
+    assert (out["quantile"] > 0).all() and (out["quantile"] < 1).all()
