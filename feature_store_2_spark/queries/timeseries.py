@@ -1176,3 +1176,76 @@ def ts_value_band_profile(spark, sf_dir):
         pick(0.5).alias("p50_micro"),
         pick(0.9).alias("p90_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak interval concurrency (sweep line)
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH b AS (
+    SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+    UNION ALL
+    SELECT event_type, epoch_us(ts) + 1800000000 AS t, -1 AS d
+    FROM events
+), net AS (
+    SELECT event_type, t, sum(d) AS nd FROM b GROUP BY event_type, t
+), run AS (
+    SELECT event_type,
+           sum(nd) OVER (PARTITION BY event_type ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS conc
+    FROM net
+)
+SELECT event_type,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) AS BIGINT) AS n_boundaries
+FROM run GROUP BY event_type
+"""
+
+
+@register(
+    "window_max_concurrency",
+    _CONCURRENCY_ORACLE,
+    doc="peak interval concurrency via the sweep line: each event opens "
+    "a 30-minute activity interval [ts, ts+30m); +1/-1 boundary "
+    "deltas are NETTED per distinct timestamp first (so intra-tie "
+    "ordering can never matter — the half-open convention lands "
+    "both deltas of a touching pair on one timestamp and they "
+    "cancel in the group), then one running sum per event type "
+    "gives live-interval count and its max is the peak — the "
+    "capacity-planning number (max concurrent sessions/locks/"
+    "streams) interval_coalesce's islands can't express. Exactness: "
+    "pure BIGINT microsecond arithmetic. Scale: boundaries collapse "
+    "onto DISTINCT timestamps before the window (the value-"
+    "histogram move); the per-type running sum's scale path is "
+    "range-partitioned partials + broadcast prefix offsets, the "
+    "stats_ks_test recipe.",
+)
+def window_max_concurrency(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    t = F.unix_micros("ts")
+    starts = ev.select(
+        "event_type", t.alias("t"), F.lit(1).alias("d")
+    )
+    ends = ev.select(
+        "event_type",
+        (t + F.lit(1_800_000_000)).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(F.sum("d").alias("nd"))
+    )
+    wrun = (
+        W.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = net.select(
+        "event_type", F.sum("nd").over(wrun).alias("conc")
+    )
+    return run.groupBy("event_type").agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        F.count("*").cast("long").alias("n_boundaries"),
+    )
