@@ -89,6 +89,13 @@ HEADLINE = [
     "doc_term_pmi_collocations",
     "rate_limit_throttle",
     "window_interval_coalesce",
+    # Round-7 additions: the feature-engineering family's two distinct
+    # plan shapes — the value-histogram cumulative + join-back
+    # (quantile normalization, the skew-safe alternative to a per-type
+    # window) and the exact KS test (histogram + decimal
+    # cross-multiplication + bounded global running sum).
+    "feat_quantile_normalize",
+    "stats_ks_test",
     # The reference's true workload end-to-end: streaming ingest ->
     # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;
     # wall seconds here are ~events/sec throughput vs BASELINE's 2k req/s.
