@@ -184,6 +184,7 @@ def _load_all() -> None:
         "training_data",
         "quality",
         "feature_eng",
+        "stats_inference",
         "llm_similarity",
         "multimodal",
         "storage",

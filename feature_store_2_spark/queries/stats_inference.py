@@ -1,0 +1,567 @@
+"""Statistical-inference query family (round 7 continuation).
+
+The tests an experimentation / model-quality platform runs ON TOP of the
+feature store: exact ROC AUC (the rank-sum identity), a chi-square
+independence audit over a contingency table, Kaplan-Meier survival with
+real interleaved censoring (exact integer cumulative product via
+recursive CTE — both engines recurse), an equi-depth histogram (the CBO
+statistic `stats_column_profile` stops short of), and weighted
+importance sampling (A-Res) for training-data selection. Reference
+parity: the reference's rules engine consumes per-user aggregates
+(/root/reference/models/aggregate.py:41-83); these are the inferential
+consumers of the same aggregates, generalized to what a 100 TB
+experimentation pipeline ships.
+
+Exactness doctrine (repo standard): every statistic is integer/decimal
+arithmetic until ONE final division; the KM survival product is an
+integer micro-unit DIV chain (never exp(sum(ln)) — no libm in the
+value path); sampling randomness is md5(id)-derived, never rand().
+The single libm use (A-Res ln) affects ORDERING only, never an output
+value, and every ordering carries a total doc_id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from feature_store_2_spark.queries import register
+from feature_store_2_spark.sources.tables import load_table
+
+_HEXD = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC AUC via the rank-sum (Mann-Whitney) identity
+# ---------------------------------------------------------------------------
+
+_AUC_DIGIT = (
+    "(CAST(position(substr(md5(CAST(event_id AS VARCHAR)), {i}, 1) IN "
+    f"'{_HEXD}') AS BIGINT) - 1)"
+)
+_AUC_SCORE = " + ".join(
+    f"{_AUC_DIGIT.format(i=i)} * {16 ** (4 - i)}" for i in range(1, 5)
+)
+
+_AUC_ORACLE = f"""
+WITH scored AS (
+    SELECT ({_AUC_SCORE}) AS s,
+           event_type = 'purchase' AS y
+    FROM events
+), hist AS (
+    SELECT s,
+           sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+           sum(CASE WHEN y THEN 0 ELSE 1 END) AS cn
+    FROM scored GROUP BY s
+), cum AS (
+    SELECT cp, cn,
+           sum(cn) OVER (ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - cn AS cn_below
+    FROM hist
+)
+SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+       CAST(sum(cn) AS BIGINT) AS n_neg,
+       CAST(sum(cp * (2 * cn_below + cn)) AS DOUBLE)
+           / (2.0 * CAST(sum(cp) AS DOUBLE) * CAST(sum(cn) AS DOUBLE))
+           AS auc
+FROM cum
+"""
+
+
+@register(
+    "eval_auc_exact",
+    _AUC_ORACLE,
+    doc="exact ROC AUC without enumerating thresholds: the rank-sum "
+    "identity AUC = U/(P*N) with the tie convention U = sum over "
+    "scores of pos_s*(neg_below + neg_s/2), kept integer as "
+    "2U = sum(pos_s*(2*neg_below + neg_s)) so the only division is "
+    "the final one. Score = md5(event_id)-derived 16-bit uniform "
+    "(the eval_calibration_bins stand-in; the operator is the "
+    "statistic, not the model), label = purchase. Complements "
+    "eval_roc_points: that entry emits the curve, this one the "
+    "exact scalar a training gate thresholds on. Scale: the "
+    "cumulative runs over the SCORE HISTOGRAM (bounded domain "
+    "<= 65536 rows), never the raw events — one hash agg plus a "
+    "metadata-scale window; counts lift to DECIMAL(38,0) before "
+    "the 2U product at corpus scale.",
+)
+def eval_auc_exact(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    m = F.md5(F.col("event_id").cast("string").cast("binary"))
+
+    def digit(i: int) -> F.Column:
+        return (
+            F.position(F.substring(m, i, 1), F.lit(_HEXD)).cast("long")
+            - 1
+        )
+
+    s = sum(
+        (digit(i) * (16 ** (4 - i)) for i in range(1, 5)), F.lit(0)
+    )
+    scored = ev.select(
+        s.alias("s"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("cn"),
+    )
+    wcum = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "cp",
+        "cn",
+        (F.sum("cn").over(wcum) - F.col("cn")).alias("cn_below"),
+    )
+    return cum.agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.sum("cn").cast("long").alias("n_neg"),
+        (
+            F.sum(
+                F.col("cp") * (2 * F.col("cn_below") + F.col("cn"))
+            ).cast("double")
+            / (
+                F.lit(2.0)
+                * F.sum("cp").cast("double")
+                * F.sum("cn").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence audit (contingency table)
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+           count(*) AS obs
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+), tot AS (
+    SELECT segment, priority,
+           CAST(obs AS HUGEINT) AS obs,
+           CAST(sum(obs) OVER (PARTITION BY segment) AS HUGEINT)
+               AS row_tot,
+           CAST(sum(obs) OVER (PARTITION BY priority) AS HUGEINT)
+               AS col_tot,
+           CAST(sum(obs) OVER () AS HUGEINT) AS n
+    FROM cells
+)
+SELECT segment, priority,
+       CAST(obs AS BIGINT) AS n_obs,
+       CAST((row_tot * col_tot * 1000000) // n AS BIGINT)
+           AS expected_micro,
+       CAST(((n * obs - row_tot * col_tot)
+             * (n * obs - row_tot * col_tot) * 1000000)
+            // (n * row_tot * col_tot) AS BIGINT) AS contrib_micro
+FROM tot
+"""
+
+
+@register(
+    "stats_chi2_independence",
+    _CHI2_ORACLE,
+    doc="chi-square independence audit over the (market segment x "
+    "order priority) contingency table: per-cell observed count, "
+    "expected count E = row*col/N, and the chi-square contribution "
+    "(O-E)^2/E — the test a feature platform runs before trusting "
+    "a categorical feature not to leak the segmentation. Exactness: "
+    "contribution rewritten over a common denominator as "
+    "(N*obs - row*col)^2 / (N*row*col), all-integer with the "
+    "micro-unit floor-DIV (the clustering_micro recipe) — no "
+    "floating sum anywhere; summing contrib_micro reproduces the "
+    "statistic to 1e-6 per cell in BOTH engines identically. "
+    "Scale: one fact-side hash agg onto |seg|x|prio| cells; the "
+    "marginals are windows over that metadata-scale grid; the "
+    "orders-customer equi-join is left to AQE (customer scales "
+    "with the corpus — never force-broadcast it) and the products "
+    "lift to DECIMAL(38,0) past ~1e9 rows (DuckDB's HUGEINT twin).",
+)
+def stats_chi2_independence(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    # All products in DECIMAL(38,0) (DuckDB's HUGEINT twin): diff^2 *
+    # 1e6 exceeds int64 already at sf0.1. The DIV quotients (micro
+    # expected count, micro chi2 contribution) fit int64 at any
+    # realistic scale — decimal DIV is exact floor there, verified
+    # identical to DuckDB's hugeint // in both engines.
+    tot = cells.select(
+        "segment",
+        "priority",
+        F.col("obs").cast("decimal(38,0)").alias("obs"),
+        F.sum("obs")
+        .over(Window.partitionBy("segment"))
+        .cast("decimal(38,0)")
+        .alias("row_tot"),
+        F.sum("obs")
+        .over(Window.partitionBy("priority"))
+        .cast("decimal(38,0)")
+        .alias("col_tot"),
+        F.sum("obs")
+        .over(Window.partitionBy())
+        .cast("decimal(38,0)")
+        .alias("n"),
+    )
+    return tot.select(
+        "segment",
+        "priority",
+        F.col("obs").cast("long").alias("n_obs"),
+        F.expr("(row_tot * col_tot * 1000000) DIV n")
+        .cast("long")
+        .alias("expected_micro"),
+        F.expr(
+            "((n * obs - row_tot * col_tot) "
+            " * (n * obs - row_tot * col_tot) * 1000000) "
+            "DIV (n * row_tot * col_tot)"
+        )
+        .cast("long")
+        .alias("contrib_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival with interleaved censoring
+# ---------------------------------------------------------------------------
+
+# Cohort: per user, days from first event to first ERROR (the "death");
+# users whose first purchase precedes their first error are censored at
+# that purchase day (competing risk treated as censoring); users with
+# neither are censored at their last observed day. Error-vs-purchase
+# same-day ties resolve to the event, identically in both engines.
+_KM_ORACLE = """
+WITH RECURSIVE per_user AS (
+    SELECT user_id,
+           CAST(min(ts) AS DATE) AS first_d,
+           CAST(min(CASE WHEN event_type = 'error' THEN ts END)
+                AS DATE) AS err_d,
+           CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+                AS DATE) AS pur_d,
+           CAST(max(ts) AS DATE) AS last_d
+    FROM events GROUP BY user_id
+), obs AS (
+    SELECT user_id,
+           CASE
+             WHEN err_d IS NOT NULL
+                  AND datediff('day', first_d, err_d)
+                      <= coalesce(datediff('day', first_d, pur_d),
+                                  datediff('day', first_d, err_d))
+               THEN datediff('day', first_d, err_d)
+             WHEN pur_d IS NOT NULL THEN datediff('day', first_d, pur_d)
+             ELSE datediff('day', first_d, last_d)
+           END AS t,
+           err_d IS NOT NULL
+           AND datediff('day', first_d, err_d)
+               <= coalesce(datediff('day', first_d, pur_d),
+                           datediff('day', first_d, err_d)) AS ev
+    FROM per_user
+), hist AS (
+    SELECT t,
+           count(*) AS c_all,
+           sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d
+    FROM obs GROUP BY t
+), risk AS (
+    SELECT t, d,
+           (SELECT count(*) FROM obs) -
+           (sum(c_all) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - c_all) AS n_risk
+    FROM hist
+), steps AS (
+    SELECT t, d, n_risk,
+           row_number() OVER (ORDER BY t) AS k
+    FROM risk WHERE d > 0
+), km(k, t, n_risk, d, s_micro) AS (
+    SELECT k, t, n_risk, d, ((n_risk - d) * 1000000) // n_risk
+    FROM steps WHERE k = 1
+    UNION ALL
+    SELECT s.k, s.t, s.n_risk, s.d,
+           (km.s_micro * (s.n_risk - s.d)) // s.n_risk
+    FROM km JOIN steps s ON s.k = km.k + 1
+)
+SELECT CAST(t AS BIGINT) AS t_day,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(s_micro AS BIGINT) AS survival_micro,
+       CAST(s_micro AS DOUBLE) / 1e6 AS survival
+FROM km
+"""
+
+_KM_SPARK_RECURSE = """
+WITH RECURSIVE km(k, t, n_risk, d, s_micro) AS (
+    SELECT k, t, n_risk, d, ((n_risk - d) * 1000000) DIV n_risk
+    FROM fs2s_km_steps WHERE k = 1
+    UNION ALL
+    SELECT s.k, s.t, s.n_risk, s.d,
+           (km.s_micro * (s.n_risk - s.d)) DIV s.n_risk
+    FROM km JOIN fs2s_km_steps s ON s.k = km.k + 1
+)
+SELECT CAST(t AS BIGINT) AS t_day,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(s_micro AS BIGINT) AS survival_micro,
+       CAST(s_micro AS DOUBLE) / 1e6 AS survival
+FROM km
+"""
+
+
+@register(
+    "stats_survival_km",
+    _KM_ORACLE,
+    doc="Kaplan-Meier survival estimate of time-to-first-error with "
+    "REAL interleaved censoring (first purchase censors; neither "
+    "censors at last-observed): per event-day t, the risk set "
+    "n_t = #users with observed time >= t, deaths d_t, and "
+    "S(t) = prod_{t'<=t} (n_t'-d_t')/n_t'. The cumulative product "
+    "is the hard part cross-engine: exp(sum(ln)) would put libm in "
+    "the value path, so S is an INTEGER micro-unit DIV chain "
+    "computed by a recursive CTE over the step table — Spark 4's "
+    "WITH RECURSIVE (the sql_recursive_month_spine surface) and "
+    "DuckDB's recurse bit-identically. Scale: the recursion depth "
+    "is DISTINCT EVENT DAYS (calendar-bounded metadata, never "
+    "data-sized); the per-user reduce and the day histogram are "
+    "the only fact-scale passes, both map-side-combining hash "
+    "aggs. Risk sets come from the day histogram's cumulative, "
+    "not a per-user theta join.",
+)
+def stats_survival_km(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d"),
+        F.min(
+            F.when(
+                F.col("event_type") == "error", F.col("ts").cast("date")
+            )
+        ).alias("err_d"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("ts").cast("date"),
+            )
+        ).alias("pur_d"),
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+    )
+    t_err = F.datediff("err_d", "first_d")
+    t_pur = F.datediff("pur_d", "first_d")
+    is_ev = F.col("err_d").isNotNull() & (
+        t_err <= F.coalesce(t_pur, t_err)
+    )
+    obs = per_user.select(
+        F.when(is_ev, t_err)
+        .when(F.col("pur_d").isNotNull(), t_pur)
+        .otherwise(F.datediff("last_d", "first_d"))
+        .alias("t"),
+        is_ev.alias("ev"),
+    )
+    hist = obs.groupBy("t").agg(
+        F.count("*").alias("c_all"),
+        F.sum(F.when(F.col("ev"), 1).otherwise(0)).alias("d"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("c_all").over(
+        Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    risk = hist.select(
+        "t",
+        "d",
+        (total - (F.sum("c_all").over(wcum) - F.col("c_all"))).alias(
+            "n_risk"
+        ),
+    )
+    steps = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.row_number().over(Window.orderBy("t")).alias("k"),
+    )
+    steps.createOrReplaceTempView("fs2s_km_steps")
+    return spark.sql(_KM_SPARK_RECURSE)
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (CBO-style quantile bins)
+# ---------------------------------------------------------------------------
+
+_EDH_ORACLE = """
+WITH base AS (
+    SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+    FROM events
+), hist AS (
+    SELECT v, count(*) AS c FROM base GROUP BY v
+), cum AS (
+    SELECT v, c,
+           sum(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cm,
+           sum(c) OVER () AS n
+    FROM hist
+), edges AS (
+    SELECT CAST(t.k AS BIGINT) AS bucket, v, cm
+    FROM cum, unnest(range(CAST((cm - c) * 10 // n + 1 AS BIGINT),
+                           CAST(cm * 10 // n + 1 AS BIGINT)))
+         AS t(k)
+)
+SELECT bucket,
+       CAST(v AS DOUBLE) / 1e6 AS upper_value,
+       CAST(cm AS BIGINT) AS n_le
+FROM edges
+"""
+
+
+@register(
+    "stats_equidepth_histogram",
+    _EDH_ORACLE,
+    doc="equi-depth (equi-height) 10-bucket histogram over the value "
+    "column — the CBO selectivity statistic `stats_column_profile` "
+    "stops short of: bucket k's upper edge is the least value whose "
+    "cumulative count reaches ceil(k*n/10), reported with the exact "
+    "cumulative at the edge. One pass, no per-quantile scan: each "
+    "VALUE-HISTOGRAM row emits exactly the bucket indices its "
+    "cumulative range covers via sequence((prev*10 DIV n)+1, "
+    "cum*10 DIV n) — 10 rows total exploded across the whole "
+    "histogram, all-integer rank arithmetic (no interpolation, so "
+    "any quantile is exact cross-engine). Scale: the cumulative "
+    "runs over the bounded micro-unit value domain, never the raw "
+    "fact; past ~1e8 distinct values the domain pre-bins to fixed "
+    "width first (documented trade: edge resolution).",
+)
+def stats_equidepth_histogram(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("v")
+    )
+    hist = base.groupBy("v").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "v",
+        "c",
+        F.sum("c").over(wcum).alias("cm"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    # sequence(a, b) DESCENDS when a > b (unlike DuckDB range's empty
+    # result) — keep only histogram rows whose cumulative range covers
+    # at least one bucket index.
+    return cum.filter(
+        F.expr("cm * 10 DIV n >= (cm - c) * 10 DIV n + 1")
+    ).select(
+        F.explode(
+            F.expr("sequence((cm - c) * 10 DIV n + 1, cm * 10 DIV n)")
+        ).alias("bucket"),
+        F.col("v"),
+        F.col("cm"),
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("v").cast("double") / 1e6).alias("upper_value"),
+        F.col("cm").cast("long").alias("n_le"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted importance sampling (A-Res) per source
+# ---------------------------------------------------------------------------
+
+_ARES_DIGIT = (
+    "(CAST(position(substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1) IN "
+    f"'{_HEXD}') AS BIGINT) - 1)"
+)
+_ARES_U = " + ".join(
+    f"{_ARES_DIGIT.format(i=i)} * {16 ** (8 - i)}" for i in range(1, 9)
+)
+
+_ARES_ORACLE = f"""
+WITH keyed AS (
+    SELECT source, doc_id, n_chars,
+           ln((({_ARES_U}) + 1.0) / 4294967297.0)
+               / CAST(n_chars AS DOUBLE) AS k
+    FROM documents WHERE n_chars > 0
+), ranked AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY k DESC, doc_id) AS rk
+    FROM keyed
+)
+SELECT source, doc_id,
+       CAST(n_chars AS BIGINT) AS weight,
+       CAST(rk AS BIGINT) AS sample_rank
+FROM ranked WHERE rk <= 20
+"""
+
+
+@register(
+    "sample_weighted_importance",
+    _ARES_ORACLE,
+    doc="weighted sampling without replacement (Efraimidis-Spirakis "
+    "A-Res): per source, the 20 docs with the largest u^(1/w) — "
+    "computed as ln(u)/w — where w = n_chars and u is the "
+    "md5(doc_id)-derived 32-bit uniform in (0,1]; the length-"
+    "proportional document sampler a training-mixture pipeline "
+    "runs per domain (deterministic twin of doc_mixture_"
+    "temperature_sample's category-level mixing, at document "
+    "grain). The one libm call (ln) decides ORDERING only — no "
+    "float reaches the output, and the ORDER BY carries a doc_id "
+    "tie-break, so a 1-ulp cross-engine divergence would need two "
+    "keys within 1 ulp at the rank-20 boundary to matter. Scale: "
+    "A-Res is one-pass — per-partition top-k partials then a "
+    "per-source top-k merge (the window here; at corpus scale the "
+    "per-group top-k pre-aggregates per partition before the "
+    "shuffle, never a global sort).",
+)
+def sample_weighted_importance(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars") > 0
+    )
+    m = F.md5(F.col("doc_id").cast("string").cast("binary"))
+
+    def digit(i: int) -> F.Column:
+        return (
+            F.position(F.substring(m, i, 1), F.lit(_HEXD)).cast("long")
+            - 1
+        )
+
+    u = sum(
+        (digit(i) * (16 ** (8 - i)) for i in range(1, 9)), F.lit(0)
+    )
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (
+            F.log((u + 1).cast("double") / F.lit(4294967297.0))
+            / F.col("n_chars").cast("double")
+        ).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("k").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.col("rk").cast("long").alias("sample_rank"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Semantic checks for the statistical-inference family — independent
+pandas/pure-python recomputation of each entry's math on sf0.001 (the
+DuckDB oracle equivalence is separately enforced by check_oracle /
+driver CORRECTNESS rows; these pin the SEMANTICS, not just engine
+agreement)."""
+
+from fractions import Fraction
+
+import pytest
+
+from feature_store_2_spark.queries import CATALOG, _load_all
+from feature_store_2_spark.sources.tables import load_table
+
+_load_all()
+_BY = {d.name: d for d in CATALOG}
+
+
+@pytest.fixture(scope="module")
+def events_pd(spark, sf_dir):
+    return load_table(spark, "events", sf_dir).toPandas()
+
+
+def test_auc_exact_matches_pairwise_definition(spark, sf_dir):
+    """AUC from the rank-sum identity must equal the O(n^2) pairwise
+    definition P(score_pos > score_neg) + 0.5*P(tie) on the small SF."""
+    import hashlib
+
+    ev = load_table(spark, "events", sf_dir).toPandas()
+    scores, ys = [], []
+    for _, r in ev.iterrows():
+        h = hashlib.md5(str(int(r["event_id"])).encode()).hexdigest()
+        scores.append(int(h[:4], 16))
+        ys.append(r["event_type"] == "purchase")
+    pos = [s for s, y in zip(scores, ys) if y]
+    neg = [s for s, y in zip(scores, ys) if not y]
+    num = sum(
+        2 if p > q else (1 if p == q else 0) for p in pos for q in neg
+    )
+    expected = Fraction(num, 2 * len(pos) * len(neg))
+
+    out = _BY["eval_auc_exact"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - float(expected)) < 1e-12
+
+
+def test_chi2_cells_reconstruct_marginals(spark, sf_dir):
+    out = _BY["stats_chi2_independence"].fn(spark, sf_dir).toPandas()
+    n = int(out["n_obs"].sum())
+    # expected counts must re-sum to N per margin (within the 1e-6
+    # per-cell floor-DIV truncation)
+    assert abs(out["expected_micro"].sum() / 1e6 - n) < len(out) * 1e-6
+    # contributions are non-negative and finite
+    assert (out["contrib_micro"] >= 0).all()
+    # exact recomputation of one cell from the observed table
+    row = out.iloc[0]
+    row_tot = int(out[out.segment == row.segment]["n_obs"].sum())
+    col_tot = int(out[out.priority == row.priority]["n_obs"].sum())
+    exp = row_tot * col_tot * 1_000_000 // n
+    assert int(row["expected_micro"]) == exp
+    num = (n * int(row["n_obs"]) - row_tot * col_tot) ** 2 * 1_000_000
+    assert int(row["contrib_micro"]) == num // (n * row_tot * col_tot)
+
+
+def test_survival_km_exact_product_chain(spark, sf_dir):
+    """survival_micro must equal the stepwise integer DIV chain over
+    (n_risk, d) ordered by day — and be non-increasing."""
+    out = (
+        _BY["stats_survival_km"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("t_day")
+        .reset_index(drop=True)
+    )
+    assert len(out) >= 1
+    s = None
+    for _, r in out.iterrows():
+        n_r, d = int(r["n_risk"]), int(r["n_events"])
+        assert 0 < d <= n_r
+        if s is None:
+            s = (n_r - d) * 1_000_000 // n_r
+        else:
+            s = s * (n_r - d) // n_r
+        assert int(r["survival_micro"]) == s
+    assert (out["survival_micro"].diff().dropna() <= 0).all()
+    # risk sets shrink over time
+    assert (out["n_risk"].diff().dropna() < 0).all()
+
+
+def test_equidepth_buckets_cover_and_bound(spark, sf_dir, events_pd):
+    out = (
+        _BY["stats_equidepth_histogram"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    n = len(events_pd)
+    assert list(out["bucket"]) == list(range(1, 11))
+    assert (out["n_le"].diff().dropna() >= 0).all()
+    # bucket k's edge is the least value whose cumulative reaches
+    # ceil(k*n/10): cumulative at the edge must reach the rank target
+    for _, r in out.iterrows():
+        k = int(r["bucket"])
+        target = -(-k * n // 10)  # ceil
+        assert int(r["n_le"]) >= target
+    # the last edge is the max value, covering everything
+    assert int(out.iloc[-1]["n_le"]) == n
+
+
+def test_weighted_sampling_ranks_and_determinism(spark, sf_dir):
+    out = _BY["sample_weighted_importance"].fn(spark, sf_dir).toPandas()
+    for _, g in out.groupby("source"):
+        assert list(g.sort_values("sample_rank")["sample_rank"]) == list(
+            range(1, len(g) + 1)
+        )
+        assert len(g) <= 20
+    assert (out["weight"] > 0).all()
+    # determinism: a second run selects the identical sample
+    again = _BY["sample_weighted_importance"].fn(spark, sf_dir).toPandas()
+    a = out.sort_values(["source", "sample_rank"]).reset_index(drop=True)
+    b = again.sort_values(["source", "sample_rank"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -115,9 +115,17 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
 # VALUE HISTOGRAM (bounded distinct-value domain, the agg_gini_spend
 # move — its docstring says so), never the row count; scale path is
 # range-partitioned partials + broadcast prefix offsets.
+# eval_auc_exact: global cumulative over the SCORE HISTOGRAM (<= 65536
+# distinct 16-bit scores by construction — its docstring says so).
+# stats_chi2_independence: marginal windows over the |seg|x|prio|
+# CONTINGENCY GRID (25 rows — its docstring says so), never the fact.
+# stats_equidepth_histogram: cumulative over the micro-unit VALUE
+# HISTOGRAM (same bounded domain as stats_ks_test — docstring says so).
 GLOBAL_WINDOW_OK = {"window_ntile_percentrank", "doc_pack_token_budget",
                     "doc_tokenize_to_ids", "doc_vocab_growth_curve",
-                    "stats_ks_test"}
+                    "stats_ks_test", "eval_auc_exact",
+                    "stats_chi2_independence",
+                    "stats_equidepth_histogram"}
 
 _WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
 
