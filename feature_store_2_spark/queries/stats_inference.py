@@ -565,3 +565,137 @@ def sample_weighted_importance(spark, sf_dir):
             F.col("rk").cast("long").alias("sample_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence replicates
+# ---------------------------------------------------------------------------
+
+# floor(CDF_Poisson(1)(k) * 2^32) for k = 0..8, computed offline from
+# e^-1/k! — embedded as INTEGER literals so the per-row draw is pure
+# integer comparison in both engines (no libm anywhere). A row's copy
+# count in replicate b is #thresholds <= u32, capped at 9 (tail mass
+# ~4e-7, identically truncated cross-engine).
+_POIS_T = [
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+]
+_N_REPLICATES = 100
+
+_BOOT_DIGIT = (
+    "(CAST(position(substr(h, {i}, 1) IN "
+    f"'{_HEXD}') AS BIGINT) - 1)"
+)
+_BOOT_U32 = " + ".join(
+    f"{_BOOT_DIGIT.format(i=i)} * {16 ** (8 - i)}" for i in range(1, 9)
+)
+_BOOT_COUNT_SQL = " + ".join(
+    f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T
+)
+
+_BOOT_ORACLE = f"""
+WITH base AS (
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+    FROM events
+), fan AS (
+    SELECT v, t.b,
+           md5(CAST(event_id AS VARCHAR) || ':' ||
+               CAST(t.b AS VARCHAR)) AS h
+    FROM base, unnest(range(0, {_N_REPLICATES})) AS t(b)
+), keyed AS (
+    SELECT b, v, ({_BOOT_U32}) AS u FROM fan
+), drawn AS (
+    SELECT b, v, ({_BOOT_COUNT_SQL}) AS c FROM keyed
+)
+SELECT CAST(b AS BIGINT) AS replicate,
+       CAST(sum(c) AS BIGINT) AS n_eff,
+       CAST(sum(c * v) AS DOUBLE) / CAST(sum(c) AS DOUBLE) / 1e6
+           AS boot_mean
+FROM drawn GROUP BY b
+"""
+
+
+@register(
+    "stats_poisson_bootstrap",
+    _BOOT_ORACLE,
+    doc="Poisson bootstrap of the mean event value: each of 100 "
+    "replicates re-weights every row by an independent Poisson(1) "
+    "copy count, the one-pass bootstrap that needs NO resampling "
+    "shuffle — the n-out-of-n multinomial converges to independent "
+    "Poisson(1) weights, so replicate b is just a weighted "
+    "aggregate (the scalable-bootstrap construction used for CIs "
+    "over corpus-scale means). Determinism: the draw is "
+    "md5(event_id:replicate) -> 32-bit integer compared against "
+    "PRECOMPUTED integer CDF thresholds (e^-1/k! folded into "
+    "literals) — pure integer arithmetic, zero libm, tail capped "
+    "at 9 copies identically in both engines; each replicate mean "
+    "is exact micro-unit sums with ONE final division. Scale: the "
+    "replicate fan-out is map-side explode feeding a 100-group "
+    "hash agg with map-side partials — shuffle traffic is "
+    "#partitions x 100 partial rows, independent of corpus size; "
+    "percentile edges over the 100 replicate means are a "
+    "metadata-scale follow-up (rank-pick, stats_equidepth_"
+    "histogram's move).",
+)
+def stats_poisson_bootstrap(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("v"),
+    )
+    fan = base.select(
+        "event_id",
+        "v",
+        F.explode(
+            F.expr(f"sequence(0, {_N_REPLICATES - 1})")
+        ).alias("b"),
+    )
+    hashed = fan.select(
+        "v",
+        "b",
+        F.md5(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    u = sum(
+        (
+            (
+                F.position(
+                    F.substring("h", i, 1), F.lit(_HEXD)
+                ).cast("long")
+                - 1
+            )
+            * (16 ** (8 - i))
+            for i in range(1, 9)
+        ),
+        F.lit(0),
+    )
+    c = sum(
+        (
+            F.when(F.col("u") >= t, 1).otherwise(0)
+            for t in _POIS_T
+        ),
+        F.lit(0),
+    )
+    drawn = hashed.select("v", "b", u.alias("u")).select(
+        "v", "b", c.alias("c")
+    )
+    return drawn.groupBy("b").agg(
+        F.sum("c").cast("long").alias("n_eff"),
+        (
+            F.sum(F.col("c") * F.col("v")).cast("double")
+            / F.sum("c").cast("double")
+            / F.lit(1e6)
+        ).alias("boot_mean"),
+    ).select(
+        F.col("b").cast("long").alias("replicate"),
+        "n_eff",
+        "boot_mean",
+    )

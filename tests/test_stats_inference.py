@@ -122,3 +122,35 @@ def test_weighted_sampling_ranks_and_determinism(spark, sf_dir):
     a = out.sort_values(["source", "sample_rank"]).reset_index(drop=True)
     b = again.sort_values(["source", "sample_rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_poisson_bootstrap_exact_replicate_recompute(spark, sf_dir, events_pd):
+    """Replicate 0's (n_eff, boot_mean) must equal an independent pure-
+    python recomputation of the md5-thresholded Poisson draws."""
+    import hashlib
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from feature_store_2_spark.queries.stats_inference import _POIS_T
+
+    out = _BY["stats_poisson_bootstrap"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 100
+    # every replicate's effective n concentrates near n (Poisson(1) sum)
+    n = len(events_pd)
+    assert ((out["n_eff"] - n).abs() < 6 * n**0.5 + 10).all()
+
+    s = c_tot = 0
+    for _, r in events_pd.iterrows():
+        h = hashlib.md5(f"{int(r['event_id'])}:0".encode()).hexdigest()
+        u = int(h[:8], 16)
+        c = sum(1 for t in _POIS_T if u >= t)
+        vm = int(
+            Decimal(repr(r["value"])).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+            * 1_000_000
+        )
+        s += c * vm
+        c_tot += c
+    row = out[out["replicate"] == 0].iloc[0]
+    assert int(row["n_eff"]) == c_tot
+    assert abs(row["boot_mean"] - (s / c_tot / 1e6)) < 1e-12
