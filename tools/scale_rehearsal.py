@@ -49,6 +49,8 @@ ENTRIES = (
     "dedup_embedding_ann_pairs",
     "dedup_embedding_ann_adaptive",
     "dedup_minhash_lsh",
+    # round-7b: the one new fact-scale fan-out (events x 100 replicates)
+    "stats_poisson_bootstrap",
 )
 
 
