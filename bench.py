@@ -235,7 +235,9 @@ def main() -> None:
         # carries only the failing names so it cannot blow the budget.
         detail["errors"] = errors
         out["errors"] = sorted(errors)
-    detail_path = os.path.join(
+    # Overridable so test runs (the crash-semantics pin) can't clobber
+    # the committed artifact from the last real sf0.1 run.
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     try:

@@ -10,8 +10,14 @@ import subprocess
 import sys
 
 
-def test_bench_emits_null_value_and_nonzero_rc_on_errors():
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/nonexistent/sfX", SPARK_GRAFT_CPUS="4")
+def test_bench_emits_null_value_and_nonzero_rc_on_errors(tmp_path):
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/nonexistent/sfX",
+        SPARK_GRAFT_CPUS="4",
+        # keep the committed sf0.1 BENCH_DETAIL.json artifact intact
+        SPARK_GRAFT_DETAIL_PATH=str(tmp_path / "BENCH_DETAIL.json"),
+    )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
