@@ -699,3 +699,321 @@ def stats_poisson_bootstrap(spark, sf_dir):
         "n_eff",
         "boot_mean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Monte-Carlo randomization (permutation) test
+# ---------------------------------------------------------------------------
+
+_PERM_N = 100
+
+_PERM_DIGIT = (
+    "(CAST(position(substr(h, {i}, 1) IN "
+    f"'{_HEXD}') AS BIGINT) - 1)"
+)
+_PERM_U32 = " + ".join(
+    f"{_PERM_DIGIT.format(i=i)} * {16 ** (8 - i)}" for i in range(1, 9)
+)
+
+_PERM_ORACLE = f"""
+WITH base AS (
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+           event_type = 'click' AS is_a
+    FROM events WHERE event_type IN ('click', 'purchase')
+), obs AS (
+    SELECT CAST(sum(CASE WHEN is_a THEN v END) AS HUGEINT) AS sa,
+           CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+           CAST(sum(CASE WHEN NOT is_a THEN v END) AS HUGEINT) AS sb,
+           CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS HUGEINT)
+               AS nb
+    FROM base
+), thr AS (
+    SELECT CAST((na * 4294967296) // (na + nb) AS BIGINT) AS t FROM obs
+), fan AS (
+    SELECT v, p.b,
+           md5(CAST(event_id AS VARCHAR) || ':' ||
+               CAST(p.b AS VARCHAR)) AS h
+    FROM base, unnest(range(0, {_PERM_N})) AS p(b)
+), drawn AS (
+    SELECT b, v, ({_PERM_U32}) < (SELECT t FROM thr) AS a
+    FROM fan
+), per_perm AS (
+    SELECT b,
+           CAST(sum(CASE WHEN a THEN v END) AS HUGEINT) AS sa,
+           CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+           CAST(sum(CASE WHEN NOT a THEN v END) AS HUGEINT) AS sb,
+           CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS HUGEINT) AS nb
+    FROM drawn GROUP BY b
+), verdicts AS (
+    SELECT p.b,
+           abs(p.sa * p.nb - p.sb * p.na) * o.na * o.nb
+           >= abs(o.sa * o.nb - o.sb * o.na) * p.na * p.nb AS extreme
+    FROM per_perm p CROSS JOIN obs o
+    WHERE p.na > 0 AND p.nb > 0
+)
+SELECT CAST(o.na AS BIGINT) AS n_a,
+       CAST(o.nb AS BIGINT) AS n_b,
+       CAST(o.sa AS DOUBLE) / CAST(o.na AS DOUBLE) / 1e6
+           - CAST(o.sb AS DOUBLE) / CAST(o.nb AS DOUBLE) / 1e6
+           AS diff_obs,
+       CAST(1 + (SELECT sum(CASE WHEN extreme THEN 1 ELSE 0 END)
+                 FROM verdicts) AS DOUBLE)
+           / CAST(1 + (SELECT count(*) FROM verdicts) AS DOUBLE)
+           AS p_value
+FROM obs o
+"""
+
+
+@register(
+    "stats_permutation_test",
+    _PERM_ORACLE,
+    doc="Monte-Carlo randomization test for the click-vs-purchase mean "
+    "value difference: 100 deterministic relabelings (each row "
+    "independently reassigned to group A with probability n_a/n — "
+    "the large-n binomial approximation to exact permutation; the "
+    "threshold floor(n_a*2^32/(n_a+n_b)) is integer arithmetic "
+    "derived from the data, compared against the md5(event_id:perm) "
+    "32-bit draw), add-one p-value = (1+#extreme)/(1+#perms) — the "
+    "A/B significance gate run where SciPy can't reach the data. "
+    "Exactness: 'extreme' is decided WITHOUT any division — "
+    "|sa*nb - sb*na| * na_o*nb_o >= |sa_o*nb_o - sb_o*na_o| * na*nb "
+    "cross-multiplied in DECIMAL(38,0)/HUGEINT — and the two output "
+    "doubles are single IEEE-exact divisions. Scale: same shape as "
+    "stats_poisson_bootstrap — map-side explode into a 100-group "
+    "hash agg (shuffle = #partitions x 100 partials), one 1-row "
+    "observed-stat broadcast, degenerate all-one-side permutations "
+    "excluded identically in both engines.",
+)
+def stats_permutation_test(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("v"),
+        (F.col("event_type") == "click").alias("is_a"),
+    )
+    d38 = "decimal(38,0)"
+    obs = base.agg(
+        F.sum(F.when(F.col("is_a"), F.col("v"))).cast(d38).alias("sa"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast(d38)
+        .alias("na"),
+        F.sum(F.when(~F.col("is_a"), F.col("v"))).cast(d38).alias("sb"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast(d38)
+        .alias("nb"),
+    )
+    fan = base.select(
+        "v",
+        F.explode(F.expr(f"sequence(0, {_PERM_N - 1})")).alias("b"),
+        F.md5(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    u = sum(
+        (
+            (
+                F.position(
+                    F.substring("h", i, 1), F.lit(_HEXD)
+                ).cast("long")
+                - 1
+            )
+            * (16 ** (8 - i))
+            for i in range(1, 9)
+        ),
+        F.lit(0),
+    )
+    drawn = fan.join(
+        F.broadcast(
+            obs.select(
+                F.expr("(na * 4294967296) DIV (na + nb)")
+                .cast("long")
+                .alias("t")
+            )
+        )
+    ).select("b", "v", (u < F.col("t")).alias("a"))
+    per_perm = drawn.groupBy("b").agg(
+        F.sum(F.when(F.col("a"), F.col("v"))).cast(d38).alias("psa"),
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).cast(d38).alias("pna"),
+        F.sum(F.when(~F.col("a"), F.col("v"))).cast(d38).alias("psb"),
+        F.sum(F.when(~F.col("a"), 1).otherwise(0))
+        .cast(d38)
+        .alias("pnb"),
+    )
+    verdicts = (
+        per_perm.filter((F.col("pna") > 0) & (F.col("pnb") > 0))
+        .join(F.broadcast(obs))
+        .select(
+            (
+                F.abs(
+                    F.col("psa") * F.col("pnb")
+                    - F.col("psb") * F.col("pna")
+                )
+                * F.col("na")
+                * F.col("nb")
+                >= F.abs(
+                    F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+                )
+                * F.col("pna")
+                * F.col("pnb")
+            ).alias("extreme")
+        )
+        .agg(
+            F.sum(F.when(F.col("extreme"), 1).otherwise(0)).alias("ne"),
+            F.count("*").alias("np"),
+        )
+    )
+    return obs.join(F.broadcast(verdicts)).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (
+            F.col("sa").cast("double") / F.col("na").cast("double") / 1e6
+            - F.col("sb").cast("double")
+            / F.col("nb").cast("double")
+            / 1e6
+        ).alias("diff_obs"),
+        (
+            (1 + F.col("ne")).cast("double")
+            / (1 + F.col("np")).cast("double")
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Sen's slope
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, count(*) AS v
+    FROM events GROUP BY 1
+), idx AS (
+    SELECT v,
+           datediff('day', (SELECT min(d) FROM daily), d) AS t
+    FROM daily
+), pairs AS (
+    SELECT a.t AS ti, b.t AS tj, a.v AS vi, b.v AS vj
+    FROM idx a JOIN idx b ON b.t > a.t
+), stat AS (
+    SELECT sum(CASE WHEN vj > vi THEN 1
+                    WHEN vj < vi THEN -1 ELSE 0 END) AS s,
+           count(*) AS n_pairs
+    FROM pairs
+), slopes AS (
+    SELECT CAST(vj - vi AS DOUBLE) / CAST(tj - ti AS DOUBLE) AS m,
+           row_number() OVER (ORDER BY
+               CAST(vj - vi AS DOUBLE) / CAST(tj - ti AS DOUBLE),
+               ti, tj) AS r,
+           count(*) OVER () AS np
+    FROM pairs
+), sen AS (
+    SELECT avg(m) AS sen_slope
+    FROM slopes
+    WHERE r IN ((np + 1) // 2, (np + 2) // 2)
+), ties AS (
+    SELECT sum(CAST(c * (c - 1) * (2 * c + 5) AS BIGINT)) AS tie_term
+    FROM (SELECT count(*) AS c FROM idx GROUP BY v) g
+), n AS (SELECT count(*) AS n FROM idx)
+SELECT CAST(stat.s AS BIGINT) AS s,
+       CAST(stat.n_pairs AS BIGINT) AS n_pairs,
+       CAST(n.n AS BIGINT) AS n_days,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+            - coalesce(ties.tie_term, 0) AS BIGINT) AS var_num18,
+       sen.sen_slope AS sen_slope
+FROM stat, sen, ties, n
+"""
+
+
+@register(
+    "stats_mann_kendall",
+    _MK_ORACLE,
+    doc="Mann-Kendall trend test + Sen's slope on the daily event "
+    "volume: S = sum of sign(v_j - v_i) over all day pairs i<j "
+    "(pure integer), the tie-corrected variance NUMERATOR "
+    "n(n-1)(2n+5) - sum t(t-1)(2t+5) kept as an exact integer "
+    "(consumers divide by 18 and sqrt — both engine-independent), "
+    "and Sen's slope = median of the pairwise slopes "
+    "(v_j-v_i)/(t_j-t_i). The slope is an IEEE-exact single "
+    "division (correctly rounded, so bit-identical cross-engine — "
+    "no libm), the median is rank-picked with a (slope, ti, tj) "
+    "total order, and the even-case average of two doubles is "
+    "deterministic. Scale: the pairwise self-join runs on the "
+    "DAILY AGGREGATE (calendar-bounded metadata, ~365 rows/year = "
+    "~66k pairs at a century), never the raw fact — the only "
+    "fact-scale pass is the one hash agg onto days.",
+)
+def stats_mann_kendall(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("v")
+    )
+    wmin = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = daily.select(
+        "v", F.datediff("d", F.min("d").over(wmin)).alias("t")
+    )
+    a = idx.select(F.col("t").alias("ti"), F.col("v").alias("vi"))
+    b = idx.select(F.col("t").alias("tj"), F.col("v").alias("vj"))
+    pairs = a.join(b, F.col("tj") > F.col("ti"))
+    stat = pairs.agg(
+        F.sum(
+            F.when(F.col("vj") > F.col("vi"), 1)
+            .when(F.col("vj") < F.col("vi"), -1)
+            .otherwise(0)
+        ).alias("s"),
+        F.count("*").alias("n_pairs"),
+    )
+    m = (F.col("vj") - F.col("vi")).cast("double") / (
+        F.col("tj") - F.col("ti")
+    ).cast("double")
+    wr = Window.orderBy(m, "ti", "tj")
+    wnp = Window.orderBy(m, "ti", "tj").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    slopes = pairs.select(
+        m.alias("m"),
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(wnp).alias("np"),
+    )
+    sen = slopes.filter(
+        (F.col("r") == (F.col("np") + 1) / 2)
+        | (F.col("r") == (F.col("np") + 2) / 2)
+    ).agg(F.avg("m").alias("sen_slope"))
+    ties = (
+        idx.groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(
+                (
+                    F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+                ).cast("long")
+            ).alias("tie_term")
+        )
+    )
+    n = idx.agg(F.count("*").alias("n"))
+    return (
+        stat.join(F.broadcast(sen))
+        .join(F.broadcast(ties))
+        .join(F.broadcast(n))
+        .select(
+            F.col("s").cast("long").alias("s"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n").cast("long").alias("n_days"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            )
+            .cast("long")
+            .alias("var_num18"),
+            F.col("sen_slope"),
+        )
+    )

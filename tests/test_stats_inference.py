@@ -154,3 +154,57 @@ def test_poisson_bootstrap_exact_replicate_recompute(spark, sf_dir, events_pd):
     row = out[out["replicate"] == 0].iloc[0]
     assert int(row["n_eff"]) == c_tot
     assert abs(row["boot_mean"] - (s / c_tot / 1e6)) < 1e-12
+
+
+def test_permutation_test_pvalue_and_observed_diff(spark, sf_dir, events_pd):
+    out = _BY["stats_permutation_test"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    ab = events_pd[events_pd["event_type"].isin(["click", "purchase"])]
+    a = ab[ab["event_type"] == "click"]["value"]
+    b = ab[ab["event_type"] == "purchase"]["value"]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    # micro-quantization keeps the observed diff within 1e-6 of pandas
+    assert abs(row["diff_obs"] - (a.mean() - b.mean())) < 2e-6
+    # add-one p-value bounds: (1..101)/101
+    assert 1 / 101 <= row["p_value"] <= 1.0
+    # the two groups are draws from the same synthetic value process,
+    # so the null should comfortably NOT be rejected at 1/101
+    assert row["p_value"] > 1 / 101
+
+
+def test_mann_kendall_matches_pure_python(spark, sf_dir, events_pd):
+    out = _BY["stats_mann_kendall"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+    daily = (
+        events_pd.assign(d=events_pd["ts"].dt.date)
+        .groupby("d")
+        .size()
+        .sort_index()
+    )
+    vs = [int(v) for v in daily.values]
+    ts = [(d - daily.index[0]).days for d in daily.index]
+    s = sum(
+        (vs[j] > vs[i]) - (vs[j] < vs[i])
+        for i in range(len(vs))
+        for j in range(i + 1, len(vs))
+    )
+    assert row["s"] == s
+    n = len(vs)
+    assert row["n_days"] == n
+    assert row["n_pairs"] == n * (n - 1) // 2
+    from collections import Counter
+
+    tie = sum(
+        c * (c - 1) * (2 * c + 5) for c in Counter(vs).values() if c > 1
+    )
+    assert row["var_num18"] == n * (n - 1) * (2 * n + 5) - tie
+    slopes = sorted(
+        (vs[j] - vs[i]) / (ts[j] - ts[i])
+        for i in range(len(vs))
+        for j in range(i + 1, len(vs))
+    )
+    np_ = len(slopes)
+    med = (slopes[(np_ + 1) // 2 - 1] + slopes[(np_ + 2) // 2 - 1]) / 2
+    assert abs(row["sen_slope"] - med) < 1e-12

@@ -96,7 +96,13 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "feat_mean_impute",
                # 1-row (n_a, n_b) sample-size scalar broadcast (KS
                # cross-multiplication denominators)
-               "stats_ks_test"}
+               "stats_ks_test",
+               # 1-row observed-stat / threshold / verdict-count scalar
+               # broadcasts (randomization-test comparisons)
+               "stats_permutation_test",
+               # pairwise theta self-join over the DAILY AGGREGATE
+               # (calendar-bounded metadata) + 1-row scalar broadcasts
+               "stats_mann_kendall"}
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
@@ -121,11 +127,15 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
 # CONTINGENCY GRID (25 rows — its docstring says so), never the fact.
 # stats_equidepth_histogram: cumulative over the micro-unit VALUE
 # HISTOGRAM (same bounded domain as stats_ks_test — docstring says so).
+# stats_mann_kendall: day-index anchor + slope-median rank windows run
+# over the DAILY AGGREGATE and its pair spine (calendar-bounded
+# metadata, ~66k pair rows at a century — its docstring says so).
 GLOBAL_WINDOW_OK = {"window_ntile_percentrank", "doc_pack_token_budget",
                     "doc_tokenize_to_ids", "doc_vocab_growth_curve",
                     "stats_ks_test", "eval_auc_exact",
                     "stats_chi2_independence",
-                    "stats_equidepth_histogram"}
+                    "stats_equidepth_histogram",
+                    "stats_mann_kendall"}
 
 _WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
 
@@ -233,6 +243,11 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/feature_eng.py", "glob"): "1-row global-mean scalar aggregate",
     ("queries/feature_eng.py", "cat"): "category table (|event_types| rows)",
     ("queries/feature_eng.py", "n"): "1-row sample-sizes scalar aggregate",
+    ("queries/stats_inference.py", "obs"): "1-row observed-stat aggregate",
+    ("queries/stats_inference.py", "verdicts"): "1-row verdict-count aggregate",
+    ("queries/stats_inference.py", "sen"): "1-row median-slope aggregate",
+    ("queries/stats_inference.py", "ties"): "1-row tie-term aggregate",
+    ("queries/stats_inference.py", "n"): "1-row day-count aggregate",
 }
 
 _BROADCAST_RE = None  # compiled lazily
