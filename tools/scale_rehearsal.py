@@ -51,6 +51,10 @@ ENTRIES = (
     "dedup_minhash_lsh",
     # round-7b: the one new fact-scale fan-out (events x 100 replicates)
     "stats_poisson_bootstrap",
+    # round-7c: the two token-fan-out corpus entries (bigram explode ->
+    # token-key hash joins; linear by construction, measured to confirm)
+    "lm_bigram_logprob",
+    "doc_term_pmi_collocations",
 )
 
 
@@ -166,15 +170,18 @@ def force(df) -> None:
 
 
 def main() -> int:
-    factors = [int(x) for x in sys.argv[1:]] or [1, 3, 10]
+    # numeric args = factors; non-numeric args = entry-name filter
+    factors = [int(x) for x in sys.argv[1:] if x.isdigit()] or [1, 3, 10]
+    only = {x for x in sys.argv[1:] if not x.isdigit()}
+    entries = tuple(e for e in ENTRIES if not only or e in only)
     _load_all()
     by = {d.name: d for d in CATALOG}
     spark = get_spark("fs2-scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
-    results: dict[str, dict[int, float]] = {e: {} for e in ENTRIES}
+    results: dict[str, dict[int, float]] = {e: {} for e in entries}
     for m in factors:
         sf_dir = stage(spark, m)
-        for entry in ENTRIES:
+        for entry in entries:
             fn = EXTRA_FNS.get(entry) or by[entry].fn
             tries = []
             attempts = 2
