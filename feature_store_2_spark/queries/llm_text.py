@@ -2369,3 +2369,76 @@ def graph_link_prediction(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency profile
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH tf AS (
+    SELECT term, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+), tot AS (SELECT sum(freq) AS total FROM tf),
+top AS (
+    SELECT term, freq,
+           row_number() OVER (ORDER BY freq DESC, term) AS rank
+    FROM tf
+    ORDER BY freq DESC, term LIMIT 50
+)
+SELECT CAST(rank AS INT) AS rank,
+       term,
+       CAST(freq AS BIGINT) AS freq,
+       CAST(rank * freq AS BIGINT) AS rank_freq_product,
+       CAST(sum(freq) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+            * 1000000 // total AS BIGINT) AS cum_share_ppm
+FROM top, tot
+"""
+
+
+@register(
+    "doc_zipf_rank_frequency",
+    _ZIPF_ORACLE,
+    doc="Zipf rank-frequency profile: the 50 most frequent corpus terms "
+    "with their rank, exact count, rank*freq product (near-constant "
+    "under Zipf's law — the corpus-health eyeball every tokenizer/"
+    "mix report starts with), and cumulative token-mass share in "
+    "integer ppm (floor DIV — no floating division anywhere). The "
+    "full-corpus work is ONE token hash-agg; top-50 selection is "
+    "TakeOrderedAndProject (never a global sort of the vocabulary); "
+    "the rank/cumulative window runs over the FIFTY selected rows "
+    "(metadata by construction), joined to a 1-row broadcast total. "
+    "Reference analog: corpus profiling ahead of the event-field "
+    "extraction pipeline (/root/reference/services/aggregator.py).",
+)
+def doc_zipf_rank_frequency(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    tot = tf.agg(F.sum("freq").alias("total"))
+    top = tf.orderBy(F.desc("freq"), "term").limit(50)
+    w = Window.orderBy(F.desc("freq"), "term")
+    cum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            (F.col("rank") * F.col("freq"))
+            .cast("long")
+            .alias("rank_freq_product"),
+            F.expr(
+                "CAST(sum(freq) OVER (ORDER BY rank ROWS BETWEEN "
+                "UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 "
+                "DIV total AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )

@@ -79,6 +79,9 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "agg_activity_bitmap",
                # 1-row doc-count scalar broadcast (decile denominator)
                "doc_vocab_growth_curve",
+               # 1-row token-total scalar broadcast (ppm denominator)
+               # applied to the FIFTY TakeOrdered top-term rows
+               "doc_zipf_rank_frequency",
                # 5-row threshold-spine broadcast (ROC sweep)
                "eval_roc_points",
                # 1-row max-date split scalar broadcast (IVM delta cut)
@@ -130,12 +133,16 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
 # stats_mann_kendall: day-index anchor + slope-median rank windows run
 # over the DAILY AGGREGATE and its pair spine (calendar-bounded
 # metadata, ~66k pair rows at a century — its docstring says so).
+# doc_zipf_rank_frequency: rank + cumulative windows run over the
+# FIFTY TakeOrdered top-term rows (metadata by construction — its
+# docstring says so), never the vocabulary or the corpus.
 GLOBAL_WINDOW_OK = {"window_ntile_percentrank", "doc_pack_token_budget",
                     "doc_tokenize_to_ids", "doc_vocab_growth_curve",
                     "stats_ks_test", "eval_auc_exact",
                     "stats_chi2_independence",
                     "stats_equidepth_histogram",
-                    "stats_mann_kendall"}
+                    "stats_mann_kendall",
+                    "doc_zipf_rank_frequency"}
 
 _WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
 
@@ -236,6 +243,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/llm_text.py", "voc"): "1-row corpus-vocab scalar aggregate",
     ("queries/llm_text.py", "nd"): "1-row n_docs scalar aggregate",
     ("queries/llm_text.py", "mx"): "1-row doc-count scalar aggregate",
+    ("queries/llm_text.py", "tot"): "1-row token-total scalar aggregate",
     ("queries/llm_similarity.py", "qry"): "query workload (first 20 vectors)",
     ("queries/timeseries.py", "n"): "fixed dim (25 rows)",
     ("queries/timeseries.py", "r"): "fixed dim (5 rows)",
