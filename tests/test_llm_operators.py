@@ -400,3 +400,36 @@ def test_srp_adaptive_params_sizing_and_recall(spark, sf_dir):
     assert ann <= exact  # precision 1.0: exact re-rank
     assert exact
     assert len(ann) / len(exact) >= 0.6  # adaptive bound targets 0.9
+
+
+def test_zipf_profile_rank_contiguous_and_mass_monotone(spark, sf_dir):
+    """doc_zipf_rank_frequency invariants the oracle can't state:
+    ranks contiguous from 1 in frequency order, cumulative ppm mass
+    monotone and bounded by 1e6, and the last row's ppm equals the
+    floor-DIV share of the summed top-k frequencies (internal
+    consistency of the integer arithmetic)."""
+    from feature_store_2_spark.queries.llm_text import (
+        doc_zipf_rank_frequency,
+    )
+    from feature_store_2_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = (
+        doc_zipf_rank_frequency(spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    )
+    assert rows, "profile must not be empty"
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    ppms = [r.cum_share_ppm for r in rows]
+    assert ppms == sorted(ppms) and 0 < ppms[-1] <= 1_000_000
+    assert all(r.rank_freq_product == r.rank * r.freq for r in rows)
+
+    total = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .count()
+    )
+    assert ppms[-1] == sum(freqs) * 1_000_000 // total
