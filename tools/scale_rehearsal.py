@@ -55,6 +55,11 @@ ENTRIES = (
     # token-key hash joins; linear by construction, measured to confirm)
     "lm_bigram_logprob",
     "doc_term_pmi_collocations",
+    # round-7d: the wedge-join graph entry — work scales with sum(deg^2)
+    # of the near-dup graph, the classic hidden superlinear; replicas
+    # keep cluster sizes bounded so edges (and triangles) should grow
+    # ~linearly with the corpus
+    "graph_triangle_count",
 )
 
 
