@@ -984,9 +984,14 @@ def stats_mann_kendall(spark, sf_dir):
         F.row_number().over(wr).alias("r"),
         F.count("*").over(wnp).alias("np"),
     )
+    # floor-div rank pick, matching the oracle's (np+1)//2, (np+2)//2:
+    # Spark's `/` is double division, so (np+1)/2 lands on x.5 for even
+    # np and matches NO rank — the even case must floor or it silently
+    # averages one element instead of two (invisible whenever the
+    # fixture's C(n_days, 2) happens to be odd).
     sen = slopes.filter(
-        (F.col("r") == (F.col("np") + 1) / 2)
-        | (F.col("r") == (F.col("np") + 2) / 2)
+        (F.col("r") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("r") == F.floor((F.col("np") + 2) / 2))
     ).agg(F.avg("m").alias("sen_slope"))
     ties = (
         idx.groupBy("v")

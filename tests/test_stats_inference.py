@@ -208,3 +208,37 @@ def test_mann_kendall_matches_pure_python(spark, sf_dir, events_pd):
     np_ = len(slopes)
     med = (slopes[(np_ + 1) // 2 - 1] + slopes[(np_ + 2) // 2 - 1]) / 2
     assert abs(row["sen_slope"] - med) < 1e-12
+
+
+def test_mann_kendall_even_pair_count_median(spark, tmp_path):
+    """Regression: with an EVEN number of pairwise slopes the Sen
+    median must average the two middle ranks. The rank filter
+    originally compared row_number against Spark's `/` (double
+    division), so (np+1)/2 landed on x.5 and matched nothing — the
+    even case silently averaged ONE element. A 4-day series has
+    C(4,2)=6 slopes: [-7, -1.5, 2.5, 3, 4, 12] -> median 2.75 (the
+    one-element bug answered 3.0)."""
+    import datetime
+
+    import pandas as pd
+
+    rows = []
+    for di, cnt in enumerate([5, 9, 2, 14]):
+        for k in range(cnt):
+            rows.append(
+                (
+                    len(rows),
+                    datetime.datetime(2024, 1, 1 + di, 12, 0, k % 60),
+                    1,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    row = _BY["stats_mann_kendall"].fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_pairs"] == 6
+    assert row["sen_slope"] == 2.75
