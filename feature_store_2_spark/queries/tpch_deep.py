@@ -254,14 +254,19 @@ def q22_idle_customers(spark, sf_dir):
 WITH s AS (
     SELECT l_returnflag,
            count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2)))
+                AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                AS VARCHAR) AS DOUBLE) AS sy,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2)))
+                AS VARCHAR) AS DOUBLE) AS syy,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2)))
+                AS VARCHAR) AS DOUBLE) AS sxy
     FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, n,
        CASE WHEN n > 1
@@ -285,15 +290,26 @@ FROM s
 )
 def agg_stats_moments(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
+
+    # decimal -> STRING -> double on BOTH engines: strtod/parseDouble are
+    # correctly rounded (single rounding), while DuckDB's direct
+    # decimal->double is int128->double then /10^scale (TWO roundings) —
+    # at sf0.001 the A-group's Σy² lands where the paths differ by 1 ulp
+    # and the corr chain diverges. The string route pins every moment to
+    # the nearest double identically, making the downstream IEEE chain
+    # bit-identical structurally, not by fixture luck.
+    def d2d(col):
+        return col.cast("string").cast("double")
+
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(dec("l_quantity")).cast("double").alias("sx"),
-        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sxx"),
-        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
-        F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
-        .cast("double")
-        .alias("syy"),
-        F.sum(dec("l_quantity") * dec("l_extendedprice")).cast("double").alias("sxy"),
+        d2d(F.sum(dec("l_quantity"))).alias("sx"),
+        d2d(F.sum(dec("l_quantity") * dec("l_quantity"))).alias("sxx"),
+        d2d(F.sum(dec("l_extendedprice"))).alias("sy"),
+        d2d(F.sum(dec("l_extendedprice") * dec("l_extendedprice"))).alias(
+            "syy"
+        ),
+        d2d(F.sum(dec("l_quantity") * dec("l_extendedprice"))).alias("sxy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
