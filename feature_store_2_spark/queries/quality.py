@@ -409,7 +409,13 @@ def dq_distribution_drift(spark, sf_dir):
         "o_early",
         "o_late",
         excess.alias("excess"),
-        F.when(F.col("o_early") > 0, excess * excess / e).alias("drift_term"),
+        # nullif e as well: a type with NO late-half rows has
+        # t_late=0 -> e=0, where DuckDB's double /0 yields NULL but
+        # Spark's ANSI `/` throws — both engines must agree on NULL
+        # (same guard family as t_early above).
+        F.when(
+            F.col("o_early") > 0, excess * excess / F.nullif(e, F.lit(0.0))
+        ).alias("drift_term"),
     )
 
 

@@ -1041,13 +1041,18 @@ def ts_autocorr_weekly(spark, sf_dir):
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
         F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
+    # nullif the denominator: a type with a single lag pair (n=1) or a
+    # constant series has zero variance, where DuckDB's double x/0
+    # yields NULL but Spark's ANSI `/` throws DIVIDE_BY_ZERO — both
+    # engines must agree on NULL (the agg_stats_moments guard).
     return m.select(
         "event_type",
         F.col("n").cast("int").alias("n_pairs"),
         F.when(num >= 0, 1).otherwise(-1).cast("int").alias("r_sign"),
-        ((num * num).cast("double") / den.cast("double")).alias(
-            "r_squared"
-        ),
+        (
+            (num * num).cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0))
+        ).alias("r_squared"),
     )
 
 
