@@ -74,10 +74,17 @@ def repetition_stats(
     Tie-break for the top gram: highest count, then lexicographic gram.
     """
     toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    # Guard <2-token docs: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+    # DuckDB's generate_series(1, 0) is EMPTY — unguarded, a 1-token doc
+    # indexes element_at(toks, 2) and ANSI throws. NULL grams make
+    # explode drop the doc, matching the oracle's no-grams behavior.
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
         ),
     )
     base = docs.select(

@@ -294,13 +294,20 @@ def doc_bigram_novelty(spark, sf_dir):
 
     d = load_table(spark, "documents", sf_dir)
     toks = tokens("text")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
+    # when-guard, not greatest(): Spark's sequence(1, 0) DESCENDS
+    # ([1, 0] -> element_at(toks, 2) OOB under ANSI for 1-token docs)
+    # where DuckDB's generate_series(1, 0) is empty; NULL grams drop
+    # the doc at explode, matching the oracle.
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ),
     )
     bg = d.select("doc_id", F.explode(grams).alias("bigram"))
     df_ = bg.groupBy("bigram").agg(F.count("*").alias("df"))

@@ -80,11 +80,16 @@ FROM documents
 def doc_token_counts(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
     bpe = bpe_ish_token_count("text")
+    # nullif the token count: an empty/punctuation-only text has 0 BPE
+    # tokens, where DuckDB's double /0 yields NULL but Spark's ANSI `/`
+    # throws — both engines must agree on NULL.
     return d.select(
         "doc_id",
         n_words("text").alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
-        (F.length("text").cast("double") / bpe).alias("chars_per_token"),
+        (F.length("text").cast("double") / F.nullif(bpe, F.lit(0))).alias(
+            "chars_per_token"
+        ),
     )
 
 

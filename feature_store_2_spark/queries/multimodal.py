@@ -99,12 +99,21 @@ def mm_frame_sample(spark, sf_dir):
 @register(
     "mm_audio_window_energy",
     """
-WITH samples AS (
+WITH hx AS (
+    -- BYTE semantics, not characters: the Spark path reads the UTF-8
+    -- payload as uint8 samples, so the oracle parses hex(bytes) pairs;
+    -- ascii(substring(text, i, 1)) would yield CODEPOINTS and diverge
+    -- on any non-ASCII text (codepoint 26481 squared vs two bytes).
+    SELECT doc_id, hex(encode(text)) AS h, strlen(text) AS nb
+    FROM documents),
+samples AS (
     SELECT doc_id,
            (i - 1) // 64 AS win_idx,
-           ascii(substring(text, CAST(i AS INTEGER), 1)) AS v
-    FROM documents,
-    LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) t)
+           (position(substring(h, CAST(2 * i - 1 AS INTEGER), 1)
+                     IN '0123456789ABCDEF') - 1) * 16
+           + (position(substring(h, CAST(2 * i AS INTEGER), 1)
+                       IN '0123456789ABCDEF') - 1) AS v
+    FROM hx, LATERAL (SELECT unnest(generate_series(1, nb)) AS i) t)
 SELECT doc_id, win_idx,
        count(*) AS n_samples,
        CAST(max(v) AS BIGINT) AS peak,

@@ -292,8 +292,12 @@ def func_regexp_extract_all(spark, sf_dir):
     "func_array_higher_order",
     """
 WITH t AS (
+    -- length() (CHARACTER count), not strlen() (BYTE count): Spark's
+    -- length() is codepoint semantics, and on non-ASCII tokens the two
+    -- diverge ('café' = 4 chars / 5 bytes) — caught by the crafted
+    -- unicode doc in tests/test_adversarial_fixtures.py.
     SELECT doc_id,
-           list_transform(string_split(text, ' '), w -> strlen(w)) AS lens
+           list_transform(string_split(text, ' '), w -> length(w)) AS lens
     FROM documents)
 SELECT doc_id,
        CAST(len(lens) AS BIGINT) AS n_words,

@@ -150,3 +150,87 @@ def test_crafted_edge_fixture_matches_oracle(spark, crafted_dir, name):
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), (len(got), len(exp))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Documents-side adversarial fixture
+# ---------------------------------------------------------------------------
+
+DOC_EXCLUDED = {
+    # needs the events table too on the Spark side (joint fixture)
+    # — none currently; placeholder for future entries
+}
+
+
+def _docs_only_entries():
+    others = (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    )
+    out = []
+    for q in CATALOG:
+        if not q.oracle or q.name.startswith("stream_"):
+            continue
+        if q.name in DOC_EXCLUDED:
+            continue
+        o = q.oracle.lower()
+        if "documents" not in o:
+            continue
+        if any(_re.search(rf"\b{t}\b", o) for t in others):
+            continue
+        out.append(q.name)
+    return out
+
+
+def _crafted_documents() -> pd.DataFrame:
+    base = (
+        "the fast key order sort table scan merge part window small hash "
+        "scan join order batch stream spark window dup data row value "
+        "filter line agg column vector query group slow big customer"
+    )
+    near = base.replace("vector", "tensor")
+    prefix = " ".join(base.split(" ")[:15])
+    rows = [
+        (0, "", "en", "src0"),                      # empty text
+        (1, "hello", "en", "src0"),                 # single token
+        (2, "a  b", "en", "src1"),                  # double space -> empty token
+        (3, " leading and trailing ", "en", "src1"),  # edge spaces
+        (4, base, "en", "src2"),                    # exact dup of 5
+        (5, base, "en", "src2"),
+        (6, near, "en", "src3"),                    # near-dup (1 token)
+        (7, prefix, "en", "src3"),                  # containment prefix
+        (8, "café nämé 東京 café", "de", "src4"),  # unicode
+        (9, " ".join(["spam"] * 30), "en", "src4"),  # degenerate repetition
+        (10, "x" * 500, "en", "src5"),               # one huge token
+        (11, "reach a.b@corp.example.com or 999-555-1234 now", "en", "src5"),
+        (12, "the quick brown fox jumps over the lazy dog", "en", "src6"),
+        (13, "pack my box with five dozen liquor jugs", "fr", "src6"),
+        (14, "sphinx of black quartz judge my vow", "fr", "src7"),
+        (15, "how vexingly quick daft zebras jump", "de", "src7"),
+    ]
+    return pd.DataFrame(
+        [(i, t, lg, sc, len(t)) for i, t, lg, sc in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+@pytest.fixture(scope="module")
+def crafted_docs_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial_docs")
+    _crafted_documents().to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _docs_only_entries())
+def test_crafted_docs_fixture_matches_oracle(spark, crafted_docs_dir, name):
+    q = _BY[name]
+    got = _canon(q.fn(spark, crafted_docs_dir).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{crafted_docs_dir}/documents.parquet')"
+    )
+    exp = _canon(con.execute(q.oracle).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
