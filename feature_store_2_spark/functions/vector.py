@@ -45,7 +45,12 @@ def qnorm2(a: Column) -> Column:
 
 def cosine_from_parts(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
     """cosine = dot / (|a|*|b|) — single sqrt/mul/div chain on exact
-    integers, so the double result is engine-independent."""
-    return dot.cast("double") / (
-        F.sqrt(norm2_a.cast("double")) * F.sqrt(norm2_b.cast("double"))
+    integers, so the double result is engine-independent. The
+    denominator is nullif-guarded: a zero-norm vector makes DuckDB's
+    double x/0 yield NULL where Spark's ANSI `/` throws — both engines
+    must agree on NULL (and NULL cosines drop out of >=threshold
+    filters identically in both)."""
+    return dot.cast("double") / F.nullif(
+        F.sqrt(norm2_a.cast("double")) * F.sqrt(norm2_b.cast("double")),
+        F.lit(0.0),
     )

@@ -234,3 +234,89 @@ def test_crafted_docs_fixture_matches_oracle(spark, crafted_docs_dir, name):
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), (len(got), len(exp))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings-side adversarial fixture
+# ---------------------------------------------------------------------------
+
+
+def _embeddings_only_entries():
+    others = (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents",
+    )
+    out = []
+    for q in CATALOG:
+        if not q.oracle or q.name.startswith("stream_"):
+            continue
+        o = q.oracle.lower()
+        if "embeddings" not in o:
+            continue
+        if any(_re.search(rf"\b{t}\b", o) for t in others):
+            continue
+        out.append(q.name)
+    return out
+
+
+def _crafted_embeddings() -> pd.DataFrame:
+    """40 vectors, dim 64, all components exactly representable in
+    float32 (small integers and halves) so any Spark/DuckDB diff is
+    semantics, never accumulation noise. Hazards: the all-zero vector
+    (norm 0 — cosine's divide-by-zero), an exact duplicate pair, an
+    antipodal pair (cosine -1), a same-direction scaled copy, and a
+    tiny-magnitude vector."""
+    dim = 64
+
+    def vec(f):
+        return [float(f(j)) for j in range(dim)]
+
+    rows = [
+        (0, vec(lambda j: 0), 0),                       # zero norm
+        (1, vec(lambda j: 1 if j == 0 else 0), 1),      # unit e0
+        (2, vec(lambda j: (j % 7) - 3), 2),             # dup of 3
+        (3, vec(lambda j: (j % 7) - 3), 3),
+        (4, vec(lambda j: -((j % 7) - 3)), 4),          # antipodal to 3
+        (5, vec(lambda j: ((j % 7) - 3) * 8), 5),       # scaled copy of 3
+        (6, vec(lambda j: 0.5 if j % 3 == 0 else 0), 6),  # halves
+    ]
+    for i in range(7, 40):
+        rows.append((i, vec(lambda j, i=i: ((i * 31 + j * 17) % 13) - 6), i % 10))
+    return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+
+
+@pytest.fixture(scope="module")
+def crafted_emb_dir(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("adversarial_emb")
+    pdf = _crafted_embeddings()
+    table = pa.table(
+        {
+            "vec_id": pa.array(pdf["vec_id"], pa.int64()),
+            "embedding": pa.array(
+                pdf["embedding"], pa.list_(pa.float32())
+            ),
+            "label": pa.array(pdf["label"], pa.int32()),
+        }
+    )
+    pq.write_table(table, d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _embeddings_only_entries())
+def test_crafted_embeddings_fixture_matches_oracle(
+    spark, crafted_emb_dir, name
+):
+    q = _BY[name]
+    got = _canon(q.fn(spark, crafted_emb_dir).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{crafted_emb_dir}/embeddings.parquet')"
+    )
+    exp = _canon(con.execute(q.oracle).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
