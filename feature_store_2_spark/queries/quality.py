@@ -558,8 +558,15 @@ def stats_benford_distribution(spark, sf_dir):
         F.col("d").alias("digit"),
         F.col("n").cast("long").alias("n"),
         (F.col("n").cast("double") / F.col("t")).alias("share"),
+        # nullif d: a zero/negative total has first digit 0, where
+        # Benford's log(1 + 1/d) is undefined — DuckDB's 1/0 yields
+        # NULL (NULL expected-share on the audit row) while Spark's
+        # ANSI `/` throws; both engines must agree on NULL.
         F.round(
-            F.log(F.lit(1.0) + F.lit(1.0) / F.col("d")) / F.log(F.lit(10.0)),
+            F.log(
+                F.lit(1.0) + F.lit(1.0) / F.nullif(F.col("d"), F.lit(0))
+            )
+            / F.log(F.lit(10.0)),
             6,
         ).alias("benford_expected"),
     )

@@ -320,3 +320,143 @@ def test_crafted_embeddings_fixture_matches_oracle(
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), (len(got), len(exp))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Relational-side (TPC-H tables) adversarial fixture
+# ---------------------------------------------------------------------------
+
+REL_EXCLUDED = {
+    # need a pre-built sharded grants store / staging side effects
+    "fs_point_lookup", "fs_grants_version_diff", "fs_grants_forget_users",
+    # bucketed-layout entry stages catalog tables from the sf dir path;
+    # its plan-shape pytest covers it
+    "join_bucketed_fact_fact",
+}
+
+
+def _relational_entries():
+    covered = set(ENTRIES) | set(_docs_only_entries()) | set(
+        _embeddings_only_entries()
+    )
+    out = []
+    for q in CATALOG:
+        if not q.oracle or q.name.startswith("stream_"):
+            continue
+        if q.name in covered or q.name in REL_EXCLUDED or q.name in EXCLUDED:
+            continue
+        out.append(q.name)
+    return out
+
+
+def _crafted_relational(d):
+    """A minimal FK-consistent TPC-H micro-database concentrating
+    relational hazards: a region with no nations, a nation with no
+    customers, a customer with no orders (and negative/zero balances),
+    an order with no lineitems, zero discounts/taxes, and categorical
+    values missing entirely from some groups (empty ratio
+    denominators)."""
+    ts = dt.datetime
+    region = pd.DataFrame(
+        [(0, "ASIA"), (1, "EUROPE"), (2, "AFRICA")],  # AFRICA: no nations
+        columns=["r_regionkey", "r_name"],
+    )
+    nation = pd.DataFrame(
+        [(0, "NATION_0", 0), (1, "NATION_1", 0), (2, "NATION_2", 1)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )  # NATION_2: no customers or suppliers
+    customer = pd.DataFrame(
+        [
+            (1, "Customer#1", 0, 100.5, "BUILDING"),
+            (2, "Customer#2", 0, 0.0, "AUTOMOBILE"),    # zero balance
+            (3, "Customer#3", 1, -45.25, "BUILDING"),   # negative balance
+            (4, "Customer#4", 1, 900.0, "MACHINERY"),   # no orders
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    supplier = pd.DataFrame(
+        [(1, "Supplier#1", 0, 10.0), (2, "Supplier#2", 1, -5.5)],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    part = pd.DataFrame(
+        [
+            (1, "part one", "Brand#1", "PROMO", 5, 100.0),
+            (2, "part two", "Brand#2", "STANDARD", 10, 200.0),
+            (3, "part three", "Brand#1", "ECONOMY", 50, 50.0),  # no lineitems
+        ],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    )
+    orders = pd.DataFrame(
+        [
+            (1, 1, "F", 150.0, ts(1996, 1, 2), "1-URGENT"),
+            (2, 1, "O", 75.5, ts(1998, 6, 1), "5-LOW"),
+            (3, 2, "F", 300.25, ts(1996, 1, 2), "3-MEDIUM"),  # same day
+            (4, 3, "P", 10.0, ts(2001, 8, 1), "1-URGENT"),    # max date
+            (5, 2, "O", 0.0, ts(1995, 1, 1), "2-HIGH"),       # no lineitems
+        ],
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    lineitem = pd.DataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "A", "F", ts(1996, 1, 10)),
+            (1, 2, 2, 2, 50.0, 50.5, 0.1, 0.08, "R", "F", ts(1996, 2, 1)),
+            (2, 1, 2, 1, 2.0, 75.5, 0.05, 0.0, "N", "O", ts(1998, 6, 15)),
+            (3, 2, 1, 1, 25.0, 300.25, 0.0, 0.05, "A", "F", ts(1996, 1, 2)),
+            (4, 1, 1, 1, 1.0, 10.0, 0.1, 0.1, "N", "O", ts(2001, 11, 4)),
+        ],
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    for name, df in [
+        ("region", region), ("nation", nation), ("customer", customer),
+        ("supplier", supplier), ("part", part), ("orders", orders),
+        ("lineitem", lineitem),
+    ]:
+        # micro-second timestamps: pandas defaults to ns, which only the
+        # events loader normalizes; Spark rejects TIMESTAMP(NANOS) for
+        # the relational tables (load_table's events-only rebuild)
+        df.to_parquet(d / f"{name}.parquet", coerce_timestamps="us")
+
+
+@pytest.fixture(scope="module")
+def crafted_rel_dir(spark, tmp_path_factory, crafted_dir, crafted_docs_dir, crafted_emb_dir):
+    import shutil
+
+    d = tmp_path_factory.mktemp("adversarial_rel")
+    _crafted_relational(d)
+    # entries spanning table families get the crafted edge tables too
+    shutil.copy(f"{crafted_dir}/events.parquet", d / "events.parquet")
+    shutil.copy(
+        f"{crafted_docs_dir}/documents.parquet", d / "documents.parquet"
+    )
+    shutil.copy(
+        f"{crafted_emb_dir}/embeddings.parquet", d / "embeddings.parquet"
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _relational_entries())
+def test_crafted_relational_fixture_matches_oracle(
+    spark, crafted_rel_dir, name
+):
+    q = _BY[name]
+    got = _canon(q.fn(spark, crafted_rel_dir).toPandas())
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{crafted_rel_dir}/{t}.parquet')"
+        )
+    exp = _canon(con.execute(q.oracle).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
