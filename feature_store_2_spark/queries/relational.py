@@ -26,11 +26,11 @@ def dec(col: str, prec: str = "decimal(12,2)") -> F.Column:
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
                 * (1 - CAST(l_discount AS DECIMAL(10,2)))
-                * (1 + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
+                * (1 + CAST(l_tax AS DECIMAL(10,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
        count(*) AS count_order
@@ -71,8 +71,8 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_top_revenue_orders",
     """
 SELECT l_orderkey,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -114,8 +114,8 @@ def q3_top_revenue_orders(spark, sf_dir):
     "q5_region_revenue",
     """
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -326,8 +326,8 @@ def join_asof_purchase_last_signup(spark, sf_dir):
 # views). Q6 is the canonical "is pushdown working" probe — a single
 # scan whose three predicates must all reach the parquet reader.
 _Q6_SQL = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -394,8 +394,8 @@ def sql_recursive_month_spine(spark, sf_dir):
     "sql_pipe_syntax_revenue",
     """
 SELECT l_returnflag,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -415,8 +415,8 @@ def sql_pipe_syntax_revenue(spark, sf_dir):
         """
 FROM lineitem
 |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-|> AGGREGATE CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+|> AGGREGATE CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS STRING) AS DOUBLE)
                  AS revenue,
              count(*) AS n_rows
    GROUP BY l_returnflag

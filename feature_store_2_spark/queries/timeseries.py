@@ -396,7 +396,7 @@ _DECAY_CASE = "CASE date_diff('day', CAST(t.ts AS DATE), CAST(p.ts AS DATE)) " +
 
 _ATTR_ORACLE = f"""
 SELECT t.event_type,
-       CAST(sum({_DECAY_CASE}) AS DOUBLE) AS credit,
+       CAST(CAST(sum({_DECAY_CASE}) AS VARCHAR) AS DOUBLE) AS credit,
        CAST(count(*) AS INT) AS n_touches
 FROM events p
 JOIN events t

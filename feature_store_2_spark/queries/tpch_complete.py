@@ -107,9 +107,9 @@ def q2_min_cost_supplier(spark, sf_dir):
     f"""
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       CAST(sum({_REV}) AS DOUBLE)
-           - CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))
-                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+       CAST(CAST(sum({_REV}) AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
            AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
@@ -158,9 +158,10 @@ WITH pv AS (
     SELECT l_partkey, sum({_REV}) AS value_dec
     FROM lineitem GROUP BY 1),
 tot AS (SELECT sum({_REV}) AS total_dec FROM lineitem)
-SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+SELECT l_partkey, CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS part_value
 FROM pv, tot
-WHERE CAST(value_dec AS DOUBLE) > 0.0005 * CAST(total_dec AS DOUBLE)
+WHERE CAST(CAST(value_dec AS VARCHAR) AS DOUBLE)
+      > 0.0005 * CAST(CAST(total_dec AS VARCHAR) AS DOUBLE)
 """,
     doc="TPC-H Q11 analog (no partsupp: 'inventory value' is revenue "
     "value per part): parts whose revenue exceeds a fraction of the "

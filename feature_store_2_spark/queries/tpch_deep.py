@@ -46,8 +46,9 @@ WITH rev AS (
     JOIN nation sn ON s_nationkey = sn.n_nationkey
     WHERE r_name = 'ASIA')
 SELECT o_year,
-       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DOUBLE)
-           / CAST(sum(volume) AS DOUBLE) AS mkt_share
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END)
+                 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM rev
 GROUP BY o_year
 """,
@@ -130,8 +131,9 @@ def q13_customer_distribution(spark, sf_dir):
     "q14_promo_revenue",
     f"""
 SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-       100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV} END) AS DOUBLE)
-             / CAST(sum({_REV}) AS DOUBLE) AS promo_pct
+       100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV} END)
+                       AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum({_REV}) AS VARCHAR) AS DOUBLE) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY ship_year
 """,
@@ -165,7 +167,7 @@ def q14_promo_revenue(spark, sf_dir):
     "q19_bracketed_revenue",
     f"""
 SELECT p_brand,
-       CAST(sum({_REV}) AS DOUBLE) AS revenue,
+       CAST(CAST(sum({_REV}) AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 15)
@@ -423,7 +425,7 @@ def join_range_binned(spark, sf_dir):
     f"""
 WITH srev AS (
     SELECT l_suppkey,
-           CAST(sum({_REV}) AS DOUBLE) AS total_rev
+           CAST(CAST(sum({_REV}) AS VARCHAR) AS DOUBLE) AS total_rev
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '2000-04-01 00:00:00'
