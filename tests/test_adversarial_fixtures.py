@@ -460,3 +460,45 @@ def test_crafted_relational_fixture_matches_oracle(
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), (len(got), len(exp))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Streaming entries on the crafted events fixture
+# ---------------------------------------------------------------------------
+
+
+def _streaming_events_entries():
+    others = (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings",
+    )
+    out = []
+    for q in CATALOG:
+        if not q.oracle or not q.name.startswith("stream_"):
+            continue
+        o = q.oracle.lower()
+        if "events" not in o:
+            continue
+        if any(_re.search(rf"\b{t}\b", o) for t in others):
+            continue
+        out.append(q.name)
+    return out
+
+
+@pytest.mark.parametrize("name", _streaming_events_entries())
+def test_crafted_streaming_fixture_matches_oracle(spark, crafted_dir, name):
+    """The crafted ties/bursts/out-of-order events are exactly the shapes
+    watermark eviction and keyed state must get right; each streaming
+    entry stages its own micro-batch source from the crafted events
+    parquet and must still equal its batch oracle."""
+    q = _BY[name]
+    got = _canon(q.fn(spark, crafted_dir).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{crafted_dir}/events.parquet')"
+    )
+    exp = _canon(con.execute(q.oracle).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
