@@ -196,3 +196,90 @@ def chunk_dedup_stats(
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
         frac.alias("kept_frac"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style document quality rule battery (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", appendix A1.1 — the
+    MassiveText filter set; also the core of Dolma/RefinedWeb recipes).
+    Reference analog: the reference has no corpus ops — this is part of
+    the commissioned LLM-curation surface (SURVEY.md Part B).
+
+    Rules, re-expressed in INTEGER arithmetic only so both engines agree
+    bit-for-bit (no division anywhere — each published ratio threshold
+    becomes a cross-multiplied integer comparison):
+
+    * ``wc_ok``       50 <= n_words <= 100,000 (published bounds);
+    * ``mean_len_ok`` mean word length in [3, 10] chars ->
+                      ``3*n_words <= tot_chars <= 10*n_words``;
+    * ``rep_ok``      most frequent word < 20% of tokens ->
+                      ``5*max_tf < n_words``;
+    * ``stop_ok``     >= 2 occurrences drawn from a 7-word stopword
+                      list (the paper's "contains >= 2 stop words");
+    * ``alpha_ok``    >= 80% of words purely alphabetic ->
+                      ``5*n_alpha >= 4*n_words``;
+    * ``keep``        AND of all five.
+
+    The paper's line-shape rules (bullet/ellipsis line fractions) are
+    omitted: the synthetic corpus is single-line (no newlines), so the
+    rules would be constant-true and untestable here.
+
+    Shape at 100 TB: one explode -> (doc, word) tf agg (map-side
+    combine) -> per-doc agg; both shuffles key on doc_id (second one
+    pre-combined), no joins except the left join back to `docs` to keep
+    zero-word documents. All flag math is codegen'd integer compares.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("c"))
+    per = tf.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.length("word") * F.col("c")).cast("long").alias("tot_chars"),
+        F.max("c").cast("long").alias("max_tf"),
+        F.coalesce(
+            F.sum(F.when(F.col("word").isin(*GOPHER_STOPWORDS), F.col("c"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.coalesce(
+            F.sum(F.when(F.col("word").rlike("^[a-z]+$"), F.col("c"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_alpha"),
+    )
+    base = docs.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n_words", "tot_chars", "max_tf", "n_stop", "n_alpha")
+        ],
+    )
+    n, tot, mtf = F.col("n_words"), F.col("tot_chars"), F.col("max_tf")
+    flags = base.select(
+        "*",
+        (n.between(50, 100000)).alias("wc_ok"),
+        ((3 * n <= tot) & (tot <= 10 * n)).alias("mean_len_ok"),
+        (5 * mtf < n).alias("rep_ok"),
+        (F.col("n_stop") >= 2).alias("stop_ok"),
+        (5 * F.col("n_alpha") >= 4 * n).alias("alpha_ok"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("wc_ok")
+            & F.col("mean_len_ok")
+            & F.col("rep_ok")
+            & F.col("stop_ok")
+            & F.col("alpha_ok")
+        ).alias("keep"),
+    )

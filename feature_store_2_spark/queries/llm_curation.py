@@ -321,3 +321,63 @@ def doc_bigram_novelty(spark, sf_dir):
             (F.sum(novel).cast("double") / F.count("*")).alias("novelty"),
         )
     )
+
+
+_GOPHER_ORACLE = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+wn AS (SELECT doc_id, word FROM w WHERE word <> ''),
+tf AS (SELECT doc_id, word, count(*) AS c FROM wn GROUP BY 1, 2),
+per AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum(length(word) * c) AS BIGINT) AS tot_chars,
+           CAST(max(c) AS BIGINT) AS max_tf,
+           CAST(COALESCE(sum(CASE WHEN word IN
+               ('the', 'and', 'of', 'to', 'in', 'a', 'is')
+               THEN c END), 0) AS BIGINT) AS n_stop,
+           CAST(COALESCE(sum(CASE WHEN regexp_full_match(word, '[a-z]+')
+               THEN c END), 0) AS BIGINT) AS n_alpha
+    FROM tf GROUP BY doc_id),
+base AS (
+    SELECT d.doc_id,
+           COALESCE(n_words, 0) AS n_words,
+           COALESCE(tot_chars, 0) AS tot_chars,
+           COALESCE(max_tf, 0) AS max_tf,
+           COALESCE(n_stop, 0) AS n_stop,
+           COALESCE(n_alpha, 0) AS n_alpha
+    FROM documents d LEFT JOIN per USING (doc_id)),
+flags AS (
+    SELECT *,
+           n_words BETWEEN 50 AND 100000 AS wc_ok,
+           3 * n_words <= tot_chars AND tot_chars <= 10 * n_words
+               AS mean_len_ok,
+           5 * max_tf < n_words AS rep_ok,
+           n_stop >= 2 AS stop_ok,
+           5 * n_alpha >= 4 * n_words AS alpha_ok
+    FROM base)
+SELECT *,
+       wc_ok AND mean_len_ok AND rep_ok AND stop_ok AND alpha_ok AS keep
+FROM flags
+"""
+
+
+@register(
+    "doc_gopher_quality_flags",
+    _GOPHER_ORACLE,
+    doc="Gopher rule battery (Rae et al. 2021 A1.1, the MassiveText "
+    "filters; same family Dolma/RefinedWeb use): word-count bounds, "
+    "mean-word-length bounds, most-common-word coverage, stopword "
+    "presence, alphabetic-word fraction, and the AND-of-all keep "
+    "flag. Every published ratio threshold is cross-multiplied into "
+    "an integer comparison so no division exists anywhere — Spark "
+    "and DuckDB agree exactly on every row. Line-shape rules "
+    "(bullets/ellipses) are omitted: single-line synthetic corpus. "
+    "Scale shape: explode -> (doc,word) tf -> per-doc agg, both "
+    "shuffles on doc_id with map-side combine; left join keeps "
+    "zero-word docs.",
+)
+def doc_gopher_quality_flags(spark, sf_dir):
+    from feature_store_2_spark.operators.curation import gopher_quality_flags
+
+    return gopher_quality_flags(load_table(spark, "documents", sf_dir))

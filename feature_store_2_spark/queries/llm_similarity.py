@@ -1007,3 +1007,88 @@ def emb_hard_negative_mining(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance on the k-NN similarity graph
+# ---------------------------------------------------------------------------
+
+_BFS_ORACLE = f"""
+WITH knn AS ({_KNN_JOIN_ORACLE}),
+e AS (SELECT DISTINCT a, b FROM (
+    SELECT query_id AS a, neighbor_id AS b FROM knn
+    UNION ALL SELECT neighbor_id, query_id FROM knn)),
+d0 AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0),
+d1 AS (SELECT DISTINCT e.b AS vec_id FROM e JOIN d0 ON e.a = d0.vec_id
+       WHERE e.b NOT IN (SELECT vec_id FROM d0)),
+d2 AS (SELECT DISTINCT e.b AS vec_id FROM e JOIN d1 ON e.a = d1.vec_id
+       WHERE e.b NOT IN (SELECT vec_id FROM d0)
+         AND e.b NOT IN (SELECT vec_id FROM d1)),
+d3 AS (SELECT DISTINCT e.b AS vec_id FROM e JOIN d2 ON e.a = d2.vec_id
+       WHERE e.b NOT IN (SELECT vec_id FROM d0)
+         AND e.b NOT IN (SELECT vec_id FROM d1)
+         AND e.b NOT IN (SELECT vec_id FROM d2)),
+lv AS (SELECT vec_id, 0 AS dist FROM d0
+       UNION ALL SELECT vec_id, 1 FROM d1
+       UNION ALL SELECT vec_id, 2 FROM d2
+       UNION ALL SELECT vec_id, 3 FROM d3)
+SELECT d.vec_id, CAST(COALESCE(lv.dist, -1) AS INT) AS hop_dist
+FROM embeddings d LEFT JOIN lv USING (vec_id)
+"""
+
+
+@register(
+    "graph_bfs_distance",
+    _BFS_ORACLE,
+    doc="Multi-source BFS hop distance over the SRP-ANN k-NN similarity "
+    "graph (emb_knn_join_ann's top-5 edges, symmetrized): seeds are "
+    "every vec_id divisible by 50, hop_dist is the minimum number of "
+    "edges to any seed, exact up to the documented depth bound of 3, "
+    "-1 beyond — the 'within k hops of a labeled cluster' predicate "
+    "behind semi-supervised label spreading and contamination-"
+    "neighborhood quarantine. Spark side is the Pregel frontier "
+    "recipe: each round joins the frontier to the edge list on the "
+    "edge key, distincts the neighbor set, anti-joins visited, and "
+    "localCheckpoints so round N's plan never embeds round N-1's "
+    "joins (the connected_components / k-core lineage discipline). "
+    "Cost per round is one shuffle on the edge key ~ O(E); "
+    "depth-bounded, never all-pairs. The oracle rebuilds the "
+    "identical md5-parity kNN edge set and unrolls the three "
+    "frontier steps as CTEs.",
+)
+def graph_bfs_distance(spark, sf_dir):
+    from feature_store_2_spark.operators.dedup import embedding_srp_knn_join
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    knn = embedding_srp_knn_join(vecs, k=5).select("query_id", "neighbor_id")
+    edges = (
+        knn.select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"))
+        .unionAll(
+            knn.select(
+                F.col("neighbor_id").alias("a"), F.col("query_id").alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = (
+        vecs.select("vec_id")
+        .filter(F.col("vec_id") % 50 == 0)
+        .withColumn("dist", F.lit(0))
+    )
+    visited = seeds
+    frontier = seeds.select("vec_id")
+    for hop in (1, 2, 3):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("vec_id", "a"), "a", "inner")
+            .select(F.col("b").alias("vec_id"))
+            .distinct()
+            .join(visited.select("vec_id"), "vec_id", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(nxt.withColumn("dist", F.lit(hop)))
+        frontier = nxt
+    return vecs.select("vec_id").join(visited, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias("hop_dist"),
+    )

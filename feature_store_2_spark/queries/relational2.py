@@ -542,3 +542,71 @@ def dim_scd2_from_events(spark, sf_dir):
         F.unix_micros(nxt).alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+_SKYLINE_ORACLE = """
+SELECT p.p_brand, p.p_partkey, p.p_retailprice,
+       CAST(p.p_size AS INT) AS p_size
+FROM part p
+WHERE p.p_brand IS NOT NULL
+  AND p.p_retailprice IS NOT NULL
+  AND p.p_size IS NOT NULL
+  AND NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+@register(
+    "skyline_pareto_frontier",
+    _SKYLINE_ORACLE,
+    doc="Per-brand skyline (Pareto frontier) over part: minimize "
+    "p_retailprice, maximize p_size — the classic multi-objective "
+    "dominance query (Borzsony/Kossmann/Stocker, ICDE 2001). The "
+    "oracle states it as NOT-EXISTS dominance (quadratic); the Spark "
+    "plan uses the exact 2-D sweep instead: collapse to one row per "
+    "(brand, price) keeping max size, cummax that over the "
+    "brand-partitioned price-ordered window, and a part is dominated "
+    "iff the cummax over STRICTLY cheaper rows >= its size (lag of "
+    "the running cummax) or the cummax over <=-priced rows exceeds "
+    "it. O(n log n), no self-join anywhere. Rows with NULL in any "
+    "skyline dimension are excluded on both sides (documented "
+    "semantics; NULL is incomparable under dominance). Scale shape: "
+    "one (brand, price) agg with map-side combine, a window over "
+    "DISTINCT prices partitioned by brand (never the raw fact "
+    "table), and a broadcastable join of the tiny frontier-threshold "
+    "table back onto part.",
+)
+def skyline_pareto_frontier(spark, sf_dir):
+    p = (
+        load_table(spark, "part", sf_dir)
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+        .filter(
+            F.col("p_brand").isNotNull()
+            & F.col("p_retailprice").isNotNull()
+            & F.col("p_size").isNotNull()
+        )
+    )
+    per_price = p.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("gmax")
+    )
+    w_ord = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    cum = per_price.withColumn(
+        "cum_le",
+        F.max("gmax").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("cum_lt", F.lag("cum_le").over(w_ord))
+    dominated = (
+        F.col("cum_lt").isNotNull() & (F.col("cum_lt") >= F.col("p_size"))
+    ) | (F.col("cum_le") > F.col("p_size"))
+    return (
+        p.join(
+            cum.select("p_brand", "p_retailprice", "cum_le", "cum_lt"),
+            ["p_brand", "p_retailprice"],
+        )
+        .filter(~dominated)
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+    )
