@@ -454,3 +454,56 @@ def matryoshka_topk(
     return rer.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_covariance_partials(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-batch partial sufficient statistics for the exact corpus
+    covariance matrix — the X^T X outer-product accumulation every
+    PCA / whitening / ZCA embedding pipeline runs before the (tiny,
+    driver-side) eigendecomposition.
+
+    100 TB shape: each Arrow batch collapses to at most a few
+    (dim*(dim+1)/2)-row partials — the shuffle moves O(#batches * d^2)
+    tiny rows, never vectors. Exactness: vectors are quantized to
+    24-bit fixed point (functions/vector.py), chunk sizes are bounded
+    so every int64 einsum accumulation provably fits (chunk *
+    max|q|^2 < 2^62), and the final reduction happens in
+    DECIMAL(38,0) on the Spark side.
+
+    Output columns (one row per chunk per upper-triangle pair):
+    i, j (0-based dims, i <= j), s2 = sum q_i*q_j, s1i/s1j = sum q_i /
+    sum q_j over the chunk, n = chunk row count. groupBy(i, j) then
+    recovers the exact global moments (each chunk contributes exactly
+    one row per pair, so summing s1i per (i,j) group never
+    double-counts).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qdf = emb.select(quantize(F.col(vec_col)).alias("qv"))
+
+    def acc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arr_all = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            dim = arr_all.shape[1]
+            iu = np.triu_indices(dim)
+            maxq = int(np.abs(arr_all).max())
+            chunk = 8192 if maxq == 0 else max(1, min(8192, (1 << 62) // (maxq * maxq)))
+            for s in range(0, len(arr_all), chunk):
+                a = arr_all[s : s + chunk]
+                s1 = a.sum(axis=0)
+                s2 = a.T @ a
+                yield pd.DataFrame(
+                    {
+                        "i": iu[0].astype("int32"),
+                        "j": iu[1].astype("int32"),
+                        "s2": s2[iu],
+                        "s1i": s1[iu[0]],
+                        "s1j": s1[iu[1]],
+                        "n": np.int64(len(a)),
+                    }
+                )
+
+    return qdf.mapInPandas(acc, "i int, j int, s2 long, s1i long, s1j long, n long")

@@ -487,3 +487,89 @@ def feat_quantile_normalize(spark, sf_dir):
             F.col("r").cast("double") / (F.col("n") + 1).cast("double")
         ).alias("quantile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentile winsorization (outlier clipping at exact p05/p95)
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_totalprice IS NOT NULL),
+h AS (SELECT o_orderpriority AS pri, o_totalprice AS v, count(*) AS c
+      FROM base GROUP BY 1, 2),
+r AS (SELECT pri, v,
+             sum(c) OVER (PARTITION BY pri ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY pri) AS n
+      FROM h),
+t AS (SELECT pri,
+             min(CASE WHEN cum >= (5 * n + 99) // 100 THEN v END) AS p05,
+             min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END) AS p95
+      FROM r GROUP BY pri)
+SELECT b.o_orderkey, b.o_orderpriority, b.o_totalprice, t.p05, t.p95,
+       CASE WHEN b.o_totalprice < t.p05 THEN t.p05
+            WHEN b.o_totalprice > t.p95 THEN t.p95
+            ELSE b.o_totalprice END AS winsorized
+FROM base b JOIN t ON t.pri = b.o_orderpriority
+"""
+
+
+@register(
+    "feat_winsorize_clip",
+    _WINSORIZE_ORACLE,
+    doc="Percentile winsorization: clip o_totalprice to its per-priority "
+    "exact [p05, p95] band — the standard heavy-tail tamer applied "
+    "before scaling/regression features. Thresholds by exact rank "
+    "arithmetic on the (group, value) histogram (rank ceil(q*n) via "
+    "integer (q*n+99) DIV 100 — no double quantiles, no division in "
+    "any output), so every emitted column stays DECIMAL and both "
+    "engines agree bit-for-bit, ties included. Scale shape: one "
+    "histogram agg with map-side combine, a window over DISTINCT "
+    "values per group (never the raw fact table), and a broadcast "
+    "join of the tiny per-group threshold table back onto orders.",
+)
+def feat_winsorize_clip(spark, sf_dir):
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
+    )
+    hist = base.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("v"),
+    ).agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("pri")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("pri")
+    ranks = hist.select(
+        "pri",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    thr = (
+        ranks.withColumn("k05", F.expr("(5 * n + 99) div 100"))
+        .withColumn("k95", F.expr("(95 * n + 99) div 100"))
+        .groupBy("pri")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("k05"), F.col("v"))).alias("p05"),
+            F.min(F.when(F.col("cum") >= F.col("k95"), F.col("v"))).alias("p95"),
+        )
+    )
+    return base.join(
+        F.broadcast(thr), base["o_orderpriority"] == thr["pri"]
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        "p05",
+        "p95",
+        F.when(F.col("o_totalprice") < F.col("p05"), F.col("p05"))
+        .when(F.col("o_totalprice") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("winsorized"),
+    )

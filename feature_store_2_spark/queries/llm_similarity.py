@@ -1092,3 +1092,72 @@ def graph_bfs_distance(spark, sf_dir):
         "vec_id",
         F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias("hop_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact corpus covariance matrix (the PCA / whitening feed)
+# ---------------------------------------------------------------------------
+
+_QS2 = float(QUANT_SCALE) * float(QUANT_SCALE)
+
+_COV_ORACLE = f"""
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+x AS (SELECT vec_id, i.i AS i, v[i.i] AS q
+      FROM qv CROSS JOIN generate_series(1, {DIM}) i(i)),
+s1 AS (SELECT i, CAST(sum(q) AS DECIMAL(38,0)) AS s FROM x GROUP BY i),
+s2 AS (SELECT a.i AS ai, b.i AS bi,
+              CAST(sum(a.q * b.q) AS DECIMAL(38,0)) AS s2
+       FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+       GROUP BY 1, 2),
+n AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n FROM embeddings)
+SELECT CAST(s2.ai - 1 AS INT) AS i, CAST(s2.bi - 1 AS INT) AS j,
+       CAST(CAST(n.n * s2.s2 - sa.s * sb.s AS VARCHAR) AS DOUBLE)
+           / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)) / {_QS2!r} AS cov
+FROM s2
+CROSS JOIN n
+JOIN s1 sa ON sa.i = s2.ai
+JOIN s1 sb ON sb.i = s2.bi
+"""
+
+
+@register(
+    "emb_covariance_matrix",
+    _COV_ORACLE,
+    doc="Exact population covariance matrix of the embedding corpus "
+    "(upper triangle, 0-based dims) — the sufficient-statistics feed "
+    "for PCA / whitening / ZCA, computed as the moment identity "
+    "cov = (n*S2(i,j) - S1(i)*S1(j)) / n^2 over 24-bit fixed-point "
+    "quantized components. Spark side is the 100 TB shape: mapInPandas "
+    "collapses each Arrow chunk to d(d+1)/2 int64 partial rows "
+    "(overflow-provable chunk bound), and only those tiny partials "
+    "shuffle into one DECIMAL(38,0) hash-agg — vectors never leave "
+    "their scan partition. The one division chain runs on "
+    "string-routed doubles (the d2d recipe) so both engines emit "
+    "bit-identical covariances. Oracle unrolls the same moments via "
+    "unnest + pair self-join (quadratic reference form).",
+)
+def emb_covariance_matrix(spark, sf_dir):
+    from feature_store_2_spark.operators.similarity import (
+        embedding_covariance_partials,
+    )
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    parts = embedding_covariance_partials(vecs)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = parts.groupBy("i", "j").agg(
+        F.sum(dec("s2")).alias("S2"),
+        F.sum(dec("s1i")).alias("S1i"),
+        F.sum(dec("s1j")).alias("S1j"),
+        F.sum(dec("n")).alias("N"),
+    )
+    num = (F.col("N") * F.col("S2") - F.col("S1i") * F.col("S1j")).cast(
+        "decimal(38,0)"
+    )
+    n_d = F.col("N").cast("string").cast("double")
+    return agg.select(
+        "i",
+        "j",
+        (
+            num.cast("string").cast("double") / (n_d * n_d) / F.lit(_QS2)
+        ).alias("cov"),
+    )

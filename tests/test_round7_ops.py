@@ -201,3 +201,85 @@ def test_skyline_ties_kept_crafted(spark):
     }
     assert kept == {1, 2, 4, 5}
     assert r2  # module import sanity (keeps the entry's home importable)
+
+
+# ---------------------------------------------------------------------------
+# Covariance matrix (PCA feed)
+# ---------------------------------------------------------------------------
+
+
+def test_covariance_crafted_known_values(spark):
+    # two perfectly anticorrelated dims + one constant dim
+    import numpy as np
+
+    rows = [(i, [float(i), float(-i), 2.0] + [0.0] * 61) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    from feature_store_2_spark.operators.similarity import (
+        embedding_covariance_partials,
+    )
+    import pyspark.sql.functions as FF
+
+    parts = embedding_covariance_partials(df)
+    agg = (
+        parts.groupBy("i", "j")
+        .agg(
+            FF.sum("s2").alias("S2"),
+            FF.sum("s1i").alias("S1i"),
+            FF.sum("s1j").alias("S1j"),
+            FF.sum("n").alias("N"),
+        )
+        .collect()
+    )
+    got = {(r.i, r.j): (r.N * r.S2 - r.S1i * r.S1j) / (r.N * r.N) for r in agg}
+    QS2 = float(1 << 24) ** 2
+    x = np.arange(8)
+    var_x = ((x - x.mean()) ** 2).mean()
+    assert got[(0, 0)] / QS2 == var_x  # exact: integers scale cleanly
+    assert got[(0, 1)] / QS2 == -var_x  # perfect anticorrelation
+    assert got[(2, 2)] == 0  # constant dim
+    assert got[(0, 2)] == 0
+    assert len(got) == 64 * 65 // 2
+
+
+def test_covariance_entry_symmetric_psd_diag(spark):
+    out = Q["emb_covariance_matrix"](spark, SF).toPandas()
+    assert len(out) == 64 * 65 // 2
+    assert (out[out.i == out.j]["cov"] >= 0).all()  # variances non-negative
+    assert (out.i <= out.j).all()
+
+
+def test_covariance_overflow_guard_large_components(spark):
+    # components of magnitude 24 (the adversarial-fixture hazard): the
+    # dynamic chunk bound must keep int64 einsum accumulation exact
+    rows = [(i, [24.0 if j % 2 == 0 else -24.0 for j in range(64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from feature_store_2_spark.operators.similarity import (
+        embedding_covariance_partials,
+    )
+    import pyspark.sql.functions as FF
+
+    parts = embedding_covariance_partials(df)
+    tot = parts.groupBy("i", "j").agg(FF.sum("s2").alias("S2")).collect()
+    q = 24 * (1 << 24)
+    for r in tot:
+        expect = q * q * 50 * (1 if (r.i % 2) == (r.j % 2) else -1)
+        assert r.S2 == expect, (r.i, r.j)
+
+
+# ---------------------------------------------------------------------------
+# Winsorization
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_entry_invariants(spark):
+    out = Q["feat_winsorize_clip"](spark, SF).toPandas()
+    assert (out.p05 <= out.p95).all()
+    assert ((out.winsorized >= out.p05) & (out.winsorized <= out.p95)).all()
+    inside = (out.o_totalprice >= out.p05) & (out.o_totalprice <= out.p95)
+    assert (out.winsorized[inside] == out.o_totalprice[inside]).all()
+    # clip fraction per tail is at most ~5% + one tied value's mass
+    n = len(out)
+    assert (out.o_totalprice < out.p05).sum() <= 0.06 * n + 1
+    assert (out.o_totalprice > out.p95).sum() <= 0.06 * n + 1

@@ -251,6 +251,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/feature_eng.py", "glob"): "1-row global-mean scalar aggregate",
     ("queries/feature_eng.py", "cat"): "category table (|event_types| rows)",
     ("queries/feature_eng.py", "n"): "1-row sample-sizes scalar aggregate",
+    ("queries/feature_eng.py", "thr"): "per-group threshold table (|o_orderpriority| = 5 rows)",
     ("queries/stats_inference.py", "obs"): "1-row observed-stat aggregate",
     ("queries/stats_inference.py", "verdicts"): "1-row verdict-count aggregate",
     ("queries/stats_inference.py", "sen"): "1-row median-slope aggregate",
