@@ -1054,7 +1054,13 @@ FROM embeddings d LEFT JOIN lv USING (vec_id)
     "Cost per round is one shuffle on the edge key ~ O(E); "
     "depth-bounded, never all-pairs. The oracle rebuilds the "
     "identical md5-parity kNN edge set and unrolls the three "
-    "frontier steps as CTEs.",
+    "frontier steps as CTEs. Scale note (BENCH_NOTES.md r7j): this "
+    "catalog form keeps FIXED SRP band params so the oracle can "
+    "rebuild identical edges, and therefore inherits the fixed-band "
+    "candidate quadratic at 10x (measured exponent 1.51); the "
+    "production form sizes bands via srp_adaptive_params (measured "
+    "0.51, 11x faster at 10x — tools/scale_rehearsal.py "
+    "_bfs_adaptive). The BFS rounds themselves are linear in E.",
 )
 def graph_bfs_distance(spark, sf_dir):
     from feature_store_2_spark.operators.dedup import embedding_srp_knn_join

@@ -60,6 +60,12 @@ ENTRIES = (
     # keep cluster sizes bounded so edges (and triangles) should grow
     # ~linearly with the corpus
     "graph_triangle_count",
+    # round-7i: the covariance feed (per-chunk partials — should be
+    # exactly linear) and the BFS over the kNN edge set (frontier join
+    # cost tracks the kNN candidate volume)
+    "emb_covariance_matrix",
+    "graph_bfs_distance",
+    "graph_bfs_adaptive",
 )
 
 
@@ -82,7 +88,57 @@ def _ann_adaptive(spark, sf_dir):
     )
 
 
-EXTRA_FNS = {"dedup_embedding_ann_adaptive": _ann_adaptive}
+def _bfs_adaptive(spark, sf_dir):
+    """graph_bfs_distance's production form: the kNN edge set built with
+    corpus-sized SRP params (the r7i-measured fix for the fixed-band
+    candidate quadratic the catalog entry carries at 10x — exponent
+    1.51; the entry keeps fixed params so its DuckDB oracle can rebuild
+    identical edges)."""
+    from feature_store_2_spark.operators.dedup import (
+        embedding_srp_knn_join,
+        srp_adaptive_params,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = e.count()
+    n_bits, band_bits = srp_adaptive_params(n, threshold=0.8)
+    knn = embedding_srp_knn_join(
+        e, k=5, n_bits=n_bits, band_bits=band_bits
+    ).select("query_id", "neighbor_id")
+    edges = (
+        knn.select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"))
+        .unionAll(
+            knn.select(F.col("neighbor_id").alias("a"), F.col("query_id").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = (
+        e.select("vec_id")
+        .filter(F.col("vec_id") % 50 == 0)
+        .withColumn("dist", F.lit(0))
+    )
+    visited, frontier = seeds, seeds.select("vec_id")
+    for hop in (1, 2, 3):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("vec_id", "a"), "a", "inner")
+            .select(F.col("b").alias("vec_id"))
+            .distinct()
+            .join(visited.select("vec_id"), "vec_id", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(nxt.withColumn("dist", F.lit(hop)))
+        frontier = nxt
+    return e.select("vec_id").join(visited, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias("hop_dist"),
+    )
+
+
+EXTRA_FNS = {
+    "dedup_embedding_ann_adaptive": _ann_adaptive,
+    "graph_bfs_adaptive": _bfs_adaptive,
+}
 
 
 def _alpha_shift(i: int) -> str:
