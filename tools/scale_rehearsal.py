@@ -66,6 +66,9 @@ ENTRIES = (
     "emb_covariance_matrix",
     "graph_bfs_distance",
     "graph_bfs_adaptive",
+    # round-7k: the Gopher rule battery (explode -> doc-keyed tf agg ->
+    # per-doc agg; linear by construction, measured to confirm)
+    "doc_gopher_quality_flags",
 )
 
 
