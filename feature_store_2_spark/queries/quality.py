@@ -792,3 +792,62 @@ def dq_ledger_reconciliation(spark, sf_dir):
             F.col("abs_diff").cast("double").alias("abs_diff"),
         )
     )
+
+
+_DISTINCT_ROLLUP_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(day(ts) AS BIGINT) AS d
+    FROM events),
+um AS (SELECT DISTINCT user_id, y, m FROM ud),
+uy AS (SELECT DISTINCT user_id, y FROM um)
+SELECT 'day' AS grain, y, m, d, count(*) AS n_users
+FROM ud GROUP BY y, m, d
+UNION ALL
+SELECT 'month', y, m, CAST(NULL AS BIGINT), count(*) FROM um GROUP BY y, m
+UNION ALL
+SELECT 'year', y, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), count(*)
+FROM uy GROUP BY y
+"""
+
+
+@register(
+    "rollup_distinct_users_time",
+    _DISTINCT_ROLLUP_ORACLE,
+    doc="Exact distinct active users at every time grain (day -> month "
+    "-> year) — the DAU/MAU/YAU board metric. DISTINCT does not "
+    "roll up through GROUP BY ROLLUP (a user active 3 days in a "
+    "month is ONE monthly active), so the plan pays the expensive "
+    "dedup once at the finest (user, day) grain and re-dedups the "
+    "already-collapsed output per coarser grain: shuffle sizes "
+    "shrink geometrically (|user x day| >> |user x month| >> "
+    "|user x year|), vs three full scans with COUNT(DISTINCT) per "
+    "grain. All keys BIGINT; counts exact.",
+)
+def rollup_distinct_users_time(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).distinct()
+    um = ud.select("user_id", "y", "m").distinct()
+    uy = um.select("user_id", "y").distinct()
+    nul = F.lit(None).cast("long")
+    day = ud.groupBy("y", "m", "d").agg(F.count("*").alias("n_users")).select(
+        F.lit("day").alias("grain"), "y", "m", "d", "n_users"
+    )
+    month = um.groupBy("y", "m").agg(F.count("*").alias("n_users")).select(
+        F.lit("month").alias("grain"), "y", "m", nul.alias("d"), "n_users"
+    )
+    year = uy.groupBy("y").agg(F.count("*").alias("n_users")).select(
+        F.lit("year").alias("grain"),
+        "y",
+        nul.alias("m"),
+        nul.alias("d"),
+        "n_users",
+    )
+    return day.unionByName(month).unionByName(year)

@@ -283,3 +283,23 @@ def test_winsorize_entry_invariants(spark):
     n = len(out)
     assert (out.o_totalprice < out.p05).sum() <= 0.06 * n + 1
     assert (out.o_totalprice > out.p95).sum() <= 0.06 * n + 1
+
+
+# ---------------------------------------------------------------------------
+# Distinct-users time rollup
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_distinct_users_hierarchy_bounds(spark):
+    out = Q["rollup_distinct_users_time"](spark, SF).toPandas()
+    day = out[out.grain == "day"]
+    month = out[out.grain == "month"].set_index(["y", "m"])
+    year = out[out.grain == "year"].set_index("y")
+    # monthly actives bounded by the sum of daily actives in the month,
+    # and at least the busiest single day
+    per_month = day.groupby(["y", "m"]).n_users
+    for key, mrow in month.iterrows():
+        assert per_month.max()[key] <= mrow.n_users <= per_month.sum()[key]
+    per_year = month.reset_index().groupby("y").n_users
+    for y, yrow in year.iterrows():
+        assert per_year.max()[y] <= yrow.n_users <= per_year.sum()[y]
