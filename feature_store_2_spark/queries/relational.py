@@ -692,3 +692,57 @@ def join_asof_nearest_purchase(spark, sf_dir):
         .when(F.col("f_ok"), F.lit("forward"))
         .alias("direction"),
     )
+
+
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR)
+            AS DOUBLE) AS disc_revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE CAST(l_quantity AS DECIMAL(12,2)) * 2 > 40
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_scalar_udf_revenue",
+    _SQL_UDF_ORACLE,
+    doc="Spark 4 SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN "
+    "expr, SPARK-46057): business logic named once in SQL and reused "
+    "across queries — discounted-price and a quantity predicate both "
+    "defined as SQL UDFs and invoked from a plain aggregate. The "
+    "planner INLINES the function body, so the plan is identical to "
+    "writing the expression by hand: the expanded predicate reaches "
+    "the scan node as a DataFilter (parquet-level pushdown is blocked "
+    "by the decimal cast — exactly as the hand-written form), the "
+    "read schema prunes to 4 columns, and the decimal product-sum "
+    "still partial-aggregates map-side — zero execution cost for the "
+    "abstraction (unlike Python UDFs). Oracle states the inlined "
+    "form; product sum routes DECIMAL->VARCHAR->DOUBLE (the d2d "
+    "2^53-hazard recipe).",
+)
+def sql_scalar_udf_revenue(spark, sf_dir):
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price("
+        "p DECIMAL(12,2), d DECIMAL(12,2)) "
+        "RETURNS DECIMAL(26,4) RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_doubled_over("
+        "q DECIMAL(12,2), lim INT) RETURNS BOOLEAN RETURN q * 2 > lim"
+    )
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       CAST(sum(disc_price(CAST(l_extendedprice AS DECIMAL(12,2)),
+                           CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS disc_revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE qty_doubled_over(CAST(l_quantity AS DECIMAL(12,2)), 40)
+GROUP BY l_returnflag
+"""
+    )
