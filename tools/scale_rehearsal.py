@@ -69,6 +69,9 @@ ENTRIES = (
     # round-7k: the Gopher rule battery (explode -> doc-keyed tf agg ->
     # per-doc agg; linear by construction, measured to confirm)
     "doc_gopher_quality_flags",
+    # round-7n: DAU/MAU/YAU — one finest-grain dedup then shrinking
+    # re-dedups; the dedup shuffle is the only term that grows
+    "rollup_distinct_users_time",
 )
 
 
