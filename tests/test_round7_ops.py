@@ -303,3 +303,57 @@ def test_rollup_distinct_users_hierarchy_bounds(spark):
     per_year = month.reset_index().groupby("y").n_users
     for y, yrow in year.iterrows():
         assert per_year.max()[y] <= yrow.n_users <= per_year.sum()[y]
+
+
+def test_winsorize_thresholds_match_sorted_rank_property(spark):
+    # property: p05/p95 equal the ceil(q*n)-th smallest value (1-indexed)
+    # for any multiset, ties and duplicates included
+    from decimal import Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=50).map(
+                lambda c: Decimal(c) / 4  # coarse grid -> many exact ties
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(vals):
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_orderpriority", T.StringType()),
+                T.StructField("o_totalprice", T.DecimalType(12, 2)),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(i, "G", v) for i, v in enumerate(vals)], schema
+        )
+        df.createOrReplaceTempView("_w_orders")
+        # same rank arithmetic as feat_winsorize_clip, single group
+        n = len(vals)
+        srt = sorted(Decimal(v).quantize(Decimal("0.01")) for v in vals)
+        k05 = (5 * n + 99) // 100
+        k95 = (95 * n + 99) // 100
+        want_lo, want_hi = srt[k05 - 1], srt[k95 - 1]
+        out = spark.sql(
+            """
+            WITH h AS (SELECT o_totalprice AS v, count(*) AS c
+                       FROM _w_orders GROUP BY 1),
+            r AS (SELECT v,
+                         sum(c) OVER (ORDER BY v) AS cum,
+                         sum(c) OVER () AS n FROM h)
+            SELECT min(CASE WHEN cum >= (5*n+99) div 100 THEN v END) AS lo,
+                   min(CASE WHEN cum >= (95*n+99) div 100 THEN v END) AS hi
+            FROM r
+            """
+        ).collect()[0]
+        assert out.lo == want_lo and out.hi == want_hi, (vals, out)
+
+    check()
