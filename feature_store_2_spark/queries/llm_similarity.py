@@ -1167,3 +1167,157 @@ def emb_covariance_matrix(spark, sf_dir):
             num.cast("string").cast("double") / (n_d * n_d) / F.lit(_QS2)
         ).alias("cov"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: ANN recall@5 audit and per-label MRR@5
+# ---------------------------------------------------------------------------
+
+_ANN_RECALL_ORACLE = f"""
+WITH knn AS ({_KNN_JOIN_ORACLE}),
+qv2 AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+nn2 AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
+        FROM qv2 CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
+p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              CAST(sum(q.v[i.i] * c.v[i.i]) AS BIGINT) AS dot
+       FROM qv2 q
+       JOIN qv2 c ON q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id
+       CROSS JOIN generate_series(1, {DIM}) i(i)
+       GROUP BY 1, 2),
+ex AS (SELECT query_id, neighbor_id FROM (
+         SELECT p2.query_id, p2.neighbor_id,
+                row_number() OVER (PARTITION BY p2.query_id ORDER BY
+                    CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))) DESC,
+                    p2.neighbor_id) AS rnk
+         FROM p2
+         JOIN nn2 na ON p2.query_id = na.vec_id
+         JOIN nn2 nb ON p2.neighbor_id = nb.vec_id)
+       WHERE rnk <= 5),
+ann AS (SELECT query_id, neighbor_id, 1 AS hit
+        FROM knn WHERE query_id % 10 = 0)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.hit) AS BIGINT) AS n_hits,
+       CAST(count(a.hit) AS DOUBLE) / count(*) AS recall_at_5
+FROM ex e
+LEFT JOIN ann a ON e.query_id = a.query_id
+                AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "eval_ann_recall_at_k",
+    _ANN_RECALL_ORACLE,
+    doc="ANN index-quality audit: recall@5 of the SRP-banded k-NN join "
+    "against exact brute-force ground truth, measured on a "
+    "deterministic 10% query sample (vec_id % 10 = 0) — the "
+    "production recipe for monitoring an ANN index at scale, where "
+    "exact ground truth is affordable only on a sample. Both ranked "
+    "lists are deterministic (quantized-integer cosine, DESC + "
+    "neighbor_id tie-break), so the per-query hit count is exact "
+    "integer set intersection; recall is its single division. Scale "
+    "shape: ground truth broadcasts only the sampled queries against "
+    "the corpus (one narrow pass, per-query top-k window); the ANN "
+    "side is the banded equi-join; the audit join keys on (query, "
+    "neighbor) pairs — 5 rows per sampled query.",
+)
+def eval_ann_recall_at_k(spark, sf_dir):
+    from feature_store_2_spark.operators.dedup import embedding_srp_knn_join
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    sample = F.col("vec_id") % 10 == 0
+    exact = brute_force_topk(vecs, vecs.filter(sample), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = (
+        embedding_srp_knn_join(vecs, k=5)
+        .filter(F.col("query_id") % 10 == 0)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+            (F.count("hit").cast("double") / F.count("*")).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+_MRR_ORACLE = f"""
+WITH knn AS ({_KNN_JOIN_ORACLE}),
+lab AS (SELECT vec_id, label FROM embeddings),
+hits AS (SELECT k.query_id, min(k.rank) AS first_rank
+         FROM knn k
+         JOIN lab q ON k.query_id = q.vec_id
+         JOIN lab n ON k.neighbor_id = n.vec_id
+         WHERE q.label = n.label
+         GROUP BY k.query_id),
+per AS (SELECT l.vec_id AS query_id, l.label,
+               CAST(COALESCE(60 // h.first_rank, 0) AS BIGINT) AS rr60
+        FROM lab l LEFT JOIN hits h ON l.vec_id = h.query_id)
+SELECT CAST(label AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(rr60) AS BIGINT) AS rr60_sum,
+       CAST(sum(rr60) AS DOUBLE) / (60.0 * count(*)) AS mrr_at_5
+FROM per GROUP BY label
+"""
+
+
+@register(
+    "eval_mrr_retrieval",
+    _MRR_ORACLE,
+    doc="Per-label MRR@5 over the ANN neighbor lists: reciprocal rank "
+    "of the FIRST same-label neighbor in each vector's top-5 (0 if "
+    "none) — the standard retrieval-eval statistic for embedding "
+    "quality by class. Floating-sum hazard dodged by exact rational "
+    "arithmetic: reciprocal ranks are accumulated as integer "
+    "rr60 = 60/rank (60 = lcm(1..5), so every 1/rank is exact), and "
+    "MRR is ONE division of the exact integer sum by 60*n — no sum "
+    "of inexact doubles in any order anywhere. Scale shape: the kNN "
+    "band join dominates; label lookup is two joins on vec_id; the "
+    "final agg is |labels| rows.",
+)
+def eval_mrr_retrieval(spark, sf_dir):
+    from feature_store_2_spark.operators.dedup import embedding_srp_knn_join
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    lab = vecs.select("vec_id", "label")
+    knn = embedding_srp_knn_join(vecs, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    hits = (
+        knn.join(
+            lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql")),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+            ),
+            "neighbor_id",
+        )
+        .filter(F.col("ql") == F.col("nl"))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    per = lab.select(F.col("vec_id").alias("query_id"), "label").join(
+        hits, "query_id", "left"
+    ).select(
+        "label",
+        F.coalesce(
+            F.expr("60 div first_rank"), F.lit(0)
+        ).cast("long").alias("rr60"),
+    )
+    return per.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count("*").alias("n_queries"),
+        F.sum("rr60").alias("rr60_sum"),
+        (
+            F.sum("rr60").cast("double") / (F.lit(60.0) * F.count("*"))
+        ).alias("mrr_at_5"),
+    )

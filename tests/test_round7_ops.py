@@ -357,3 +357,29 @@ def test_winsorize_thresholds_match_sorted_rank_property(spark):
         assert out.lo == want_lo and out.hi == want_hi, (vals, out)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evals
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_bounds_and_sample(spark):
+    out = Q["eval_ann_recall_at_k"](spark, SF).toPandas()
+    assert (out.query_id % 10 == 0).all()
+    assert (out.n_exact == 5).all()
+    assert ((out.n_hits >= 0) & (out.n_hits <= 5)).all()
+    assert ((out.recall_at_5 * 5).round() == out.n_hits).all()
+    # the SRP index's pytest-pinned recall floor: mean recall well above 0
+    assert out.n_hits.sum() > 0.5 * 5 * len(out)
+
+
+def test_mrr_exact_rational_identity(spark):
+    out = Q["eval_mrr_retrieval"](spark, SF).toPandas()
+    assert len(out) == out.label.nunique()
+    # mrr is EXACTLY rr60_sum / (60 * n): one IEEE division, no float sum
+    import numpy as np
+
+    expect = out.rr60_sum.astype(float) / (60.0 * out.n_queries.astype(float))
+    assert (out.mrr_at_5.values == expect.values).all()
+    assert ((out.mrr_at_5 >= 0) & (out.mrr_at_5 <= 1)).all()

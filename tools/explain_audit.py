@@ -32,6 +32,11 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # not candidate bucketing) — query set broadcast as in
                # emb_cosine_topk.
                "emb_matryoshka_rerank",
+               # ground-truth side broadcasts the 10% query SAMPLE
+               # against the corpus (the emb_cosine_topk shape) — the
+               # sampled-audit recipe, not an accidental cartesian; the
+               # ANN side under audit is the banded equi-join.
+               "eval_ann_recall_at_k",
                "emb_lsh_ann_topk", "join_cross_region_nation", "join_range_event_pairs",
                # 1-row broadcast scalar subqueries (threshold / n_docs /
                # global max / total): the BNLJ build side is a single
