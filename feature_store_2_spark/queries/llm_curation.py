@@ -10,6 +10,8 @@ divisions, so value hashes match bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from feature_store_2_spark.operators.curation import (
     chunk_dedup_stats,
     contamination_vs_benchmark,
@@ -381,3 +383,74 @@ def doc_gopher_quality_flags(spark, sf_dir):
     from feature_store_2_spark.operators.curation import gopher_quality_flags
 
     return gopher_quality_flags(load_table(spark, "documents", sf_dir))
+
+
+def _source_overlap_oracle() -> str:
+    from feature_store_2_spark.queries.llm_text import _minhash_oracle
+
+    return f"""
+WITH pairs AS ({_minhash_oracle()}),
+lab AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs,
+       CAST(count(DISTINCT CASE WHEN a.source <= b.source
+                                THEN p.doc1 ELSE p.doc2 END) AS BIGINT)
+           AS n_docs_a,
+       CAST(count(DISTINCT CASE WHEN a.source <= b.source
+                                THEN p.doc2 ELSE p.doc1 END) AS BIGINT)
+           AS n_docs_b
+FROM pairs p
+JOIN lab a ON p.doc1 = a.doc_id
+JOIN lab b ON p.doc2 = b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    _source_overlap_oracle(),
+    doc="Cross-source duplication matrix — which sources copy from "
+    "which: MinHash-LSH candidate near-dup pairs (the "
+    "dedup_minhash_lsh band join, never all-pairs) labeled with each "
+    "side's `source` and aggregated to an unordered source-pair "
+    "matrix with pair counts and per-side distinct-doc counts. The "
+    "C4/Dolma-style curation forensic that decides which source to "
+    "drop when two feeds mirror each other. Unordered normalization "
+    "via least/greatest on the source label keeps (A,B) and (B,A) "
+    "in one cell deterministically; the within-pair doc attribution "
+    "follows the same orientation so counts are engine-independent. "
+    "Scale shape: band equi-join candidates + two broadcastable "
+    "doc->source lookups + one tiny matrix agg.",
+)
+def dedup_source_overlap_matrix(spark, sf_dir):
+    from feature_store_2_spark.operators.dedup import minhash_lsh_candidate_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_candidate_pairs(docs).select("doc1", "doc2")
+    lab = docs.select("doc_id", "source")
+    both = (
+        pairs.join(
+            lab.select(F.col("doc_id").alias("doc1"), F.col("source").alias("sa")),
+            "doc1",
+        )
+        .join(
+            lab.select(F.col("doc_id").alias("doc2"), F.col("source").alias("sb")),
+            "doc2",
+        )
+    )
+    oriented = both.select(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+        F.when(F.col("sa") <= F.col("sb"), F.col("doc1"))
+        .otherwise(F.col("doc2"))
+        .alias("da"),
+        F.when(F.col("sa") <= F.col("sb"), F.col("doc2"))
+        .otherwise(F.col("doc1"))
+        .alias("db"),
+    )
+    return oriented.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("da").alias("n_docs_a"),
+        F.countDistinct("db").alias("n_docs_b"),
+    )

@@ -1254,3 +1254,54 @@ def window_max_concurrency(spark, sf_dir):
         F.max("conc").cast("long").alias("peak_concurrency"),
         F.count("*").cast("long").alias("n_boundaries"),
     )
+
+
+_SNAIVE_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+    FROM events GROUP BY 1, 2)
+SELECT a.event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(a.c - f.c)) AS BIGINT) AS sum_abs_err,
+       CAST(sum(abs(a.c - f.c)) AS DOUBLE) / count(*) AS mae,
+       CAST(sum(a.c - f.c) AS DOUBLE) / count(*) AS mean_err
+FROM daily a
+JOIN daily f ON a.event_type = f.event_type
+            AND a.d = f.d + INTERVAL 7 DAY
+GROUP BY a.event_type
+"""
+
+
+@register(
+    "eval_seasonal_naive_backtest",
+    _SNAIVE_ORACLE,
+    doc="Forecast-baseline backtest: the seasonal-naive predictor "
+    "(forecast for day d = actual at d-7, the week-periodic "
+    "no-skill baseline every real forecaster must beat) scored "
+    "per event type with MAE and signed bias. Errors are integer "
+    "(daily counts), so the sums are exact and each reported "
+    "metric is ONE division — no floating accumulation. Days "
+    "without a d-7 observation are excluded on both sides by the "
+    "equi-join (well-defined gap semantics). Scale shape: one "
+    "daily pre-agg with map-side combine, a self-equi-join on "
+    "(type, date) — the joined frame is |types| x |days|, already "
+    "thousands of times smaller than the fact table.",
+)
+def eval_seasonal_naive_backtest(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("c"))
+    f = daily.select(
+        "event_type",
+        F.date_add("d", 7).alias("d"),
+        F.col("c").alias("fc"),
+    )
+    j = daily.join(f, ["event_type", "d"])
+    err = F.col("c") - F.col("fc")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.abs(err)).alias("sum_abs_err"),
+        (F.sum(F.abs(err)).cast("double") / F.count("*")).alias("mae"),
+        (F.sum(err).cast("double") / F.count("*")).alias("mean_err"),
+    )

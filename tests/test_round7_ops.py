@@ -383,3 +383,27 @@ def test_mrr_exact_rational_identity(spark):
     expect = out.rr60_sum.astype(float) / (60.0 * out.n_queries.astype(float))
     assert (out.mrr_at_5.values == expect.values).all()
     assert ((out.mrr_at_5 >= 0) & (out.mrr_at_5 <= 1)).all()
+
+
+# ---------------------------------------------------------------------------
+# Source overlap matrix / seasonal-naive backtest
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_matrix_invariants(spark):
+    out = Q["dedup_source_overlap_matrix"](spark, SF).toPandas()
+    assert (out.source_a <= out.source_b).all()  # unordered normalization
+    assert not out.duplicated(["source_a", "source_b"]).any()
+    assert (out.n_docs_a <= out.n_dup_pairs).all()
+    assert (out.n_docs_b <= out.n_dup_pairs).all()
+    assert (out.n_dup_pairs > 0).all()
+
+
+def test_seasonal_naive_backtest_identities(spark):
+    out = Q["eval_seasonal_naive_backtest"](spark, SF).toPandas()
+    assert len(out) > 0
+    assert (out.mae * out.n_days).round(6).equals(
+        out.sum_abs_err.astype(float).round(6)
+    )
+    # |bias| <= MAE always (triangle inequality on the error sum)
+    assert (out.mean_err.abs() <= out.mae + 1e-12).all()
