@@ -610,3 +610,79 @@ def skyline_pareto_frontier(spark, sf_dir):
         .filter(~dominated)
         .select("p_brand", "p_partkey", "p_retailprice", "p_size")
     )
+
+
+_ENTRY_EXIT_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                THEN 0 ELSE 1 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+ranked AS (
+    SELECT user_id, session_id, event_type,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn_asc,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts DESC, event_id DESC) AS rn_desc
+    FROM sessions
+),
+per AS (
+    SELECT user_id, session_id,
+           min(event_type) FILTER (WHERE rn_asc = 1) AS entry_type,
+           min(event_type) FILTER (WHERE rn_desc = 1) AS exit_type,
+           count(*) AS n_ev
+    FROM ranked GROUP BY 1, 2
+)
+SELECT entry_type, exit_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+FROM per GROUP BY 1, 2
+"""
+
+
+@register(
+    "path_entry_exit_pages",
+    _ENTRY_EXIT_ORACLE,
+    doc="Entry/exit analysis — the landing-page x exit-page report: "
+    "sessionize (the sessionize_events 30-min-gap recipe, "
+    "microsecond arithmetic, (ts, event_id) total order), take each "
+    "session's first and last event type via min_by/max_by over the "
+    "(ts, event_id) struct (ONE agg pass, no extra window), and fold "
+    "to the entry x exit matrix with a bounce count (single-event "
+    "sessions). Complements path_transitions (within-session bigram "
+    "flow) with the session-boundary view. Scale shape: the "
+    "sessionization window on the user key dominates; everything "
+    "after runs on one row per session.",
+)
+def path_entry_exit_pages(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wcum))
+    key = F.struct("ts", "event_id")
+    per = sessions.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+        F.count("*").alias("n_ev"),
+    )
+    return per.groupBy("entry_type", "exit_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounce"),
+    )

@@ -1305,3 +1305,48 @@ def eval_seasonal_naive_backtest(spark, sf_dir):
         (F.sum(F.abs(err)).cast("double") / F.count("*")).alias("mae"),
         (F.sum(err).cast("double") / F.count("*")).alias("mean_err"),
     )
+
+
+_NEW_RETURNING_ORACLE = """
+WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
+firsts AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1)
+SELECT ud.d,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN ud.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(sum(CASE WHEN ud.d > f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returning
+FROM ud JOIN firsts f ON ud.user_id = f.user_id
+GROUP BY ud.d
+"""
+
+
+@register(
+    "ts_new_vs_returning_daily",
+    _NEW_RETURNING_ORACLE,
+    doc="New-vs-returning decomposition of daily actives — the growth "
+    "accounting behind every DAU chart (is growth acquisition or "
+    "retention?). First-activity date per user from the deduped "
+    "(user, day) grain, then each active day splits into new "
+    "(first day) and returning; n_new + n_returning = n_active by "
+    "construction. Scale shape: one (user, day) dedup (the "
+    "rollup_distinct_users_time shuffle), a per-user min over the "
+    "collapsed output, and a user-keyed join of two already-small "
+    "frames. All counts exact integers.",
+)
+def ts_new_vs_returning_daily(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    j = ud.join(firsts, "user_id")
+    return j.groupBy("d").agg(
+        F.count("*").alias("n_active"),
+        F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("d") > F.col("first_d"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_returning"),
+    )

