@@ -1350,3 +1350,99 @@ def ts_new_vs_returning_daily(spark, sf_dir):
         .cast("long")
         .alias("n_returning"),
     )
+
+
+_STICKINESS_ORACLE = """
+WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
+daily AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+monthly AS (
+    SELECT CAST(year(d) AS BIGINT) AS y, CAST(month(d) AS BIGINT) AS m,
+           CAST(sum(dau) AS BIGINT) AS dau_sum,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1, 2),
+mau AS (
+    SELECT CAST(year(d) AS BIGINT) AS y, CAST(month(d) AS BIGINT) AS m,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+    FROM ud GROUP BY 1, 2)
+SELECT y, m, dau_sum, n_days, mau,
+       CAST(dau_sum AS DOUBLE) / n_days AS avg_dau,
+       CAST(dau_sum AS DOUBLE) / (n_days * mau) AS stickiness
+FROM monthly JOIN mau USING (y, m)
+"""
+
+
+@register(
+    "ts_stickiness_dau_mau",
+    _STICKINESS_ORACLE,
+    doc="DAU/MAU stickiness per month — the engagement ratio every "
+    "growth team tracks (what fraction of the monthly audience shows "
+    "up on an average day). avg_dau and stickiness are each ONE "
+    "division of exact integer operands (the denominator n_days*mau "
+    "is multiplied as integers first), so both engines emit "
+    "bit-identical doubles. Scale shape: the (user, day) dedup "
+    "shuffle dominates (shared with rollup_distinct_users_time); "
+    "everything downstream runs on day- and month-grain frames.",
+)
+def ts_stickiness_dau_mau(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    daily = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    monthly = daily.groupBy(
+        F.year("d").cast("long").alias("y"),
+        F.month("d").cast("long").alias("m"),
+    ).agg(
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.count("*").alias("n_days"),
+    )
+    mau = ud.groupBy(
+        F.year("d").cast("long").alias("y"),
+        F.month("d").cast("long").alias("m"),
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    j = monthly.join(mau, ["y", "m"])
+    return j.select(
+        "y",
+        "m",
+        "dau_sum",
+        "n_days",
+        "mau",
+        (F.col("dau_sum").cast("double") / F.col("n_days")).alias("avg_dau"),
+        (
+            F.col("dau_sum").cast("double") / (F.col("n_days") * F.col("mau"))
+        ).alias("stickiness"),
+    )
+
+
+_ACTIVITY_HIST_ORACLE = """
+WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
+per_user AS (
+    SELECT CAST(year(d) AS BIGINT) AS y, CAST(month(d) AS BIGINT) AS m,
+           user_id, CAST(count(*) AS BIGINT) AS active_days
+    FROM ud GROUP BY 1, 2, 3)
+SELECT y, m, active_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "ts_activity_histogram",
+    _ACTIVITY_HIST_ORACLE,
+    doc="Power-user curve (the L28-style activity histogram): per "
+    "month, how many users were active exactly k days — the "
+    "engagement-depth distribution behind habit metrics, plotted as "
+    "the classic smile/frown curve. Two exact hash aggs over the "
+    "deduped (user, day) grain: per-(month, user) day counts, then "
+    "the k-bucket fold; every shuffle after the dedup runs on "
+    "already-collapsed frames. All-integer output.",
+)
+def ts_activity_histogram(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    per_user = ud.groupBy(
+        F.year("d").cast("long").alias("y"),
+        F.month("d").cast("long").alias("m"),
+        "user_id",
+    ).agg(F.count("*").alias("active_days"))
+    return per_user.groupBy("y", "m", "active_days").agg(
+        F.count("*").alias("n_users")
+    )

@@ -482,3 +482,27 @@ def test_new_vs_returning_identities(spark):
     # earliest day has zero returning
     first = out.sort_values("d").iloc[0]
     assert first.n_returning == 0
+
+
+# ---------------------------------------------------------------------------
+# Stickiness + activity histogram
+# ---------------------------------------------------------------------------
+
+
+def test_stickiness_identities(spark):
+    out = Q["ts_stickiness_dau_mau"](spark, SF).toPandas()
+    assert len(out) > 0
+    # avg day audience can't exceed the monthly audience
+    assert ((out.stickiness > 0) & (out.stickiness <= 1)).all()
+    assert (out.avg_dau <= out.mau).all()
+    assert (out.dau_sum >= out.mau).all()  # each MAU contributes >= 1 day
+
+
+def test_activity_histogram_mass_conservation(spark):
+    hist = Q["ts_activity_histogram"](spark, SF).toPandas()
+    stick = Q["ts_stickiness_dau_mau"](spark, SF).toPandas()
+    # per month: sum of histogram users == MAU; sum of k*n_users == dau_sum
+    for _, srow in stick.iterrows():
+        h = hist[(hist.y == srow.y) & (hist.m == srow.m)]
+        assert h.n_users.sum() == srow.mau
+        assert (h.active_days * h.n_users).sum() == srow.dau_sum
