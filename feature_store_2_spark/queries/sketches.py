@@ -749,3 +749,88 @@ def sketch_hll_exact_registers(spark, sf_dir):
             "true_ndv",
         )
     )
+
+
+_CLAMP_CAP_MICRO = 100_000_000  # 100.0 in micro-units
+
+_CLAMPED_BALANCE_ORACLE = f"""
+WITH RECURSIVE base AS (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           CAST(CASE WHEN event_type = 'purchase'
+                     THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                     WHEN event_type = 'click'
+                     THEN -CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                     ELSE 0 END AS BIGINT) AS delta
+    FROM events),
+rec AS (
+    SELECT user_id, event_id, rn,
+           GREATEST(LEAST(delta, {_CLAMP_CAP_MICRO}), 0) AS bal
+    FROM base WHERE rn = 1
+    UNION ALL
+    SELECT b.user_id, b.event_id, b.rn,
+           GREATEST(LEAST(r.bal + b.delta, {_CLAMP_CAP_MICRO}), 0)
+    FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, CAST(bal AS BIGINT) AS balance_micro
+FROM rec
+"""
+
+
+@register(
+    "window_clamped_running_balance",
+    _CLAMPED_BALANCE_ORACLE,
+    doc="Clamped running balance — the inventory/credit-ledger scan "
+    "(balance_t = clamp(balance_t-1 + delta_t, 0, cap)) that NO "
+    "window frame can express: the clamp makes each row depend on "
+    "the clamped PREVIOUS result, not on any prefix aggregate. This "
+    "is the textbook case for the repo's operator hierarchy rule "
+    "(SURVEY: composition first, then applyInPandas): Spark side is "
+    "an Arrow-batched per-user grouped-map (sort by (ts, event_id), "
+    "one Python loop over int64 micro-units — exactly-once per key, "
+    "one shuffle on user_id); the DuckDB oracle unrolls the same "
+    "recurrence with WITH RECURSIVE over per-user row numbers. "
+    "Deltas: purchases credit, clicks debit, floor 0, cap 100.0 "
+    "(micro-unit integers end-to-end, zero float drift). At 100 TB "
+    "each USER's history must fit an Arrow batch — the per-key "
+    "sequential scan's inherent requirement; beyond that, segment "
+    "per epoch and carry state like the streaming twin.",
+)
+def window_clamped_running_balance(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long"),
+        )
+        .when(
+            F.col("event_type") == "click",
+            -(F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("delta"),
+    )
+
+    cap = _CLAMP_CAP_MICRO
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal = 0
+        out = []
+        for d in pdf["delta"].tolist():
+            bal = max(min(bal + int(d), cap), 0)
+            out.append(bal)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "balance_micro": pd.Series(out, index=pdf.index, dtype="int64"),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        scan, "user_id long, event_id long, balance_micro long"
+    )

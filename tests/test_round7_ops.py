@@ -506,3 +506,62 @@ def test_activity_histogram_mass_conservation(spark):
         h = hist[(hist.y == srow.y) & (hist.m == srow.m)]
         assert h.n_users.sum() == srow.mau
         assert (h.active_days * h.n_users).sum() == srow.dau_sum
+
+
+# ---------------------------------------------------------------------------
+# Clamped running balance
+# ---------------------------------------------------------------------------
+
+
+def test_clamped_balance_crafted_recurrence(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    # deltas in order: +60, +60 (cap at 100), -150 (floor at 0), +30
+    rows = [
+        (1, t0, 7, "purchase", 60.0),
+        (2, t0 + dt.timedelta(minutes=1), 7, "purchase", 60.0),
+        (3, t0 + dt.timedelta(minutes=2), 7, "click", 150.0),
+        (4, t0 + dt.timedelta(minutes=3), 7, "purchase", 30.0),
+        (5, t0, 8, "error", 999.0),  # non-monetary type: delta 0
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    import pyspark.sql.functions as FF
+    import pandas as pd
+
+    ev = df.select(
+        "user_id", "event_id", "ts",
+        FF.when(FF.col("event_type") == "purchase",
+                (FF.col("value").cast("decimal(18,6)") * 1_000_000).cast("long"))
+        .when(FF.col("event_type") == "click",
+              -(FF.col("value").cast("decimal(18,6)") * 1_000_000).cast("long"))
+        .otherwise(FF.lit(0)).alias("delta"),
+    )
+
+    def scan(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, out = 0, []
+        for d in pdf["delta"].tolist():
+            bal = max(min(bal + int(d), 100_000_000), 0)
+            out.append(bal)
+        return pd.DataFrame({"user_id": pdf["user_id"], "event_id": pdf["event_id"],
+                             "balance_micro": pd.Series(out, index=pdf.index, dtype="int64")})
+
+    got = {
+        r.event_id: r.balance_micro
+        for r in ev.groupBy("user_id")
+        .applyInPandas(scan, "user_id long, event_id long, balance_micro long")
+        .collect()
+    }
+    assert got == {1: 60_000_000, 2: 100_000_000, 3: 0, 4: 30_000_000, 5: 0}
+
+
+def test_clamped_balance_entry_bounds(spark):
+    out = Q["window_clamped_running_balance"](spark, SF).toPandas()
+    assert ((out.balance_micro >= 0) & (out.balance_micro <= 100_000_000)).all()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert len(out) == ev.count()  # one balance per event
+    assert out.event_id.is_unique
