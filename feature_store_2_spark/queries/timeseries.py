@@ -1446,3 +1446,118 @@ def ts_activity_histogram(spark, sf_dir):
     return per_user.groupBy("y", "m", "active_days").agg(
         F.count("*").alias("n_users")
     )
+
+
+_HOUR_DOW_ORACLE = """
+WITH cells AS (
+    SELECT event_type,
+           CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2, 3),
+tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total
+        FROM cells GROUP BY 1)
+SELECT c.event_type, c.iso_dow, c.hod, c.n_events,
+       CAST(c.n_events * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM cells c JOIN tot t ON c.event_type = t.event_type
+"""
+
+
+@register(
+    "ts_seasonality_hour_dow",
+    _HOUR_DOW_ORACLE,
+    doc="Hour-of-day x day-of-week seasonality heatmap per event type — "
+    "the 24x7 activity fingerprint behind staffing/alerting "
+    "baselines (complements ts_seasonality_dow_profile's daily "
+    "grain). Cell share is integer ppm via floor-DIV (the repo's "
+    "zero-division idiom); ISO weekday numbering on both engines "
+    "(Spark weekday()+1 == DuckDB isodow). Scale shape: one "
+    "conditional-free hash agg straight off the scan (at most "
+    "types x 168 cells survive), then a broadcastable per-type "
+    "total join-back.",
+)
+def ts_seasonality_hour_dow(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        (F.weekday("ts") + F.lit(1)).cast("long").alias("iso_dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count("*").alias("n_events"))
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("total")
+    )
+    return cells.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "iso_dow",
+        "hod",
+        "n_events",
+        F.expr("CAST(n_events * 1000000 div total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
+_PV_DECOMP_ORACLE = """
+WITH monthly AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS vol,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS rev
+    FROM orders GROUP BY 1, 2),
+seq AS (
+    SELECT *,
+           lag(vol) OVER w AS vol_p,
+           lag(rev) OVER w AS rev_p
+    FROM monthly WINDOW w AS (ORDER BY y, m))
+SELECT y, m, vol, rev,
+       rev - rev_p AS d_rev,
+       (vol - vol_p) * (rev_p / vol_p) AS volume_effect,
+       vol * (rev / vol - rev_p / vol_p) AS price_effect
+FROM seq WHERE vol_p IS NOT NULL AND vol_p > 0
+"""
+
+
+@register(
+    "stats_revenue_price_volume_decomp",
+    _PV_DECOMP_ORACLE,
+    doc="Price/volume decomposition of month-over-month revenue change "
+    "— the FP&A waterfall (how much of the revenue move came from "
+    "MORE orders vs PRICIER orders): volume_effect = dVol * "
+    "avg_price_prev, price_effect = vol * d(avg_price); the two sum "
+    "to d_rev exactly by algebraic identity (pytest-pinned). "
+    "Exactness: monthly revenue is a DECIMAL sum string-routed to "
+    "double ONCE (the d2d recipe), then every downstream value is a "
+    "short identical IEEE chain on those agreed doubles — no float "
+    "accumulation anywhere. Scale shape: one month-grain agg with "
+    "map-side combine, a 1-row-per-month lag window.",
+)
+def stats_revenue_price_volume_decomp(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
+        F.count("*").alias("vol"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .cast("double")
+        .alias("rev"),
+    )
+    w = W.orderBy("y", "m")
+    seq = monthly.withColumn("vol_p", F.lag("vol").over(w)).withColumn(
+        "rev_p", F.lag("rev").over(w)
+    )
+    avg_p = F.col("rev_p") / F.col("vol_p")
+    avg_c = F.col("rev") / F.col("vol")
+    return seq.filter(
+        F.col("vol_p").isNotNull() & (F.col("vol_p") > 0)
+    ).select(
+        "y",
+        "m",
+        "vol",
+        "rev",
+        (F.col("rev") - F.col("rev_p")).alias("d_rev"),
+        ((F.col("vol") - F.col("vol_p")) * avg_p).alias("volume_effect"),
+        (F.col("vol") * (avg_c - avg_p)).alias("price_effect"),
+    )

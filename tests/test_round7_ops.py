@@ -565,3 +565,28 @@ def test_clamped_balance_entry_bounds(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     assert len(out) == ev.count()  # one balance per event
     assert out.event_id.is_unique
+
+
+# ---------------------------------------------------------------------------
+# Hour x dow heatmap + price/volume decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_hour_dow_heatmap_invariants(spark):
+    out = Q["ts_seasonality_hour_dow"](spark, SF).toPandas()
+    assert out.iso_dow.between(1, 7).all()
+    assert out.hod.between(0, 23).all()
+    # per type: ppm shares floor-sum to <= 1_000_000 and > 999_000
+    for _, g in out.groupby("event_type"):
+        assert g.share_ppm.sum() <= 1_000_000
+        assert g.share_ppm.sum() > 1_000_000 - len(g)
+
+
+def test_pv_decomposition_identity(spark):
+    out = Q["stats_revenue_price_volume_decomp"](spark, SF).toPandas()
+    assert len(out) > 0
+    # volume_effect + price_effect == d_rev by algebraic identity
+    # (identical IEEE chains -> tolerance only for association order)
+    resid = (out.volume_effect + out.price_effect - out.d_rev).abs()
+    scale = out.rev.abs() + 1.0
+    assert (resid / scale < 1e-12).all()

@@ -147,7 +147,11 @@ GLOBAL_WINDOW_OK = {"window_ntile_percentrank", "doc_pack_token_budget",
                     "stats_chi2_independence",
                     "stats_equidepth_histogram",
                     "stats_mann_kendall",
-                    "doc_zipf_rank_frequency"}
+                    "doc_zipf_rank_frequency",
+                    # month-grain lag: the window input is one row per
+                    # calendar month (bounded metadata scale by
+                    # construction), not the fact table
+                    "stats_revenue_price_volume_decomp"}
 
 _WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
 
@@ -253,6 +257,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/timeseries.py", "n"): "fixed dim (25 rows)",
     ("queries/timeseries.py", "r"): "fixed dim (5 rows)",
     ("queries/timeseries.py", "anchor"): "1-row max-date scalar aggregate",
+    ("queries/timeseries.py", "tot"): "per-type totals (|event_types| rows)",
     ("queries/feature_eng.py", "glob"): "1-row global-mean scalar aggregate",
     ("queries/feature_eng.py", "cat"): "category table (|event_types| rows)",
     ("queries/feature_eng.py", "n"): "1-row sample-sizes scalar aggregate",
