@@ -851,3 +851,110 @@ def rollup_distinct_users_time(spark, sf_dir):
         "n_users",
     )
     return day.unionByName(month).unionByName(year)
+
+
+_PATTERN_ORACLE = """
+WITH sigs AS (
+    SELECT 'c_name' AS column_name,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+               '[0-9]', '9', 'g') AS pattern
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment',
+           regexp_replace(regexp_replace(regexp_replace(
+               c_mktsegment, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+               '[0-9]', '9', 'g')
+    FROM customer)
+SELECT column_name, pattern, CAST(count(*) AS BIGINT) AS n_values
+FROM sigs GROUP BY 1, 2
+"""
+
+
+@register(
+    "dq_value_pattern_profile",
+    _PATTERN_ORACLE,
+    doc="Value-pattern (shape) profiling — the DQ-tool staple that "
+    "surfaces mixed formats before they break parsers: every string "
+    "folds to a character-class signature (uppercase->A, "
+    "lowercase->a, digit->9; punctuation kept verbatim), then "
+    "signatures are counted per column. A healthy column shows ONE "
+    "dominant pattern; stragglers are the malformed rows. Plain "
+    "character-class regexes behave identically in Spark (Java "
+    "regex) and DuckDB (RE2), so the fold is engine-exact. Scale "
+    "shape: per-column narrow projections unioned, one hash agg — "
+    "pattern cardinality is tiny by construction.",
+)
+def dq_value_pattern_profile(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir)
+
+    def sig(col):
+        x = F.regexp_replace(F.col(col), "[A-Z]", "A")
+        x = F.regexp_replace(x, "[a-z]", "a")
+        return F.regexp_replace(x, "[0-9]", "9")
+
+    sigs = c.select(
+        F.lit("c_name").alias("column_name"), sig("c_name").alias("pattern")
+    ).unionAll(
+        c.select(F.lit("c_mktsegment"), sig("c_mktsegment"))
+    )
+    return sigs.groupBy("column_name", "pattern").agg(
+        F.count("*").alias("n_values")
+    )
+
+
+_AGING_ORACLE = """
+WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+open_orders AS (
+    SELECT o_orderkey, o_orderstatus, o_orderdate,
+           CAST(datediff('day', o_orderdate, anchor.a) AS BIGINT) AS age_days
+    FROM orders CROSS JOIN anchor
+    WHERE o_orderstatus IN ('O', 'P'))
+SELECT o_orderstatus,
+       CASE WHEN age_days <= 30 THEN '0-30'
+            WHEN age_days <= 60 THEN '31-60'
+            WHEN age_days <= 90 THEN '61-90'
+            ELSE '90+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(age_days) AS BIGINT) AS min_age_days,
+       CAST(max(age_days) AS BIGINT) AS max_age_days
+FROM open_orders
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "dq_open_order_aging",
+    _AGING_ORACLE,
+    doc="Open-order aging report — the ops backlog view (how stale is "
+    "the unfulfilled book, by status and age bucket). Snapshot "
+    "anchor = global max order date (1-row broadcast scalar, the "
+    "collect-free pattern every aging/recency entry uses); ages are "
+    "exact day diffs; fixed 30/60/90 buckets. Scale shape: pushed "
+    "status filter, one scan, 1-row cross-joined anchor, one tiny "
+    "hash agg.",
+)
+def dq_open_order_aging(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    anchor = o.agg(F.max("o_orderdate").alias("a"))
+    aged = (
+        o.filter(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_orderstatus",
+            F.datediff(F.col("a"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("age_days"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return aged.groupBy("o_orderstatus", bucket.alias("age_bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.min("age_days").alias("min_age_days"),
+        F.max("age_days").alias("max_age_days"),
+    )

@@ -590,3 +590,46 @@ def test_pv_decomposition_identity(spark):
     resid = (out.volume_effect + out.price_effect - out.d_rev).abs()
     scale = out.rev.abs() + 1.0
     assert (resid / scale < 1e-12).all()
+
+
+# ---------------------------------------------------------------------------
+# Pattern profile + order aging
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_profile_crafted_signatures(spark):
+    from feature_store_2_spark.queries import CATALOG as _
+    import pyspark.sql.functions as FF
+
+    df = spark.createDataFrame(
+        [("Abc-123",), ("Xyz-987",), ("no digits",)], "s string"
+    )
+    x = FF.regexp_replace(FF.col("s"), "[A-Z]", "A")
+    x = FF.regexp_replace(x, "[a-z]", "a")
+    x = FF.regexp_replace(x, "[0-9]", "9")
+    got = sorted(r[0] for r in df.select(x).collect())
+    assert got == ["Aaa-999", "Aaa-999", "aa aaaaaa"]
+
+
+def test_pattern_profile_entry_mass(spark):
+    out = Q["dq_value_pattern_profile"](spark, SF).toPandas()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    per_col = out.groupby("column_name").n_values.sum()
+    assert per_col["c_name"] == n_cust
+    assert per_col["c_mktsegment"] == n_cust
+    # synthetic names are uniform: ONE dominant pattern for c_name
+    assert (out[out.column_name == "c_name"].n_values.max()) == n_cust
+
+
+def test_order_aging_invariants(spark):
+    out = Q["dq_open_order_aging"](spark, SF).toPandas()
+    assert set(out.o_orderstatus) <= {"O", "P"}
+    assert set(out.age_bucket) <= {"0-30", "31-60", "61-90", "90+"}
+    assert (out.min_age_days <= out.max_age_days).all()
+    assert (out.min_age_days >= 0).all()
+    n_open = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter("o_orderstatus IN ('O','P')")
+        .count()
+    )
+    assert out.n_orders.sum() == n_open

@@ -60,6 +60,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "stats_key_skew_profile",
                # 1-row forecast x 1-row actual crossJoin
                "stats_join_size_forecast",
+               # 1-row max-date anchor crossJoin (aging snapshot)
+               "dq_open_order_aging",
                # centroid broadcast + 1-row totals broadcast
                "emb_ivf_cell_stats",
                # 1-row audit-aggregate x 1-row uniqueness-aggregate join
@@ -223,6 +225,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/quality.py", "tot"): "1-row scalar aggregate",
     ("queries/quality.py", "act"): "1-row scalar aggregate",
     ("queries/quality.py", "thr"): "5-row ROC threshold spine",
+    ("queries/quality.py", "anchor"): "1-row max-date scalar aggregate",
     ("queries/llm_text.py", "n"): "1-row n_docs aggregate",
     ("queries/llm_text.py", "shard_prefix"): "shard-totals prefix (1 row/shard, W-tuned ~1e5)",
     ("queries/windows_setops.py", "b"): "equi-depth bucket bounds (k rows)",
