@@ -633,3 +633,13 @@ def test_order_aging_invariants(spark):
         .count()
     )
     assert out.n_orders.sum() == n_open
+
+
+def test_weekly_overlap_invariants(spark):
+    out = Q["ts_weekly_audience_overlap"](spark, SF).toPandas()
+    assert len(out) > 0
+    assert (out.n_retained <= out.wau).all()
+    assert (out.n_retained <= out.wau_next).all()
+    assert ((out.wow_retention >= 0) & (out.wow_retention <= 1)).all()
+    # consecutive monday starts only
+    assert out.week_start.map(lambda d: d.weekday()).eq(0).all()
