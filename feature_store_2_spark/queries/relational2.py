@@ -686,3 +686,117 @@ def path_entry_exit_pages(spark, sf_dir):
         .cast("long")
         .alias("n_bounce"),
     )
+
+
+_SHARE_OF_PARENT_ORACLE = """
+WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2),
+reg AS (SELECT region, CAST(sum(rev_cents) AS BIGINT) AS region_cents
+        FROM rev GROUP BY 1),
+tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM rev)
+SELECT rev.region, rev.nation, rev.rev_cents,
+       CAST(rev.rev_cents * 1000000 // reg.region_cents AS BIGINT)
+           AS share_of_region_ppm,
+       CAST(reg.region_cents * 1000000 // tot.total_cents AS BIGINT)
+           AS region_share_of_total_ppm
+FROM rev JOIN reg ON rev.region = reg.region CROSS JOIN tot
+"""
+
+
+@register(
+    "agg_share_of_parent",
+    _SHARE_OF_PARENT_ORACLE,
+    doc="Percent-of-parent in a dimension hierarchy — the BI drilldown "
+    "staple (each nation's share of its region, each region's share "
+    "of the whole): revenue folded to exact integer cents once, then "
+    "both shares are integer-ppm floor-DIVs — zero float anywhere. "
+    "Scale shape: one fact-side agg (two broadcast dim joins feed "
+    "it), a 5-row region rollup, a 1-row total broadcast — the "
+    "multi-level share needs no window over the fact table.",
+)
+def agg_share_of_parent(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    reg = rev.groupBy("region").agg(
+        F.sum("rev_cents").cast("long").alias("region_cents")
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "rev_cents",
+            F.expr(
+                "CAST(rev_cents * 1000000 div region_cents AS BIGINT)"
+            ).alias("share_of_region_ppm"),
+            F.expr(
+                "CAST(region_cents * 1000000 div total_cents AS BIGINT)"
+            ).alias("region_share_of_total_ppm"),
+        )
+    )
+
+
+_TOPK_TIES_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC) AS rnk
+    FROM orders)
+WHERE rnk <= 3
+"""
+
+
+@register(
+    "window_topk_with_ties",
+    _TOPK_TIES_ORACLE,
+    doc="Top-k WITH TIES per group (rank() <= k) — the semantic "
+    "variant of window_rank_orders_per_customer's row_number form "
+    "that keeps EVERY order tied at the boundary value instead of "
+    "arbitrarily cutting one (ANSI FETCH FIRST k ROWS WITH TIES; "
+    "result size varies by group). rank() is value-determined, so "
+    "no tie-break column is needed for cross-engine determinism — "
+    "the output SET is identical by construction. Spark plans the "
+    "filter as WindowGroupLimit pushdown (top-k per key before full "
+    "sort) — same shuffle shape as row_number top-k.",
+)
+def window_topk_with_ties(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )

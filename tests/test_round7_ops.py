@@ -643,3 +643,30 @@ def test_weekly_overlap_invariants(spark):
     assert ((out.wow_retention >= 0) & (out.wow_retention <= 1)).all()
     # consecutive monday starts only
     assert out.week_start.map(lambda d: d.weekday()).eq(0).all()
+
+
+def test_share_of_parent_mass(spark):
+    out = Q["agg_share_of_parent"](spark, SF).toPandas()
+    # floor-ppm shares per region sum to <= 1e6 and within |nations| ulps
+    for _, g in out.groupby("region"):
+        assert g.share_of_region_ppm.sum() <= 1_000_000
+        assert g.share_of_region_ppm.sum() > 1_000_000 - len(g)
+    # region shares of total likewise (one value per region)
+    regs = out.drop_duplicates("region")
+    assert regs.region_share_of_total_ppm.sum() <= 1_000_000
+    assert regs.region_share_of_total_ppm.sum() > 1_000_000 - len(regs)
+
+
+def test_topk_with_ties_keeps_boundary_ties(spark):
+    import pyspark.sql.functions as FF
+
+    out = Q["window_topk_with_ties"](spark, SF)
+    pdf = out.toPandas()
+    assert (pdf.rnk <= 3).all()
+    # WITH TIES semantics: every group has AT LEAST 3 rows (where the
+    # customer has >= 3 orders), possibly more on boundary ties
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    sizes = orders.groupBy("o_custkey").count().toPandas().set_index("o_custkey")
+    got = pdf.groupby("o_custkey").size()
+    for ck, n in got.items():
+        assert n >= min(3, int(sizes.loc[ck]["count"]))

@@ -62,6 +62,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "stats_join_size_forecast",
                # 1-row max-date anchor crossJoin (aging snapshot)
                "dq_open_order_aging",
+               # 1-row grand-total crossJoin (percent-of-parent denominator)
+               "agg_share_of_parent",
                # centroid broadcast + 1-row totals broadcast
                "emb_ivf_cell_stats",
                # 1-row audit-aggregate x 1-row uniqueness-aggregate join
@@ -208,6 +210,10 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/relational2.py", "cn"): "nation alias (25 rows)",
     ("queries/relational2.py", "sn"): "nation alias (25 rows)",
     ("queries/relational2.py", "nation"): "fixed dim (25 rows)",
+    ("queries/relational2.py", "n"): "fixed dim (25 rows)",
+    ("queries/relational2.py", "r"): "fixed dim (5 rows)",
+    ("queries/relational2.py", "reg"): "region rollup (5 rows)",
+    ("queries/relational2.py", "tot"): "1-row scalar aggregate",
     ("queries/tpch_deep.py", "cn"): "nation alias (25 rows)",
     ("queries/tpch_deep.py", "sn"): "nation alias (25 rows)",
     ("queries/tpch_deep.py", "reg"): "fixed dim (5 rows)",
