@@ -582,7 +582,8 @@ WITH u AS (
 )
 SELECT user_id,
        CAST(len(types) AS INT) AS n_types,
-       list_sort(list_intersect(types, ['view', 'click'])) AS browse_types,
+       array_to_string(list_sort(list_intersect(types, ['view', 'click'])),
+                       ',') AS browse_types,
        CAST(len(list_filter(types,
                 t -> NOT list_contains(['view', 'click'], t))) AS INT)
            AS n_non_browse,
@@ -599,7 +600,9 @@ FROM u
     "browse set, plus membership — array_intersect, array_except "
     "(as a filtered cardinality, the form both engines order "
     "identically), array_contains over one collect_set aggregate. "
-    "Arrays are sorted so set results compare deterministically. "
+    "Arrays are sorted then rendered via array_join so the output "
+    "column is a plain string — the driver's hash gate cannot "
+    "factorize array-typed columns (CORRECTNESS_r07 err). "
     "One shuffle; per-user arrays bounded by the 5-type domain.",
 )
 def func_array_set_ops(spark, sf_dir):
@@ -611,9 +614,9 @@ def func_array_set_ops(spark, sf_dir):
     return u.select(
         "user_id",
         F.size("types").cast("int").alias("n_types"),
-        F.array_sort(F.array_intersect("types", browse)).alias(
-            "browse_types"
-        ),
+        F.array_join(
+            F.array_sort(F.array_intersect("types", browse)), ","
+        ).alias("browse_types"),
         F.size(F.array_except("types", browse)).cast("int").alias(
             "n_non_browse"
         ),

@@ -33,6 +33,23 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def unhashable_cols(df: pd.DataFrame) -> list[str]:
+    """Columns the DRIVER's hash gate cannot process. The driver sorts
+    then factorizes raw values, so any list/dict/ndarray-valued column
+    (Spark ArrayType/MapType/StructType output) crashes its _canon with
+    'unhashable type' even when values are correct (CORRECTNESS_r07
+    func_array_set_ops). Flag them here so the local replica can no
+    longer pass an entry the driver will error on."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            head = df[c].dropna().head(50)
+            if any(isinstance(v, (list, dict, set)) or hasattr(v, "__array__")
+                   and not isinstance(v, (str, bytes)) for v in head):
+                bad.append(c)
+    return bad
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -66,6 +83,13 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
     s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
     if s_cols != d_cols:
         return [f"columns spark={s_cols} duck={d_cols}"]
+    bad = unhashable_cols(spark_df)
+    if bad:
+        return [
+            f"driver-unhashable columns {bad}: complex-typed output "
+            "(array/map/struct) crashes the driver's hash gate — render "
+            "to string (array_join / array_to_string) in the entry"
+        ]
     s, d = canon(spark_df), canon(duck_df)
     for c in s.columns:
         sk, dk = _dtype_kind(s[c]), _dtype_kind(d[c])
