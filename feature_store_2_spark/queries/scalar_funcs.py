@@ -582,8 +582,11 @@ WITH u AS (
 )
 SELECT user_id,
        CAST(len(types) AS INT) AS n_types,
-       array_to_string(list_sort(list_intersect(types, ['view', 'click'])),
-                       ',') AS browse_types,
+       -- DuckDB array_to_string is NULL on an empty list where Spark
+       -- array_join is '' — coalesce so both engines render ''
+       coalesce(array_to_string(
+           list_sort(list_intersect(types, ['view', 'click'])), ','),
+           '') AS browse_types,
        CAST(len(list_filter(types,
                 t -> NOT list_contains(['view', 'click'], t))) AS INT)
            AS n_non_browse,
