@@ -346,12 +346,27 @@ def srp_adaptive_params(
     band_bits = max(
         SRP_BAND_BITS, math.ceil(math.log2(max(n, 2) / target_occupancy))
     )
+    # clamp recall to the open interval: recall >= 1.0 would ask for
+    # log(0) (infinite bands — max_bits caps it anyway), recall <= 0
+    # for log of >= 1 (r7 advisor edge finding)
+    recall = min(max(recall, 1e-12), 1.0 - 1e-12)
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     pr = p**band_bits
     if pr >= 1.0:
         bands = 1
+    elif pr <= 0.0:
+        # threshold = -1 gives p = 0: no band can ever collide, so any
+        # finite band count misses the recall bound — degrade to the
+        # max_bits cap (mirrors the pr >= 1.0 short-circuit)
+        bands = max(1, max_bits // band_bits)
     else:
-        bands = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - pr)))
+        # log1p: for pr near 0, log(1.0 - pr) underflows to exactly 0.0
+        # (ZeroDivisionError) while log1p(-pr) == -pr; the ratio can
+        # still be astronomically large (denormal pr), so cap BEFORE
+        # ceil to avoid float->int overflow
+        cap = max(1, max_bits // band_bits)
+        ratio = math.log1p(-recall) / math.log1p(-pr)
+        bands = cap if ratio > cap else max(1, math.ceil(ratio))
     bands = min(bands, max(1, max_bits // band_bits))
     return bands * band_bits, band_bits
 

@@ -418,7 +418,13 @@ def stats_ks_test(spark, sf_dir):
         F.col("nb").cast("long").alias("n_b"),
         (
             F.col("m").cast("double")
-            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            # nullif: with an empty class (no click or no purchase
+            # rows) na*nb = 0 and Spark's IEEE division yields NaN/Inf
+            # where DuckDB yields NULL — guard so both emit NULL
+            / F.nullif(
+                F.col("na").cast("double") * F.col("nb").cast("double"),
+                F.lit(0.0),
+            )
         ).alias("ks_d"),
     )
 

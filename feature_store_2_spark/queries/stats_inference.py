@@ -122,10 +122,14 @@ def eval_auc_exact(spark, sf_dir):
             F.sum(
                 F.col("cp") * (2 * F.col("cn_below") + F.col("cn"))
             ).cast("double")
-            / (
+            # nullif: with an empty class (no positives or no
+            # negatives) 2*P*N = 0 and Spark's IEEE division yields
+            # NaN where DuckDB yields NULL — guard so both emit NULL
+            / F.nullif(
                 F.lit(2.0)
                 * F.sum("cp").cast("double")
-                * F.sum("cn").cast("double")
+                * F.sum("cn").cast("double"),
+                F.lit(0.0),
             )
         ).alias("auc"),
     )
@@ -333,7 +337,11 @@ FROM km
     "data-sized); the per-user reduce and the day histogram are "
     "the only fact-scale passes, both map-side-combining hash "
     "aggs. Risk sets come from the day histogram's cumulative, "
-    "not a per-user theta join.",
+    "not a per-user theta join. Spark's default "
+    "cteRecursionLevelLimit is 100 — one step per distinct death "
+    "day, so a year-long corpus would hit it; the entry raises the "
+    "limit explicitly to keep the calendar-bounded claim true "
+    "(r7 advisor finding).",
 )
 def stats_survival_km(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -390,6 +398,12 @@ def stats_survival_km(spark, sf_dir):
         F.row_number().over(Window.orderBy("t")).alias("k"),
     )
     steps.createOrReplaceTempView("fs2s_km_steps")
+    # Recursion depth = distinct death days. Spark's default
+    # spark.sql.cteRecursionLevelLimit (100) would throw
+    # RECURSION_LEVEL_LIMIT_EXCEEDED on ~100+ event days (one year of
+    # data) while DuckDB recurses unbounded; 100k levels covers ~270
+    # years of daily steps.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
     return spark.sql(_KM_SPARK_RECURSE)
 
 

@@ -1565,28 +1565,25 @@ def stats_revenue_price_volume_decomp(spark, sf_dir):
 
 _WAU_OVERLAP_ORACLE = """
 WITH uw AS (
-    SELECT user_id,
-           CAST(year(date_trunc('week', ts)) AS BIGINT) AS wy,
-           CAST(weekofyear(ts) AS BIGINT) AS wk,
-           min(date_trunc('week', ts)) AS week_start
-    FROM events GROUP BY 1, 2, 3),
-weeks AS (SELECT wy, wk, CAST(min(week_start) AS DATE) AS week_start,
-                 CAST(count(*) AS BIGINT) AS wau
-          FROM uw GROUP BY 1, 2),
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS DATE) AS week_start
+    FROM events),
+weeks AS (SELECT week_start, CAST(count(*) AS BIGINT) AS wau
+          FROM uw GROUP BY 1),
 ret AS (
-    SELECT a.wy, a.wk, CAST(count(*) AS BIGINT) AS n_retained
+    SELECT a.week_start, CAST(count(*) AS BIGINT) AS n_retained
     FROM uw a JOIN uw b
       ON a.user_id = b.user_id
-     AND b.week_start = a.week_start + INTERVAL 7 DAY
-    GROUP BY 1, 2)
+     AND b.week_start = a.week_start + 7
+    GROUP BY 1)
 SELECT w.week_start,
        w.wau,
        nxt.wau AS wau_next,
        COALESCE(r.n_retained, 0) AS n_retained,
        CAST(COALESCE(r.n_retained, 0) AS DOUBLE) / w.wau AS wow_retention
 FROM weeks w
-JOIN weeks nxt ON nxt.week_start = w.week_start + INTERVAL 7 DAY
-LEFT JOIN ret r ON r.wy = w.wy AND r.wk = w.wk
+JOIN weeks nxt ON nxt.week_start = w.week_start + 7
+LEFT JOIN ret r ON r.week_start = w.week_start
 """
 
 
@@ -1598,34 +1595,35 @@ LEFT JOIN ret r ON r.wy = w.wy AND r.wk = w.wk
     "complement to cohort_retention's signup cohorts; the curve "
     "every WAU chart hides). (user, week) dedup once, then a "
     "user-keyed self-join shifted by exactly one week-start; "
-    "retention is ONE division of exact counts. Weeks identified by "
-    "their Monday (date_trunc week on both engines); consecutive "
-    "weeks matched by date arithmetic, not week-number arithmetic, "
-    "so year boundaries are correct. Scale shape: the dedup shuffle "
-    "dominates; the shifted self-join runs on the collapsed "
-    "(user, week) frame.",
+    "retention is ONE division of exact counts. Weeks are keyed "
+    "DIRECTLY by their Monday date (date_trunc week on both "
+    "engines) — never by (year, weekofyear), which collides two "
+    "distinct ISO weeks whose Mondays share a calendar year (ISO "
+    "week 1 of 2024 starts 2024-01-01 and ISO week 1 of 2025 "
+    "starts 2024-12-30; both map to (2024, 1) — the r7 advisor "
+    "finding, pinned by the Dec/Jan adversarial fixture). "
+    "Consecutive weeks matched by date arithmetic. Scale shape: "
+    "the dedup shuffle dominates; the shifted self-join runs on "
+    "the collapsed (user, week) frame.",
 )
 def ts_weekly_audience_overlap(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
-    uw = ev.groupBy(
+    uw = ev.select(
         "user_id",
-        F.year(F.date_trunc("week", "ts")).cast("long").alias("wy"),
-        F.weekofyear("ts").cast("long").alias("wk"),
-    ).agg(F.min(F.date_trunc("week", "ts")).alias("week_start"))
-    weeks = uw.groupBy("wy", "wk").agg(
-        F.min(F.col("week_start").cast("date")).alias("week_start"),
-        F.count("*").alias("wau"),
-    )
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+    ).distinct()
+    weeks = uw.groupBy("week_start").agg(F.count("*").alias("wau"))
     b = uw.select(
-        "user_id", F.col("week_start").cast("date").alias("next_start")
+        F.col("user_id").alias("user_id_b"),
+        F.col("week_start").alias("next_start"),
     )
     ret = (
         uw.join(
             b,
-            (uw["user_id"] == b["user_id"])
-            & (b["next_start"] == F.date_add(uw["week_start"].cast("date"), 7)),
+            (uw["user_id"] == b["user_id_b"])
+            & (b["next_start"] == F.date_add(uw["week_start"], 7)),
         )
-        .groupBy("wy", "wk")
+        .groupBy(uw["week_start"])
         .agg(F.count("*").alias("n_retained"))
     )
     nxt = weeks.select(
@@ -1633,7 +1631,7 @@ def ts_weekly_audience_overlap(spark, sf_dir):
     )
     j = (
         weeks.join(nxt, nxt["ws_next"] == F.date_add(weeks["week_start"], 7))
-        .join(ret, ["wy", "wk"], "left")
+        .join(ret, "week_start", "left")
     )
     return j.select(
         "week_start",

@@ -42,6 +42,12 @@ EXCLUDED = {
     "fs_point_lookup",
     "fs_grants_version_diff",
     "fs_grants_forget_users",
+    # single-word activity bitmaps guard loudly on corpora spanning
+    # > 64 days BY DESIGN (both engines raise); the crafted fixture
+    # spans a year for the ISO-week-boundary rows, so these run on the
+    # bounded-span fixture below instead
+    "agg_activity_bitmap",
+    "stream_activity_bitmap",
 }
 
 
@@ -107,6 +113,17 @@ def _crafted_events() -> pd.DataFrame:
     for di, cnt in enumerate([3, 7, 1, 9]):
         for k in range(cnt):
             add(_ts(20 + di, 14, 0, k), 8, "view")
+    # user 9: active in three consecutive ISO weeks spanning the
+    # 2024→2025 year boundary. The week starting Monday 2024-12-30 is
+    # ISO week 1 of 2025 while its Monday's calendar YEAR is 2024, so
+    # any (year, weekofyear) week key collides it with the week of
+    # 2024-01-01 (also (2024, 1)) — the r7 advisor finding in
+    # ts_weekly_audience_overlap. Keying weeks by their Monday date
+    # keeps these three weeks distinct and consecutive.
+    add(dt.datetime(2024, 12, 26, 10), 9, "view")  # week of 2024-12-23
+    add(dt.datetime(2024, 12, 31, 11), 9, "view")  # week of 2024-12-30
+    add(dt.datetime(2025, 1, 2, 9), 9, "click")    # same ISO week 1 '25
+    add(dt.datetime(2025, 1, 8, 9), 9, "view")     # week of 2025-01-06
     return pd.DataFrame(
         rows,
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -476,6 +493,8 @@ def _streaming_events_entries():
     for q in CATALOG:
         if not q.oracle or not q.name.startswith("stream_"):
             continue
+        if q.name in EXCLUDED:
+            continue
         o = q.oracle.lower()
         if "events" not in o:
             continue
@@ -497,6 +516,95 @@ def test_crafted_streaming_fixture_matches_oracle(spark, crafted_dir, name):
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{crafted_dir}/events.parquet')"
+    )
+    exp = _canon(con.execute(q.oracle).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Empty-class events fixture (r7 advisor): one label/side entirely absent
+# ---------------------------------------------------------------------------
+
+# Entries whose metric divides by a per-class count product — with a
+# class empty the denominator is 0 and the engines must AGREE on the
+# rendered result (NULL on both; never Spark NaN/Inf vs DuckDB NULL).
+EMPTY_CLASS_ENTRIES = ["stats_ks_test", "eval_auc_exact"]
+
+
+@pytest.fixture(scope="module", params=["no_purchase", "no_click"])
+def empty_class_dir(request, tmp_path_factory):
+    """Events where one side of every two-class split is missing:
+    'no_purchase' empties the purchase class (KS side b, AUC positives);
+    'no_click' empties the click class (KS side a)."""
+    keep = {
+        "no_purchase": ["click", "view", "error"],
+        "no_click": ["purchase", "view", "signup"],
+    }[request.param]
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                dt.datetime(2024, 3, 1 + i % 20, 9 + i % 12),
+                1 + i % 7,
+                keep[i % len(keep)],
+                0.5 * (i % 9),
+                "{}",
+            )
+        )
+    d = tmp_path_factory.mktemp(f"empty_class_{request.param}")
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d / "events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMPTY_CLASS_ENTRIES)
+def test_empty_class_fixture_matches_oracle(spark, empty_class_dir, name):
+    q = _BY[name]
+    got = _canon(q.fn(spark, empty_class_dir).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{empty_class_dir}/events.parquet')"
+    )
+    exp = _canon(con.execute(q.oracle).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-span fixture for the 64-day activity bitmaps
+# ---------------------------------------------------------------------------
+
+BITMAP_ENTRIES = ["agg_activity_bitmap", "stream_activity_bitmap"]
+
+
+@pytest.fixture(scope="module")
+def crafted_bounded_dir(tmp_path_factory):
+    """The main crafted fixture spans a year (ISO-week-boundary rows),
+    which the single-word activity bitmaps refuse BY DESIGN (>64-day
+    guard on both engines). Re-run them on the January/early-Feb subset
+    so the tie/burst/midnight shapes still exercise the bit packing."""
+    ev = _crafted_events()
+    sub = ev[ev["ts"] < dt.datetime(2024, 3, 1)].reset_index(drop=True)
+    d = tmp_path_factory.mktemp("adversarial_bounded")
+    sub.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", BITMAP_ENTRIES)
+def test_bitmap_entries_on_bounded_fixture(spark, crafted_bounded_dir, name):
+    q = _BY[name]
+    got = _canon(q.fn(spark, crafted_bounded_dir).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{crafted_bounded_dir}/events.parquet')"
     )
     exp = _canon(con.execute(q.oracle).fetchdf())
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)

@@ -436,25 +436,32 @@ def test_pii_redaction_idempotent_and_clean(spark, texts):
 
 @given(
     n=st.integers(min_value=2, max_value=10**12),
-    threshold=st.floats(min_value=0.05, max_value=0.99),
+    # boundary-inclusive (r7 advisor): threshold = -1 makes the
+    # per-band collision probability exactly 0 (was ZeroDivisionError)
+    # and recall >= 1 asked for log(0) (was math domain error)
+    threshold=st.floats(min_value=-1.0, max_value=1.0),
     occ=st.integers(min_value=8, max_value=1024),
+    recall=st.floats(min_value=0.0, max_value=1.0),
 )
 @settings(max_examples=200, deadline=None)
-def test_srp_adaptive_params_invariants(n, threshold, occ):
+def test_srp_adaptive_params_invariants(n, threshold, occ, recall):
     """Pure-math invariants of the r7 adaptive LSH sizing over the full
-    input space: structural validity, the bit cap, and occupancy
-    monotonicity (bigger corpus never gets narrower bands)."""
+    input space INCLUDING the boundaries: structural validity, the bit
+    cap, and occupancy monotonicity (bigger corpus never gets narrower
+    bands)."""
     from feature_store_2_spark.operators.dedup import (
         SRP_BAND_BITS,
         srp_adaptive_params,
     )
 
     n_bits, band_bits = srp_adaptive_params(
-        n, threshold, target_occupancy=occ
+        n, threshold, target_occupancy=occ, recall=recall
     )
     assert band_bits >= SRP_BAND_BITS
     assert n_bits % band_bits == 0 and n_bits >= band_bits
     assert n_bits <= 256  # default cap
     # monotone in corpus size
-    nb2, bb2 = srp_adaptive_params(n * 10, threshold, target_occupancy=occ)
+    nb2, bb2 = srp_adaptive_params(
+        n * 10, threshold, target_occupancy=occ, recall=recall
+    )
     assert bb2 >= band_bits

@@ -242,3 +242,45 @@ def test_mann_kendall_even_pair_count_median(spark, tmp_path):
     row = _BY["stats_mann_kendall"].fn(spark, str(tmp_path)).collect()[0]
     assert row["n_pairs"] == 6
     assert row["sen_slope"] == 2.75
+
+
+def test_survival_km_beyond_default_recursion_limit(spark, tmp_path):
+    """Regression (r7 advisor): recursion depth equals distinct death
+    days, and Spark's default spark.sql.cteRecursionLevelLimit is 100 —
+    a corpus spanning ~100+ event days threw
+    RECURSION_LEVEL_LIMIT_EXCEEDED while the DuckDB oracle recursed
+    unbounded. 130 users erroring on 130 distinct days must produce one
+    KM step per day with a monotone survival chain."""
+    import datetime
+
+    import pandas as pd
+
+    rows = []
+    for u in range(1, 131):
+        base = datetime.datetime(2024, 1, 1, 8, 0, 0)
+        rows.append((len(rows), base, u, "signup", 1.0, "{}"))
+        rows.append(
+            (
+                len(rows),
+                base + datetime.timedelta(days=u),
+                u,
+                "error",
+                1.0,
+                "{}",
+            )
+        )
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    out = (
+        _BY["stats_survival_km"]
+        .fn(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("t_day")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 130
+    assert (out["survival_micro"].diff().dropna() <= 0).all()
+    # risk set shrinks by exactly one per death day
+    assert list(out["n_risk"]) == list(range(130, 0, -1))
