@@ -371,6 +371,93 @@ def srp_adaptive_params(
     return bands * band_bits, band_bits
 
 
+# --- scored-entry adaptive sizing -----------------------------------------
+#
+# The r7 scale rehearsal measured the fixed 32/4 SRP layout quadratic
+# (candidates ~n^2/16 per band, exponent 1.52 at 10x) and the verdict's
+# ask is that the DRIVER-SCORED entries ride the adaptive sizing too.
+# The constraint is oracle parity: DuckDB must derive the SAME params
+# from the SAME corpus with no libm in the derivation. So:
+#   * band width:  min k >= SRP_BAND_BITS with (1 << k) * occupancy >= n
+#     — pure integer comparisons, identical in Python and SQL
+#     (generate_series + a count(*) subquery);
+#   * band count:  the recall bound evaluated ONCE in Python
+#     (srp_scored_bands) and embedded in the oracle as an integer
+#     lookup keyed by band width — SQL never touches acos/log.
+SRP_SCORED_OCCUPANCY = 64
+SRP_SCORED_RECALL = 0.9
+SRP_SCORED_THRESHOLD = 0.45  # the demo corpus's similarity regime
+SRP_SCORED_MAX_BITS = 256
+SRP_SCORED_MAX_BAND_BITS = 32
+
+
+def srp_scored_bands(
+    band_bits: int,
+    threshold: float = SRP_SCORED_THRESHOLD,
+    recall: float = SRP_SCORED_RECALL,
+    max_bits: int = SRP_SCORED_MAX_BITS,
+) -> int:
+    """Band count for a given band width: smallest b with
+    1-(1-p^band_bits)^b >= recall, capped at max_bits // band_bits
+    (same shape as srp_adaptive_params; shared edge handling)."""
+    recall = min(max(recall, 1e-12), 1.0 - 1e-12)
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    pr = p**band_bits
+    cap = max(1, max_bits // band_bits)
+    if pr >= 1.0:
+        return 1
+    if pr <= 0.0:
+        return cap
+    ratio = math.log1p(-recall) / math.log1p(-pr)
+    return cap if ratio > cap else max(1, math.ceil(ratio))
+
+
+def srp_scored_params(n: int) -> tuple[int, int]:
+    """(n_bits, band_bits) for the driver-scored ANN entries, derived
+    from the corpus size with the integer logic above. Equals the fixed
+    32/4-family behavior only in the sense that band_bits floors at
+    SRP_BAND_BITS; the band count follows the recall bound (12 bands at
+    band_bits=4), so even small corpora get the production recall."""
+    band_bits = SRP_BAND_BITS
+    while (
+        band_bits < SRP_SCORED_MAX_BAND_BITS
+        and (1 << band_bits) * SRP_SCORED_OCCUPANCY < n
+    ):
+        band_bits += 1
+    bands = srp_scored_bands(band_bits)
+    return bands * band_bits, band_bits
+
+
+def srp_scored_lookup_rows() -> str:
+    """The (band_bits, bands, n_bits) integer lookup embedded in the
+    oracle SQL — one row per legal band width, values from
+    srp_scored_bands so Python and SQL share a single source of truth."""
+    return ",".join(
+        f"({bb},{srp_scored_bands(bb)},{srp_scored_bands(bb) * bb})"
+        for bb in range(SRP_BAND_BITS, SRP_SCORED_MAX_BAND_BITS + 1)
+    )
+
+
+def embedding_srp_near_pairs_scored(
+    emb: DataFrame, threshold: float = SRP_SCORED_THRESHOLD, **kw
+) -> DataFrame:
+    """Adaptive-sized near-pairs: one count() (bounded driver scalar —
+    the same corpus-size metadata the oracle derives via count(*)),
+    then the standard operator with the derived layout."""
+    n_bits, band_bits = srp_scored_params(emb.count())
+    return embedding_srp_near_pairs(
+        emb, threshold=threshold, n_bits=n_bits, band_bits=band_bits, **kw
+    )
+
+
+def embedding_srp_knn_join_scored(emb: DataFrame, k: int = 5, **kw) -> DataFrame:
+    """Adaptive-sized corpus x corpus k-NN join (see near_pairs twin)."""
+    n_bits, band_bits = srp_scored_params(emb.count())
+    return embedding_srp_knn_join(
+        emb, k=k, n_bits=n_bits, band_bits=band_bits, **kw
+    )
+
+
 def _srp_sign(h: int, i: int) -> int:
     """Hyperplane component sign: +1 iff the ascii code of the first hex
     char of md5("h:i") is even. Chosen because DuckDB evaluates the SAME

@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.functions.vector import QUANT_SCALE, qnorm2, quantize
-from feature_store_2_spark.operators.dedup import embedding_srp_near_pairs
+from feature_store_2_spark.operators.dedup import (
+    SRP_SCORED_MAX_BAND_BITS,
+    SRP_SCORED_OCCUPANCY,
+    embedding_srp_knn_join_scored,
+    embedding_srp_near_pairs_scored,
+    srp_scored_lookup_rows,
+)
 from feature_store_2_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -27,6 +33,7 @@ from feature_store_2_spark.sources.tables import load_table
 
 DIM = 64
 _QV = f"list_transform(embedding, x -> CAST(floor(x * {QUANT_SCALE}.0) AS BIGINT))"
+_SRP_LOOKUP_ROWS = srp_scored_lookup_rows()
 
 
 @register(
@@ -222,13 +229,30 @@ def emb_ivf_topk(spark, sf_dir):
     return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, nprobe=2)
 
 
-_ANN_PAIRS_ORACLE = f"""
-WITH r AS (
+# Shared adaptive-SRP CTE block (r7 verdict ask #3): the oracle derives
+# the SAME band layout the Spark side does — band width from count(*)
+# via pure-integer min-k logic, band count from the integer lookup
+# srp_scored_lookup_rows() (the recall bound evaluated once in Python;
+# SQL never touches acos/log). Hyperplanes stay md5-parity-derived, so
+# the candidate set is identical at ANY corpus size — the fixed-band
+# n^2/16 candidate quadratic (measured exponent 1.52 at 10x,
+# BENCH_NOTES.md r7) is gone from the scored path.
+_SRP_ADAPTIVE_CTES = f"""
+lk(bb, bands, n_bits) AS (VALUES {_SRP_LOOKUP_ROWS}),
+prm AS (
+    SELECT lk.bb AS band_bits, lk.n_bits AS n_bits FROM lk
+    WHERE lk.bb = (SELECT min(k.k)
+                   FROM generate_series(4, {SRP_SCORED_MAX_BAND_BITS}) k(k)
+                   WHERE (CAST(1 AS BIGINT) << k.k) * {SRP_SCORED_OCCUPANCY}
+                         >= (SELECT count(*) FROM embeddings))),
+r AS (
     SELECT h.h AS h, i.i AS i,
            CASE WHEN ascii(substr(md5(CAST(h.h AS VARCHAR) || ':' ||
                                        CAST(i.i AS VARCHAR)), 1, 1)) % 2 = 0
                 THEN 1 ELSE -1 END AS s
-    FROM generate_series(0, 31) h(h) CROSS JOIN generate_series(1, {DIM}) i(i)
+    FROM generate_series(0, 255) h(h)
+    CROSS JOIN generate_series(1, {DIM}) i(i)
+    WHERE h.h < (SELECT n_bits FROM prm)
 ),
 qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
 bits AS (
@@ -238,17 +262,22 @@ bits AS (
     GROUP BY q.vec_id, r.h
 ),
 bands AS (
-    SELECT vec_id, h // 4 AS band,
-           CAST(sum(bit * (1 << (h % 4))) AS BIGINT) AS bkey
-    FROM bits GROUP BY vec_id, h // 4
+    SELECT vec_id, h // (SELECT band_bits FROM prm) AS band,
+           CAST(sum(bit * (1 << (h % (SELECT band_bits FROM prm))))
+                AS BIGINT) AS bkey
+    FROM bits GROUP BY 1, 2
 ),
+norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
+          FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id)
+"""
+
+_ANN_PAIRS_ORACLE = f"""
+WITH {_SRP_ADAPTIVE_CTES},
 cand AS (
     SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
 ),
-norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
-          FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
 dots AS (
     SELECT c.vec1, c.vec2, CAST(sum(a.v[i.i] * b.v[i.i]) AS BIGINT) AS dot
     FROM cand c
@@ -273,42 +302,27 @@ WHERE CAST(d.dot AS DOUBLE) /
     _ANN_PAIRS_ORACLE,
     doc="FULL-CORPUS embedding near-dup via SRP-LSH band candidates + "
     "exact quantized-cosine re-rank — the scale path (equi-join on band "
-    "buckets, no all-pairs theta join). Hyperplanes are md5-parity "
-    "derived, so the DuckDB oracle rebuilds the identical candidate set "
-    "and the approximate operator is still value-hash-gateable",
+    "buckets, no all-pairs theta join). ADAPTIVE band layout (r8): "
+    "band width = min k with 2^k * 64 >= n (pure integer logic both "
+    "engines derive from count(*)), band count from the recall-0.9 "
+    "bound via an integer lookup — so the fixed-band n^2/16 candidate "
+    "quadratic (measured exponent 1.52 at 10x, BENCH_NOTES.md r7) is "
+    "gone from the scored path while the md5-parity hyperplanes keep "
+    "the oracle's candidate set identical and the approximate "
+    "operator value-hash-gateable.",
 )
 def dedup_embedding_ann_pairs(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
-    return embedding_srp_near_pairs(e, threshold=0.45)
+    return embedding_srp_near_pairs_scored(e, threshold=0.45)
 
 
 _KNN_JOIN_ORACLE = f"""
-WITH r AS (
-    SELECT h.h AS h, i.i AS i,
-           CASE WHEN ascii(substr(md5(CAST(h.h AS VARCHAR) || ':' ||
-                                       CAST(i.i AS VARCHAR)), 1, 1)) % 2 = 0
-                THEN 1 ELSE -1 END AS s
-    FROM generate_series(0, 31) h(h) CROSS JOIN generate_series(1, {DIM}) i(i)
-),
-qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
-bits AS (
-    SELECT q.vec_id, r.h,
-           CASE WHEN sum(r.s * q.v[r.i]) >= 0 THEN 1 ELSE 0 END AS bit
-    FROM qv q CROSS JOIN r
-    GROUP BY q.vec_id, r.h
-),
-bands AS (
-    SELECT vec_id, h // 4 AS band,
-           CAST(sum(bit * (1 << (h % 4))) AS BIGINT) AS bkey
-    FROM bits GROUP BY vec_id, h // 4
-),
+WITH {_SRP_ADAPTIVE_CTES},
 cand AS (
     SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
 ),
-norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
-          FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
 dots AS (
     SELECT c.query_id, c.neighbor_id,
            CAST(sum(a.v[i.i] * b.v[i.i]) AS BIGINT) AS dot
@@ -342,15 +356,16 @@ WHERE rank <= 5
     "re-ranks, per-query top-k window — the dedup-graph/semantic-"
     "clustering precursor and the last scale-shaped gap in the "
     "similarity family (its exact twin was the intentionally all-pairs "
-    "dedup_embedding_cosine). Oracle rebuilds the identical md5-parity "
+    "dedup_embedding_cosine). ADAPTIVE band layout (r8, see "
+    "dedup_embedding_ann_pairs): both engines derive the width from "
+    "count(*) and the band count from the shared integer lookup. "
+    "Oracle rebuilds the identical md5-parity "
     "hyperplanes, candidate set, and tie-breaks; recall floor vs "
     "brute_force_topk is pytest-pinned.",
 )
 def emb_knn_join_ann(spark, sf_dir):
-    from feature_store_2_spark.operators.dedup import embedding_srp_knn_join
-
     e = load_table(spark, "embeddings", sf_dir)
-    return embedding_srp_knn_join(e, k=5)
+    return embedding_srp_knn_join_scored(e, k=5)
 
 
 @register(
@@ -625,10 +640,8 @@ WHERE p.rn = 1
 def emb_knn_label_vote(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    from feature_store_2_spark.operators.dedup import embedding_srp_knn_join
-
     e = load_table(spark, "embeddings", sf_dir)
-    knn = embedding_srp_knn_join(e, k=5)
+    knn = embedding_srp_knn_join_scored(e, k=5)
     votes = (
         knn.join(
             e.select(
@@ -1054,19 +1067,17 @@ FROM embeddings d LEFT JOIN lv USING (vec_id)
     "Cost per round is one shuffle on the edge key ~ O(E); "
     "depth-bounded, never all-pairs. The oracle rebuilds the "
     "identical md5-parity kNN edge set and unrolls the three "
-    "frontier steps as CTEs. Scale note (BENCH_NOTES.md r7j): this "
-    "catalog form keeps FIXED SRP band params so the oracle can "
-    "rebuild identical edges, and therefore inherits the fixed-band "
-    "candidate quadratic at 10x (measured exponent 1.51); the "
-    "production form sizes bands via srp_adaptive_params (measured "
-    "0.51, 11x faster at 10x — tools/scale_rehearsal.py "
-    "_bfs_adaptive). The BFS rounds themselves are linear in E.",
+    "frontier steps as CTEs. Scale note: the kNN edge set now rides "
+    "the ADAPTIVE band layout (r8, see dedup_embedding_ann_pairs), "
+    "closing the fixed-band candidate quadratic BENCH_NOTES.md r7j "
+    "measured (1.51 fixed vs 0.51 adaptive at 10x). The BFS rounds "
+    "themselves are linear in E.",
 )
 def graph_bfs_distance(spark, sf_dir):
-    from feature_store_2_spark.operators.dedup import embedding_srp_knn_join
-
     vecs = load_table(spark, "embeddings", sf_dir)
-    knn = embedding_srp_knn_join(vecs, k=5).select("query_id", "neighbor_id")
+    knn = embedding_srp_knn_join_scored(vecs, k=5).select(
+        "query_id", "neighbor_id"
+    )
     edges = (
         knn.select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"))
         .unionAll(
@@ -1224,15 +1235,13 @@ GROUP BY e.query_id
     "neighbor) pairs — 5 rows per sampled query.",
 )
 def eval_ann_recall_at_k(spark, sf_dir):
-    from feature_store_2_spark.operators.dedup import embedding_srp_knn_join
-
     vecs = load_table(spark, "embeddings", sf_dir)
     sample = F.col("vec_id") % 10 == 0
     exact = brute_force_topk(vecs, vecs.filter(sample), k=5).select(
         "query_id", "neighbor_id"
     )
     ann = (
-        embedding_srp_knn_join(vecs, k=5)
+        embedding_srp_knn_join_scored(vecs, k=5)
         .filter(F.col("query_id") % 10 == 0)
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
@@ -1284,11 +1293,9 @@ FROM per GROUP BY label
     "final agg is |labels| rows.",
 )
 def eval_mrr_retrieval(spark, sf_dir):
-    from feature_store_2_spark.operators.dedup import embedding_srp_knn_join
-
     vecs = load_table(spark, "embeddings", sf_dir)
     lab = vecs.select("vec_id", "label")
-    knn = embedding_srp_knn_join(vecs, k=5).select(
+    knn = embedding_srp_knn_join_scored(vecs, k=5).select(
         "query_id", "neighbor_id", "rank"
     )
     hits = (
