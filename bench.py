@@ -96,6 +96,13 @@ HEADLINE = [
     # cross-multiplication + bounded global running sum).
     "feat_quantile_normalize",
     "stats_ks_test",
+    # Round-8 additions (r7 verdict ask #7): the two heaviest families
+    # still invisible to the headline — the Poisson bootstrap (events x
+    # 100 replicates, the suite's biggest fan-out) and multi-source BFS
+    # over the adaptive-SRP kNN edge set (candidate join + 3 frontier
+    # rounds).
+    "stats_poisson_bootstrap",
+    "graph_bfs_distance",
     # The reference's true workload end-to-end: streaming ingest ->
     # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;
     # wall seconds here are ~events/sec throughput vs BASELINE's 2k req/s.

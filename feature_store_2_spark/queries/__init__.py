@@ -74,15 +74,19 @@ _STAPLES: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_embedding_ann_pairs",
     "sessionize_events",
+    # ONE-ROUND swap (r7 verdict ask #6): emb_kmeans_fit's exact oracle
+    # (r6) lost the head race to 41 never-scored entries two rounds
+    # running — staple it for r8 so its r4 rows-only row finally flips
+    # to hash-green, then demote it back.
+    "emb_kmeans_fit",
 )
 
-# Entries whose LAST driver row predates a material upgrade (e.g.
-# emb_kmeans_fit's r4 row is rows-only but the entry has carried an
-# exact unrolled oracle since r6 — r6 verdict ask #5). They queue
+# Entries whose LAST driver row predates a material upgrade. They queue
 # immediately after the never-scored tier so the upgraded evidence
 # reaches the driver ahead of ordinary staleness rotation; remove a
-# name once its fresh row lands.
-_PINNED_RESCORE: tuple[str, ...] = ("emb_kmeans_fit",)
+# name once its fresh row lands. (Empty this round: emb_kmeans_fit is
+# temporarily a staple — see above.)
+_PINNED_RESCORE: tuple[str, ...] = ()
 
 
 def _scored_rounds() -> dict[str, int]:

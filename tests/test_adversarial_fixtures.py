@@ -610,3 +610,114 @@ def test_bitmap_entries_on_bounded_fixture(spark, crafted_bounded_dir, name):
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), (len(got), len(exp))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries: crafted-fixture determinism pins (r7 verdict ask #8)
+# ---------------------------------------------------------------------------
+#
+# The four oracle-less entries (HLL / Greenwald-Khanna sketches have no
+# DuckDB analog) are the only catalog members outside the cross-engine
+# net. On the crafted fixtures every group's cardinality sits far below
+# the sketch sparse-mode thresholds, so the sketches are EXACT there —
+# pin run-to-run determinism AND equality with the exact computation on
+# the edge-case shapes (ties, bursts, midnight boundaries).
+
+
+@pytest.mark.parametrize(
+    "name", ["sketch_hll_users_per_type", "agg_approx_distinct"]
+)
+def test_rows_only_hll_entries_crafted_pin(spark, crafted_dir, name):
+    q = _BY[name]
+    got1 = _canon(q.fn(spark, crafted_dir).toPandas())
+    got2 = _canon(q.fn(spark, crafted_dir).toPandas())
+    pd.testing.assert_frame_equal(got1, got2)  # determinism
+    from feature_store_2_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", crafted_dir)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q.fn(spark, crafted_dir).collect()
+    }
+    # sparse-mode HLL++ is exact at these cardinalities (<= 9 users)
+    assert approx == exact, (approx, exact)
+
+
+def test_rows_only_percentiles_crafted_pin(spark, crafted_rel_dir):
+    q = _BY["sketch_approx_percentiles"]
+    got1 = _canon(q.fn(spark, crafted_rel_dir).toPandas())
+    got2 = _canon(q.fn(spark, crafted_rel_dir).toPandas())
+    pd.testing.assert_frame_equal(got1, got2)  # determinism
+    from feature_store_2_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", crafted_rel_dir).toPandas()
+    by_flag = {
+        flag: sorted(g["l_extendedprice"].astype(float))
+        for flag, g in li.groupby("l_returnflag")
+    }
+    for r in q.fn(spark, crafted_rel_dir).collect():
+        vals = by_flag[r["l_returnflag"]]
+        n = len(vals)
+        for col, qq in (
+            ("approx_median_price", 0.5),
+            ("approx_p90_price", 0.9),
+        ):
+            v = float(r[col])
+            assert v in vals, (r["l_returnflag"], col, v)
+            # GK rank contract with B=10000 >> n: the element's rank
+            # interval must cover q*n within rank discreteness
+            r_lt = sum(1 for x in vals if x < v)
+            r_le = sum(1 for x in vals if x <= v)
+            assert r_lt + 1 <= qq * n + 2, (col, r_lt, n)
+            assert r_le >= qq * n - 2, (col, r_le, n)
+
+
+def test_rows_only_stream_denial_rate_crafted_pin(spark, crafted_dir):
+    """Streaming HLL over the crafted bursts/ties: the final per-window
+    update must EQUAL the batch computation of the same spec (exact at
+    these cardinalities), run twice for determinism."""
+    from feature_store_2_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    q = _BY["stream_denial_rate"]
+
+    def final(df):
+        return _canon(
+            df.groupBy("window_start", "event_type")
+            .agg(
+                F.max("total_users").alias("total_users"),
+                F.max("denied_users").alias("denied_users"),
+            )
+            .toPandas()
+        )
+
+    got1 = final(q.fn(spark, crafted_dir))
+    got2 = final(q.fn(spark, crafted_dir))
+    pd.testing.assert_frame_equal(got1, got2)  # determinism
+    ev = load_table(spark, "events", crafted_dir)
+    batch = (
+        ev.withColumn("__denied", F.col("value") < 2.0)
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.approx_count_distinct("user_id").alias("total_users"),
+            F.approx_count_distinct(
+                F.when(F.col("__denied"), F.col("user_id"))
+            ).alias("denied_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "total_users",
+            "denied_users",
+        )
+    )
+    pd.testing.assert_frame_equal(got1, _canon(batch.toPandas()))

@@ -66,6 +66,10 @@ ENTRIES = (
     "emb_covariance_matrix",
     "graph_bfs_distance",
     "graph_bfs_adaptive",
+    # round-8: the adaptive-sized kNN join alone — decomposes
+    # graph_bfs_distance's exponent into candidate/window cost vs the
+    # frontier rounds
+    "emb_knn_join_ann",
     # round-7k: the Gopher rule battery (explode -> doc-keyed tf agg ->
     # per-doc agg; linear by construction, measured to confirm)
     "doc_gopher_quality_flags",
