@@ -1328,3 +1328,77 @@ def eval_mrr_retrieval(spark, sf_dir):
             F.sum("rr60").cast("double") / (F.lit(60.0) * F.count("*"))
         ).alias("mrr_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-SRP sizing audit (round 8)
+# ---------------------------------------------------------------------------
+
+_ANN_SIZING_ORACLE = f"""
+WITH {_SRP_ADAPTIVE_CTES},
+bucket AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS c
+           FROM bands GROUP BY 1, 2)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+       CAST((SELECT band_bits FROM prm) AS BIGINT) AS band_bits,
+       CAST((SELECT n_bits FROM prm) // (SELECT band_bits FROM prm)
+            AS BIGINT) AS n_bands,
+       CAST((SELECT n_bits FROM prm) AS BIGINT) AS n_bits,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
+FROM bucket
+"""
+
+
+@register(
+    "ann_adaptive_sizing_audit",
+    _ANN_SIZING_ORACLE,
+    doc="Cross-engine pin of the r8 adaptive-SRP parameter DERIVATION "
+    "plus the realized bucket profile — the pre-flight cost check you "
+    "run before launching a corpus-scale ANN join: corpus size n, the "
+    "derived band width (min k with 2^k * 64 >= n, pure integer logic "
+    "on both engines), band count from the shared integer lookup, and "
+    "the realized (band, key) bucket census — bucket count, max "
+    "occupancy, and the exact raw candidate-pair volume "
+    "sum(C(c,2)) the band self-join would enumerate. Any drift "
+    "between the Python sizing helper and the oracle's SQL derivation "
+    "breaks this 1-row hash, so the six adaptive ANN entries' param "
+    "parity is itself driver-gated. Scale shape: one signature pass + "
+    "a (band,bkey) hash agg; the audit never materializes candidates.",
+)
+def ann_adaptive_sizing_audit(spark, sf_dir):
+    from feature_store_2_spark.operators.dedup import (
+        srp_band_keys_arrow,
+        srp_scored_params,
+    )
+    from feature_store_2_spark.functions.vector import quantize
+
+    e = load_table(spark, "embeddings", sf_dir)
+    n = e.count()
+    n_bits, band_bits = srp_scored_params(n)
+    n_parts = spark.sparkContext.defaultParallelism
+    bands = (
+        e.repartition(n_parts, F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.posexplode(
+                srp_band_keys_arrow(n_bits, band_bits, DIM)(
+                    quantize(F.col("embedding"))
+                )
+            ).alias("band", "bkey"),
+        )
+    )
+    bucket = bands.groupBy("band", "bkey").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return bucket.agg(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(band_bits).cast("long").alias("band_bits"),
+        F.lit(n_bits // band_bits).cast("long").alias("n_bands"),
+        F.lit(n_bits).cast("long").alias("n_bits"),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum((F.col("c") * (F.col("c") - 1)) / F.lit(2))
+        .cast("long")
+        .alias("candidate_pairs"),
+    )

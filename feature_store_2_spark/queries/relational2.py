@@ -800,3 +800,113 @@ def window_topk_with_ties(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the part-supplier sourcing graph (round 8)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITER = """
+pr{k} AS (
+    SELECT d.v, d.deg,
+           (SELECT ({scale} * 15) // (100 * n) FROM n)
+           + (85 * COALESCE(c.s, 0)) // 100 AS pr
+    FROM deg d LEFT JOIN (
+        SELECT e.dst AS v, CAST(sum(p.pr // p.deg) AS BIGINT) AS s
+        FROM edges e JOIN pr{km1} p ON e.src = p.v GROUP BY 1) c
+      ON c.v = d.v)"""
+
+_PAGERANK_ORACLE = (
+    f"""
+WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+            FROM lineitem),
+edges AS (SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+pr0 AS (SELECT v, deg, (SELECT {_PR_SCALE} // n FROM n) AS pr FROM deg),"""
+    + ",".join(
+        _PR_ITER.format(k=k, km1=k - 1, scale=_PR_SCALE)
+        for k in (1, 2, 3)
+    )
+    + f"""
+SELECT CASE WHEN v % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       CAST(v // 2 AS BIGINT) AS node_id,
+       CAST(deg AS BIGINT) AS degree,
+       CAST(pr AS BIGINT) AS pr_micro,
+       CAST(pr AS DOUBLE) / {_PR_SCALE}.0 AS pagerank
+FROM pr3
+"""
+)
+
+
+@register(
+    "graph_pagerank_bipartite",
+    _PAGERANK_ORACLE,
+    doc="PageRank (damping 0.85, 3 unrolled iterations) over the "
+    "bipartite part-supplier sourcing graph from lineitem's distinct "
+    "(partkey, suppkey) edges, symmetrized — which suppliers/parts "
+    "sit at the center of the procurement network (the influence "
+    "statistic the graph family's CC/k-core/LPA/triangle entries "
+    "don't cover). Exactness: the float-free PageRank — scores live "
+    "in 1e12 micro-units, each iteration is teleport (15*SCALE "
+    "DIV 100*N) plus 85*sum(pr DIV deg) DIV 100, all floor "
+    "divisions on positive integers, identical in both engines; no "
+    "libm, no float accumulation, so three iterations stay "
+    "hash-exact. Spark side is the Pregel shape: per-round one "
+    "edge-key equi-join + dst hash agg (O(E) per round), nodes "
+    "carried on the degree table; node ids integer-encoded "
+    "(2*part / 2*supp+1) so the join key is a plain BIGINT. Scale: "
+    "edges dedup once; each round shuffles contributions by dst — "
+    "the standard distributed PageRank plan, depth fixed at 3 "
+    "(unrolled, lineage-bounded).",
+)
+def graph_pagerank_bipartite(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    e0 = li.select(
+        (F.col("l_partkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
+    ).distinct()
+    edges = e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    n = deg.count()  # node count: bounded metadata scalar (the oracle
+    # derives the same n via its own count(*) subquery)
+    teleport = (_PR_SCALE * 15) // (100 * n)
+    pr = deg.withColumn("pr", F.lit(_PR_SCALE // n).cast("long"))
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                pr.select(
+                    F.col("v").alias("src"),
+                    F.expr("pr div deg").alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("share").cast("long").alias("s"))
+        )
+        pr = deg.join(contrib, "v", "left").select(
+            "v",
+            "deg",
+            (
+                F.lit(teleport)
+                + F.expr("85 * coalesce(s, 0) div 100")
+            ).cast("long").alias("pr"),
+        )
+    return pr.select(
+        F.when(F.col("v") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("v div 2").cast("long").alias("node_id"),
+        F.col("deg").alias("degree"),
+        F.col("pr").alias("pr_micro"),
+        (F.col("pr").cast("double") / F.lit(float(_PR_SCALE))).alias(
+            "pagerank"
+        ),
+    )

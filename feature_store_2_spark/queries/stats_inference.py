@@ -1036,3 +1036,150 @@ def stats_mann_kendall(spark, sf_dir):
             F.col("sen_slope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's two-sample t-test (round 8)
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH base AS (
+    SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS side,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+    FROM events WHERE event_type IN ('click', 'purchase')
+), m AS (
+    SELECT
+        CAST(count(CASE WHEN side = 'a' THEN 1 END) AS BIGINT) AS na,
+        CAST(count(CASE WHEN side = 'b' THEN 1 END) AS BIGINT) AS nb,
+        CAST(sum(CASE WHEN side = 'a' THEN v ELSE 0 END) AS HUGEINT) AS sa,
+        CAST(sum(CASE WHEN side = 'b' THEN v ELSE 0 END) AS HUGEINT) AS sb,
+        CAST(sum(CASE WHEN side = 'a' THEN CAST(v AS HUGEINT) * v
+                      ELSE 0 END) AS HUGEINT) AS qa,
+        CAST(sum(CASE WHEN side = 'b' THEN CAST(v AS HUGEINT) * v
+                      ELSE 0 END) AS HUGEINT) AS qb
+    FROM base
+), d AS (
+    SELECT na, nb,
+           CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sad,
+           CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS sbd,
+           CAST(CAST(na * qa - sa * sa AS VARCHAR) AS DOUBLE) AS vna,
+           CAST(CAST(nb * qb - sb * sb AS VARCHAR) AS DOUBLE) AS vnb
+    FROM m
+), v AS (
+    SELECT na, nb,
+           sad / na AS ma, sbd / nb AS mb,
+           vna / (CAST(na AS DOUBLE) * (na - 1) * na) AS wa,
+           vnb / (CAST(nb AS DOUBLE) * (nb - 1) * nb) AS wb
+    FROM d WHERE na >= 2 AND nb >= 2
+)
+SELECT na AS n_a, nb AS n_b,
+       (ma - mb) / 1000000.0 AS mean_diff,
+       (ma - mb) / nullif(sqrt(wa + wb), 0.0) AS t_stat,
+       (wa + wb) * (wa + wb)
+           / nullif(wa * wa / (na - 1) + wb * wb / (nb - 1), 0.0)
+           AS df_welch
+FROM v
+"""
+
+
+@register(
+    "stats_welch_ttest",
+    _WELCH_ORACLE,
+    doc="Welch's two-sample t-test (unequal variances) between click "
+    "and purchase event values — the A/B-test statistic the "
+    "permutation test approximates by simulation, here in closed "
+    "form with the Welch-Satterthwaite df. Exactness: one "
+    "conditional-aggregation pass collects integer micro-unit "
+    "moments (n, S, Q per side; Q in DECIMAL(38,0) — v^2 sums pass "
+    "2^53 at corpus scale), variance numerators n*Q - S^2 stay "
+    "exact integers and cross to double via the string route (d2d), "
+    "then t and df are short identical IEEE chains on those agreed "
+    "doubles; sqrt is IEEE-correctly-rounded so it is hash-safe "
+    "(the repo's libm ban covers ln/exp/pow). wa = vna/(na*(na-1)*na) "
+    "is s_a^2/n_a in one division (variance and the /n fused), so "
+    "the t denominator is sqrt(wa+wb) directly. Guards: sides with "
+    "n < 2 drop the row (df undefined); zero pooled variance -> "
+    "NULL via nullif on BOTH engines (never Spark Inf vs DuckDB "
+    "NULL — the r7 advisor's empty-class lesson, fixture-enrolled). "
+    "Scale shape: one map-side-combining hash agg over the filtered "
+    "scan; the test itself is a 1-row projection.",
+)
+def stats_welch_ttest(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    v = (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long")
+    side_a = F.col("event_type") == "click"
+    base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        side_a.alias("is_a"), v.alias("v")
+    )
+    dec = F.col("v").cast("decimal(38,0)")
+    m = base.agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("na"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("nb"),
+        F.sum(F.when(F.col("is_a"), dec).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(~F.col("is_a"), dec).otherwise(F.lit(0))).alias("sb"),
+        F.sum(
+            F.when(F.col("is_a"), dec * F.col("v")).otherwise(F.lit(0))
+        ).alias("qa"),
+        F.sum(
+            F.when(~F.col("is_a"), dec * F.col("v")).otherwise(F.lit(0))
+        ).alias("qb"),
+    )
+
+    def d2d(c):
+        return c.cast("string").cast("double")
+
+    d = m.select(
+        "na",
+        "nb",
+        d2d(F.col("sa")).alias("sad"),
+        d2d(F.col("sb")).alias("sbd"),
+        d2d(F.col("na") * F.col("qa") - F.col("sa") * F.col("sa")).alias(
+            "vna"
+        ),
+        d2d(F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")).alias(
+            "vnb"
+        ),
+    )
+    vv = d.filter((F.col("na") >= 2) & (F.col("nb") >= 2)).select(
+        "na",
+        "nb",
+        (F.col("sad") / F.col("na")).alias("ma"),
+        (F.col("sbd") / F.col("nb")).alias("mb"),
+        (
+            F.col("vna")
+            / (
+                F.col("na").cast("double")
+                * (F.col("na") - 1)
+                * F.col("na")
+            )
+        ).alias("wa"),
+        (
+            F.col("vnb")
+            / (
+                F.col("nb").cast("double")
+                * (F.col("nb") - 1)
+                * F.col("nb")
+            )
+        ).alias("wb"),
+    )
+    se = F.col("wa") + F.col("wb")
+    return vv.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        ((F.col("ma") - F.col("mb")) / F.lit(1_000_000.0)).alias(
+            "mean_diff"
+        ),
+        (
+            (F.col("ma") - F.col("mb"))
+            / F.nullif(F.sqrt(se), F.lit(0.0))
+        ).alias("t_stat"),
+        (
+            se
+            * se
+            / F.nullif(
+                F.col("wa") * F.col("wa") / (F.col("na") - 1)
+                + F.col("wb") * F.col("wb") / (F.col("nb") - 1),
+                F.lit(0.0),
+            )
+        ).alias("df_welch"),
+    )
