@@ -530,7 +530,7 @@ def test_crafted_streaming_fixture_matches_oracle(spark, crafted_dir, name):
 # Entries whose metric divides by a per-class count product — with a
 # class empty the denominator is 0 and the engines must AGREE on the
 # rendered result (NULL on both; never Spark NaN/Inf vs DuckDB NULL).
-EMPTY_CLASS_ENTRIES = ["stats_ks_test", "eval_auc_exact"]
+EMPTY_CLASS_ENTRIES = ["stats_ks_test", "eval_auc_exact", "stats_welch_ttest"]
 
 
 @pytest.fixture(scope="module", params=["no_purchase", "no_click"])
