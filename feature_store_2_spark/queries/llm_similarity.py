@@ -1398,7 +1398,9 @@ def ann_adaptive_sizing_audit(spark, sf_dir):
         F.lit(n_bits).cast("long").alias("n_bits"),
         F.count("*").cast("long").alias("n_buckets"),
         F.max("c").cast("long").alias("max_bucket"),
-        F.sum((F.col("c") * (F.col("c") - 1)) / F.lit(2))
+        # integer div, not `/2` — c*(c-1) is always even and the double
+        # route would lose exactness past 2^53 at corpus scale
+        F.sum(F.expr("c * (c - 1) div 2"))
         .cast("long")
         .alias("candidate_pairs"),
     )
