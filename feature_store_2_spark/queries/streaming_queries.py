@@ -531,20 +531,43 @@ def stream_topk_trending(spark, sf_dir):
     "micro-batches with state carried across them (uuid-dedup state, "
     "sharded aggregate MERGEs). The single-drain entries prove the "
     "pipeline once; this proves the property that matters in "
-    "production — incremental convergence: ANY batching of the input "
+    "production — incremental convergence: any batching of the input "
     "reaches the same final grants because the state merge is "
     "commutative and associative (counters add, sets union, cent sums "
-    "add). Same oracle as the batch grants SQL.",
+    "add) — PROVIDED cross-batch disorder stays inside the dedup "
+    "watermark (35 days): a slice replayed more than the watermark "
+    "behind an already-processed one is late data and is evicted, the "
+    "explicit trade every watermarked system makes "
+    "(tests/test_adversarial_fixtures.py pins the drop). The file "
+    "source replays files in modification-time order, so the entry "
+    "stamps ascending mtimes on the time-slice files to fix the "
+    "backlog replay order deterministically. Same oracle as the batch "
+    "grants SQL.",
 )
 def stream_grants_multibatch(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="fs2_stream_mb_")
     events_dir = os.path.join(root, "events")
     # Four time-range files: each micro-batch covers a contiguous time
     # slice (the Kafka-backlog shape). Convergence does not depend on
-    # the slicing.
+    # the slicing, but the replay ORDER must not be left to task-finish
+    # mtime races: FileStreamSource orders by modification time, and a
+    # late slice surfacing first would advance the dedup watermark past
+    # the earlier slices (their rows would be evicted as late data on a
+    # corpus spanning more than the 35-day watermark). Stamp mtimes
+    # ascending in range order — part file order IS ts order under
+    # repartitionByRange.
     load_table(spark, "events", sf_dir).repartitionByRange(4, "ts").write.parquet(
         events_dir
     )
+    part_files = sorted(
+        f
+        for f in os.listdir(events_dir)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    base_mtime = 1_600_000_000
+    for i, fname in enumerate(part_files):
+        p = os.path.join(events_dir, fname)
+        os.utime(p, (base_mtime + i, base_mtime + i))
     run_grants_pipeline_merge(
         spark,
         events_path=events_dir,

@@ -13,6 +13,7 @@ most exposed to ordering/boundary semantics.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import duckdb
 import pandas as pd
@@ -521,6 +522,58 @@ def test_crafted_streaming_fixture_matches_oracle(spark, crafted_dir, name):
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), (len(got), len(exp))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_multibatch_out_of_order_beyond_watermark_drops(spark, crafted_dir):
+    """Pins the DOCUMENTED limit of the multibatch convergence claim:
+    the grants merge is commutative/associative, but the 35-day dedup
+    watermark makes replay ORDER matter once cross-batch disorder
+    exceeds it. The crafted corpus spans ~373 days; replaying its four
+    time slices newest-first advances the watermark past the early
+    slices, whose rows are evicted as late data — fewer grants than the
+    in-order replay (which the entry pins via ascending mtimes). This
+    is the trade every watermarked at-least-once consumer makes; the
+    test exists so the drop is a stated semantic, not a flake."""
+    import glob as _glob
+    import tempfile as _tempfile
+
+    from feature_store_2_spark.sources.tables import load_table as _lt
+    from feature_store_2_spark.streaming import (
+        grants_snapshot as _snap,
+        run_grants_pipeline_merge as _run,
+    )
+
+    root = _tempfile.mkdtemp(prefix="fs2_mb_ooo_")
+    ev_dir = os.path.join(root, "events")
+    _lt(spark, "events", crafted_dir).repartitionByRange(4, "ts").write.parquet(
+        ev_dir
+    )
+    parts = sorted(_glob.glob(ev_dir + "/part-*[!c]"))
+    base = 1_600_000_000
+    for i, p in enumerate(parts):  # newest time slice gets OLDEST mtime
+        os.utime(p, (base + (len(parts) - i), base + (len(parts) - i)))
+    _run(
+        spark,
+        events_path=ev_dir,
+        grants_path=os.path.join(root, "grants"),
+        notifications_path=os.path.join(root, "notifications"),
+        checkpoint_path=os.path.join(root, "checkpoint"),
+        shuffle_partitions=16,
+        max_files_per_trigger=1,
+    )
+    got = _snap(spark, os.path.join(root, "grants")).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{crafted_dir}/events.parquet')"
+    )
+    full = con.execute(_BY["stream_grants_multibatch"].oracle).fetchdf()
+    # Late-slice eviction must have dropped early users: strictly fewer
+    # grant rows than the converged in-order result, and the surviving
+    # user set is a strict subset (only users whose events ride in the
+    # slices processed before the watermark overtook the rest remain).
+    assert len(got) < len(full), (len(got), len(full))
+    assert set(got["user_id"]) < set(full["user_id"])
 
 
 # ---------------------------------------------------------------------------
