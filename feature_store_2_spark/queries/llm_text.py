@@ -2447,3 +2447,137 @@ def doc_zipf_rank_frequency(spark, sf_dir):
             ).alias("cum_share_ppm"),
         )
     )
+
+
+_XS_K = 5  # duplicated-span shingle width (words)
+
+_XSUBSTR_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM tok),
+kg0 AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(w) - {_XS_K - 1}, 0)),
+               i -> {{'pos': i,
+                     'kgram': w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              || ' ' || w[i+3] || ' ' || w[i+4]}})) AS s
+    FROM tok),
+kg AS (SELECT doc_id, s.pos AS pos, s.kgram AS kgram FROM kg0),
+dup AS (SELECT kgram FROM kg GROUP BY kgram
+        HAVING min(doc_id) <> max(doc_id)),
+hits AS (
+    SELECT k.doc_id, k.pos AS s, k.pos + {_XS_K - 1} AS e
+    FROM kg k JOIN dup USING (kgram)),
+runs AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM hits),
+isl AS (
+    SELECT doc_id, s, e,
+           sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS island
+    FROM runs),
+cov AS (
+    SELECT doc_id, CAST(sum(mx - mn + 1) AS BIGINT) AS dup_tokens
+    FROM (SELECT doc_id, island, min(s) AS mn, max(e) AS mx
+          FROM isl GROUP BY 1, 2) i
+    GROUP BY 1)
+SELECT c.doc_id, n.n_tokens, c.dup_tokens,
+       CAST(c.dup_tokens * 1000000 // n.n_tokens AS BIGINT) AS dup_ppm
+FROM cov c JOIN nt n USING (doc_id)
+"""
+
+
+@register(
+    "dedup_exact_substring_spans",
+    _XSUBSTR_ORACLE,
+    doc=f"exact duplicated-SPAN census (the ExactSubstr dedup of Lee et "
+    f"al. 2022, 'Deduplicating Training Data Makes Language Models "
+    f"Better', arXiv:2107.06499) — per document, how many token "
+    f"positions sit inside a word {_XS_K}-gram that also occurs in "
+    f"ANOTHER document. Unlike MinHash (whole-doc similarity) this "
+    f"finds verbatim boilerplate/quotes inside otherwise-unique docs, "
+    f"the spans ExactSubstr would cut before training. Shape: one "
+    f"posexplode into {_XS_K}-gram starts; cross-doc duplicated grams "
+    f"by min(doc)<>max(doc) on one hash agg (no COUNT DISTINCT "
+    f"needed); join back; per-doc interval union via the "
+    f"gaps-and-islands running-max window (bounded by doc length); "
+    f"output (doc_id, n_tokens, dup_tokens, dup_ppm) for affected "
+    f"docs, ppm as integer floor-DIV. At 100 TB the gram join runs on "
+    f"64-bit fingerprints, not strings (suffix-array systems "
+    f"fingerprint first for the same reason); the raw-gram join here "
+    f"keeps the oracle collision-free with identical shuffle shape.",
+)
+def dedup_exact_substring_spans(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    nt = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    tokens = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [
+        F.lead("word", i).over(wseq) for i in range(1, _XS_K)
+    ]
+    kg = (
+        tokens.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("kgram"),
+            F.lead("word", _XS_K - 1).over(wseq).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .drop("_tail")
+    )
+    dup = (
+        kg.groupBy("kgram")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("kgram")
+    )
+    hits = kg.join(dup, "kgram").select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + (_XS_K - 1)).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = hits.withColumn("prev_max", F.max("e").over(wprev)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(wcum),
+    )
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("mx") - F.col("mn") + 1).cast("long").alias("dup_tokens")
+        )
+    )
+    return cov.join(nt, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        F.expr("CAST(dup_tokens * 1000000 DIV n_tokens AS BIGINT)").alias(
+            "dup_ppm"
+        ),
+    )

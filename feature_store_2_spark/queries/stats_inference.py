@@ -1183,3 +1183,180 @@ def stats_welch_ttest(spark, sf_dir):
             )
         ).alias("df_welch"),
     )
+
+
+_CUPED_ORACLE = """
+WITH mid AS (
+    SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS m FROM events),
+pu AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click'
+                          AND epoch_us(ts) < (SELECT m FROM mid)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                          AND epoch_us(ts) >= (SELECT m FROM mid)
+                     THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                               AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY user_id),
+v AS (
+    SELECT user_id, x, y,
+           CASE WHEN ((strpos('0123456789abcdef',
+                              substring(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                       - 1) % 2) = 0
+                THEN 'control' ELSE 'treatment' END AS variant
+    FROM pu),
+pool AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+    FROM v),
+th AS (
+    SELECT n, sx,
+           CAST(CAST(CAST(n AS HUGEINT) * sxy
+                     - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+             / nullif(CAST(CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS VARCHAR)
+                           AS DOUBLE), 0.0) AS theta
+    FROM pool),
+vg AS (
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS vsx,
+           CAST(sum(y) AS BIGINT) AS vsy
+    FROM v GROUP BY variant)
+SELECT vg.variant, vg.n_users, vg.vsx AS sum_x_pre, vg.vsy AS sum_y_micro,
+       CAST(vg.vsy AS DOUBLE) / CAST(vg.n_users AS DOUBLE) AS mean_y_micro,
+       th.theta AS theta,
+       CAST(vg.vsy AS DOUBLE) / CAST(vg.n_users AS DOUBLE)
+         - th.theta * (CAST(vg.vsx AS DOUBLE) / CAST(vg.n_users AS DOUBLE)
+                       - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE))
+           AS mean_y_cuped_micro
+FROM vg, th
+"""
+
+
+@register(
+    "stats_cuped_adjustment",
+    _CUPED_ORACLE,
+    doc="CUPED variance-reduced experiment readout (Deng/Xu/Kohavi/"
+    "Walker WSDM'13 'Improving the Sensitivity of Online Controlled "
+    "Experiments') — THE standard A/B-test adjustment every "
+    "experimentation platform applies on top of a feature store: "
+    "per-user pre-period covariate x (clicks before the corpus "
+    "midpoint) and post-period metric y (purchase micro-units after "
+    "it), deterministic md5-parity variant assignment, pooled "
+    "theta = cov(x,y)/var(x), adjusted per-variant mean "
+    "y - theta*(x - pooled mean x). Exactness: the midpoint is an "
+    "integer micros floor-half (both engines agree); x/y/moment sums "
+    "are exact integers (Sxy/Sxx in DECIMAL(38,0)/HUGEINT); theta's "
+    "numerator/denominator cross to double via the string route "
+    "(d2d) with a nullif(var,0) guard (zero pre-period variance -> "
+    "NULL on BOTH engines); the adjusted mean is then one fixed "
+    "IEEE chain on agreed doubles. Shape: one hash agg to the user "
+    "grain, a 1-row moment agg broadcast back over the 2-row variant "
+    "rollup — nothing wider than the user table ever shuffles, and "
+    "the user rollup is the same shuffle the feature store's "
+    "aggregates already pay.",
+)
+def stats_cuped_adjustment(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    mid = ev.agg(
+        F.expr(
+            "CAST((unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2"
+            " AS BIGINT)"
+        ).alias("m")
+    )
+    pu = (
+        ev.join(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.unix_micros("ts") < F.col("m")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") >= F.col("m")),
+                    (F.col("value").cast("decimal(18,6)") * 1_000_000).cast(
+                        "long"
+                    ),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    hexd = "0123456789abcdef"
+    par = (
+        F.position(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1),
+            F.lit(hexd),
+        )
+        - 1
+    ) % 2
+    v = pu.select(
+        "x",
+        "y",
+        F.when(par == 0, "control").otherwise("treatment").alias("variant"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    pool = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+
+    def d2d(c):
+        return c.cast("string").cast("double")
+
+    th = pool.select(
+        "n",
+        "sx",
+        (
+            d2d(
+                F.col("n").cast("decimal(38,0)") * F.col("sxy")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+            )
+            / F.nullif(
+                d2d(
+                    F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                    - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+                ),
+                F.lit(0.0),
+            )
+        ).alias("theta"),
+    )
+    vg = v.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("vsx"),
+        F.sum("y").cast("long").alias("vsy"),
+    )
+    return vg.join(F.broadcast(th)).select(
+        "variant",
+        "n_users",
+        F.col("vsx").alias("sum_x_pre"),
+        F.col("vsy").alias("sum_y_micro"),
+        (F.col("vsy").cast("double") / F.col("n_users").cast("double")).alias(
+            "mean_y_micro"
+        ),
+        "theta",
+        (
+            F.col("vsy").cast("double") / F.col("n_users").cast("double")
+            - F.col("theta")
+            * (
+                F.col("vsx").cast("double") / F.col("n_users").cast("double")
+                - F.col("sx").cast("double") / F.col("n").cast("double")
+            )
+        ).alias("mean_y_cuped_micro"),
+    )

@@ -583,7 +583,15 @@ def test_multibatch_out_of_order_beyond_watermark_drops(spark, crafted_dir):
 # Entries whose metric divides by a per-class count product — with a
 # class empty the denominator is 0 and the engines must AGREE on the
 # rendered result (NULL on both; never Spark NaN/Inf vs DuckDB NULL).
-EMPTY_CLASS_ENTRIES = ["stats_ks_test", "eval_auc_exact", "stats_welch_ttest"]
+EMPTY_CLASS_ENTRIES = [
+    "stats_ks_test",
+    "eval_auc_exact",
+    "stats_welch_ttest",
+    # CUPED's theta divides by the pre-period variance: the 'no_click'
+    # shape zeroes every x, var(x) = 0, and both engines must agree on
+    # NULL (nullif guard), never Spark NaN vs DuckDB NULL.
+    "stats_cuped_adjustment",
+]
 
 
 @pytest.fixture(scope="module", params=["no_purchase", "no_click"])

@@ -114,7 +114,10 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "stats_permutation_test",
                # pairwise theta self-join over the DAILY AGGREGATE
                # (calendar-bounded metadata) + 1-row scalar broadcasts
-               "stats_mann_kendall"}
+               "stats_mann_kendall",
+               # 1-row corpus-midpoint + 1-row pooled-theta scalar
+               # broadcasts (CUPED pre/post cut and adjustment)
+               "stats_cuped_adjustment"}
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
@@ -276,6 +279,8 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/stats_inference.py", "sen"): "1-row median-slope aggregate",
     ("queries/stats_inference.py", "ties"): "1-row tie-term aggregate",
     ("queries/stats_inference.py", "n"): "1-row day-count aggregate",
+    ("queries/stats_inference.py", "mid"): "1-row corpus-midpoint scalar",
+    ("queries/stats_inference.py", "th"): "1-row CUPED theta aggregate",
 }
 
 _BROADCAST_RE = None  # compiled lazily
