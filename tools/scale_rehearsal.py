@@ -76,6 +76,11 @@ ENTRIES = (
     # round-7n: DAU/MAU/YAU — one finest-grain dedup then shrinking
     # re-dedups; the dedup shuffle is the only term that grows
     "rollup_distinct_users_time",
+    # round-8: ExactSubstr span census — 5-gram explode, gram-keyed
+    # hash agg + join-back, per-doc bounded windows; linear by
+    # construction (replicas perturb text so cross-replica gram
+    # collisions stay rare), measured to confirm
+    "dedup_exact_substring_spans",
 )
 
 
