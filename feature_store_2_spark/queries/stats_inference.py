@@ -650,7 +650,14 @@ FROM drawn GROUP BY b
     "#partitions x 100 partial rows, independent of corpus size; "
     "percentile edges over the 100 replicate means are a "
     "metadata-scale follow-up (rank-pick, stats_equidepth_"
-    "histogram's move).",
+    "histogram's move). The 100x fan-out is CPU-bound (one md5 per "
+    "row-replicate), so the base rows are round-robin repartitioned "
+    "to defaultParallelism first — a single-row-group parquet scan "
+    "would otherwise run the whole hash stage in ONE task (measured "
+    "17s -> 1.1s at sf0.1, identical values; shuffle moved is the "
+    "pre-fan-out base, 1/100th of the exploded volume) — and the "
+    "u32 extraction is one conv(hex,16,10) instead of eight "
+    "position/substring chains.",
 )
 def stats_poisson_bootstrap(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -659,7 +666,7 @@ def stats_poisson_bootstrap(spark, sf_dir):
         (F.col("value").cast("decimal(18,6)") * 1_000_000)
         .cast("long")
         .alias("v"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     fan = base.select(
         "event_id",
         "v",
@@ -678,19 +685,9 @@ def stats_poisson_bootstrap(spark, sf_dir):
             ).cast("binary")
         ).alias("h"),
     )
-    u = sum(
-        (
-            (
-                F.position(
-                    F.substring("h", i, 1), F.lit(_HEXD)
-                ).cast("long")
-                - 1
-            )
-            * (16 ** (8 - i))
-            for i in range(1, 9)
-        ),
-        F.lit(0),
-    )
+    # one conv() == the oracle's 8-digit positional sum (md5 hex is
+    # lowercase base-16; first 8 chars < 2^32 so the long cast is exact)
+    u = F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
     c = sum(
         (
             F.when(F.col("u") >= t, 1).otherwise(0)
@@ -797,7 +794,11 @@ FROM obs o
     "stats_poisson_bootstrap — map-side explode into a 100-group "
     "hash agg (shuffle = #partitions x 100 partials), one 1-row "
     "observed-stat broadcast, degenerate all-one-side permutations "
-    "excluded identically in both engines.",
+    "excluded identically in both engines. Same fan-out treatment "
+    "as stats_poisson_bootstrap: base rows round-robin "
+    "repartitioned to defaultParallelism (a single-row-group scan "
+    "would serialize the 100x md5 stage in one task) and the u32 "
+    "draw extracted with one conv(hex,16,10).",
 )
 def stats_permutation_test(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -809,7 +810,7 @@ def stats_permutation_test(spark, sf_dir):
         .cast("long")
         .alias("v"),
         (F.col("event_type") == "click").alias("is_a"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     d38 = "decimal(38,0)"
     obs = base.agg(
         F.sum(F.when(F.col("is_a"), F.col("v"))).cast(d38).alias("sa"),
@@ -832,19 +833,9 @@ def stats_permutation_test(spark, sf_dir):
             ).cast("binary")
         ).alias("h"),
     )
-    u = sum(
-        (
-            (
-                F.position(
-                    F.substring("h", i, 1), F.lit(_HEXD)
-                ).cast("long")
-                - 1
-            )
-            * (16 ** (8 - i))
-            for i in range(1, 9)
-        ),
-        F.lit(0),
-    )
+    # one conv() == the oracle's 8-digit positional sum (see
+    # stats_poisson_bootstrap)
+    u = F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
     drawn = fan.join(
         F.broadcast(
             obs.select(
