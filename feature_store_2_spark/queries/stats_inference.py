@@ -31,6 +31,20 @@ from feature_store_2_spark.sources.tables import load_table
 _HEXD = "0123456789abcdef"
 
 
+def _spread_for_fanout(df):
+    """Ensure a CPU-bound fan-out (explode x N -> md5 per row) has at
+    least defaultParallelism upstream partitions. The sf parquet files
+    are single row groups, so the scan is ONE partition and the whole
+    hash stage would serialize in one task (measured 14.2s -> 1.28s on
+    stats_poisson_bootstrap at sf0.1). Conditional on the plan's actual
+    partition count: a 100 TB scan already has thousands of splits and
+    must NOT pay a base-wide round-robin shuffle just to fan out."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Exact ROC AUC via the rank-sum (Mann-Whitney) identity
 # ---------------------------------------------------------------------------
@@ -651,22 +665,25 @@ FROM drawn GROUP BY b
     "percentile edges over the 100 replicate means are a "
     "metadata-scale follow-up (rank-pick, stats_equidepth_"
     "histogram's move). The 100x fan-out is CPU-bound (one md5 per "
-    "row-replicate), so the base rows are round-robin repartitioned "
-    "to defaultParallelism first — a single-row-group parquet scan "
+    "row-replicate), so the base is spread to defaultParallelism "
+    "IF the scan is narrower — a single-row-group parquet scan "
     "would otherwise run the whole hash stage in ONE task (measured "
-    "17s -> 1.1s at sf0.1, identical values; shuffle moved is the "
-    "pre-fan-out base, 1/100th of the exploded volume) — and the "
-    "u32 extraction is one conv(hex,16,10) instead of eight "
+    "14.2s -> 1.28s at sf0.1, identical values; shuffle moved is "
+    "the pre-fan-out base, 1/100th of the exploded volume, and a "
+    "wide 100 TB scan skips the shuffle entirely) — and the u32 "
+    "extraction is one conv(hex,16,10) instead of eight "
     "position/substring chains.",
 )
 def stats_poisson_bootstrap(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
-    base = ev.select(
-        "event_id",
-        (F.col("value").cast("decimal(18,6)") * 1_000_000)
-        .cast("long")
-        .alias("v"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    base = _spread_for_fanout(
+        ev.select(
+            "event_id",
+            (F.col("value").cast("decimal(18,6)") * 1_000_000)
+            .cast("long")
+            .alias("v"),
+        )
+    )
     fan = base.select(
         "event_id",
         "v",
@@ -795,22 +812,24 @@ FROM obs o
     "hash agg (shuffle = #partitions x 100 partials), one 1-row "
     "observed-stat broadcast, degenerate all-one-side permutations "
     "excluded identically in both engines. Same fan-out treatment "
-    "as stats_poisson_bootstrap: base rows round-robin "
-    "repartitioned to defaultParallelism (a single-row-group scan "
-    "would serialize the 100x md5 stage in one task) and the u32 "
-    "draw extracted with one conv(hex,16,10).",
+    "as stats_poisson_bootstrap: base spread to defaultParallelism "
+    "when the scan is narrower (a single-row-group scan would "
+    "serialize the 100x md5 stage in one task) and the u32 draw "
+    "extracted with one conv(hex,16,10).",
 )
 def stats_permutation_test(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
-    base = ev.filter(
-        F.col("event_type").isin("click", "purchase")
-    ).select(
-        "event_id",
-        (F.col("value").cast("decimal(18,6)") * 1_000_000)
-        .cast("long")
-        .alias("v"),
-        (F.col("event_type") == "click").alias("is_a"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    base = _spread_for_fanout(
+        ev.filter(
+            F.col("event_type").isin("click", "purchase")
+        ).select(
+            "event_id",
+            (F.col("value").cast("decimal(18,6)") * 1_000_000)
+            .cast("long")
+            .alias("v"),
+            (F.col("event_type") == "click").alias("is_a"),
+        )
+    )
     d38 = "decimal(38,0)"
     obs = base.agg(
         F.sum(F.when(F.col("is_a"), F.col("v"))).cast(d38).alias("sa"),
