@@ -875,8 +875,12 @@ def graph_pagerank_bipartite(spark, sf_dir):
     deg = edges.groupBy(F.col("src").alias("v")).agg(
         F.count("*").cast("long").alias("deg")
     )
-    n = deg.count()  # node count: bounded metadata scalar (the oracle
-    # derives the same n via its own count(*) subquery)
+    # node count: bounded metadata scalar (the oracle derives the same
+    # n via its own count(*) subquery). max(n,1): an empty edge set
+    # yields an empty deg table, so the output is empty either way —
+    # but n=0 must not crash the Python-side floor divisions while the
+    # oracle quietly projects zero rows.
+    n = max(deg.count(), 1)
     teleport = (_PR_SCALE * 15) // (100 * n)
     pr = deg.withColumn("pr", F.lit(_PR_SCALE // n).cast("long"))
     for _ in range(3):
