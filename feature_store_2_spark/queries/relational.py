@@ -387,6 +387,11 @@ FROM spine LEFT JOIN m ON spine.month_start = m.month_start
 )
 def sql_recursive_month_spine(spark, sf_dir):
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    # depth = months of history; Spark's default
+    # spark.sql.cteRecursionLevelLimit (100) would throw past ~8 years
+    # of orders while DuckDB recurses unbounded (the stats_survival_km
+    # advisor find, same class). 100k levels ~ 8000 years of months.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
     return spark.sql(_RECURSIVE_SPINE_SQL)
 
 

@@ -284,3 +284,53 @@ def test_survival_km_beyond_default_recursion_limit(spark, tmp_path):
     assert (out["survival_micro"].diff().dropna() <= 0).all()
     # risk set shrinks by exactly one per death day
     assert list(out["n_risk"]) == list(range(130, 0, -1))
+
+
+def test_month_spine_beyond_default_recursion_limit(spark, tmp_path):
+    """Regression (same class as the KM advisor find): the month-spine
+    recursion depth equals months of history, and Spark's default
+    spark.sql.cteRecursionLevelLimit (100) threw past ~8 years of
+    orders while the DuckDB oracle recursed unbounded. 130 months —
+    one order on the first day of every 3rd month — must yield one
+    spine row per month with gap months as explicit zeros."""
+    import datetime
+
+    import pandas as pd
+
+    rows = []
+    for m in range(0, 130, 3):
+        y, mo = divmod(m, 12)
+        rows.append(
+            (
+                len(rows) + 1,
+                1,
+                "O",
+                100.0 + m,
+                datetime.datetime(2000 + y, mo + 1, 1),
+                "1-URGENT",
+            )
+        )
+    pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    ).astype({"o_orderdate": "datetime64[us]"}).to_parquet(
+        tmp_path / "orders.parquet"
+    )
+    out = (
+        _BY["sql_recursive_month_spine"]
+        .fn(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("month_start")
+        .reset_index(drop=True)
+    )
+    # min month 2000-01, max 2010-10 (m=129 -> +129 months): 130 rows
+    assert len(out) == 130
+    # every 3rd month has the order, the two between are explicit zeros
+    assert list(out["n_orders"]) == [1 if i % 3 == 0 else 0 for i in range(130)]
