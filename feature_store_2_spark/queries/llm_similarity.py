@@ -397,6 +397,101 @@ def emb_centroid_assign(spark, sf_dir):
     return nearest_centroid_assign(load_table(spark, "embeddings", sf_dir))
 
 
+_SILH_ORACLE = f"""
+WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+sums AS (
+    SELECT label AS c_label, i.i AS d,
+           CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
+    FROM qv CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY 1, 2),
+cent AS (SELECT c_label, d,
+                CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) AS c
+         FROM sums),
+dists AS (
+    SELECT q.vec_id, q.label AS own_label, cent.c_label,
+           CAST(sum((q.v[cent.d] - cent.c) * (q.v[cent.d] - cent.c))
+                AS BIGINT) AS dist2
+    FROM qv q CROSS JOIN cent
+    GROUP BY 1, 2, 3),
+ab AS (
+    SELECT vec_id, own_label,
+           min(CASE WHEN c_label = own_label THEN dist2 END) AS a2,
+           min(CASE WHEN c_label <> own_label THEN dist2 END) AS b2
+    FROM dists GROUP BY 1, 2)
+SELECT vec_id,
+       CAST(own_label AS BIGINT) AS cluster,
+       CAST(a2 AS BIGINT) AS dist2_own,
+       CAST(b2 AS BIGINT) AS dist2_other,
+       CASE WHEN b2 IS NULL THEN NULL
+            WHEN a2 = 0 AND b2 = 0 THEN 0.0
+            ELSE (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                 / CASE WHEN a2 >= b2 THEN sqrt(CAST(a2 AS DOUBLE))
+                        ELSE sqrt(CAST(b2 AS DOUBLE)) END END AS silhouette
+FROM ab
+"""
+
+
+@register(
+    "eval_silhouette_simplified",
+    _SILH_ORACLE,
+    doc="simplified silhouette score per vector (Hruschka et al.'s "
+    "centroid form of Rousseeuw 1987): a(i) = distance to the OWN "
+    "per-label centroid, b(i) = distance to the nearest OTHER "
+    "centroid, s = (b - a)/max(a, b) in (-1, 1] — the cluster-"
+    "quality audit the clustering family (kmeans fit / assign / "
+    "outlier screen) was missing; the O(nk) centroid form replaces "
+    "classic silhouette's O(n^2) all-pairs mean distances, which is "
+    "the only form that survives corpus scale. Exactness: centroids "
+    "and squared distances are the integer machinery of "
+    "emb_centroid_assign (floor-mean quantized BIGINT, sums < 2^53); "
+    "sqrt is correctly rounded per IEEE-754 in both engines, so "
+    "s is a fixed 3-op double chain — hash-exact. NULL when only "
+    "one cluster exists (silhouette undefined; explicit CASE, never "
+    "engine-dependent greatest()-with-NULL semantics). Scale: one "
+    "k x dim centroid agg broadcast back, one narrow corpus pass — "
+    "zero corpus-keyed shuffles beyond the centroid partials.",
+)
+def eval_silhouette_simplified(spark, sf_dir):
+    from feature_store_2_spark.operators.similarity import (
+        _centroids,
+        _dist2,
+        _prepare,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = _prepare(e.select("vec_id", "embedding"), "vec_id", "embedding")
+    qlab = e.select("vec_id", "label").join(q, "vec_id")
+    cent = _centroids(e, "vec_id", "embedding", "label", DIM)
+    d = qlab.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        "c_label",
+        _dist2(F.col("qvec"), F.col("centroid")).alias("dist2"),
+    )
+    ab = d.groupBy("vec_id", "own_label").agg(
+        F.min(
+            F.when(F.col("c_label") == F.col("own_label"), F.col("dist2"))
+        ).alias("a2"),
+        F.min(
+            F.when(F.col("c_label") != F.col("own_label"), F.col("dist2"))
+        ).alias("b2"),
+    )
+    sa = F.sqrt(F.col("a2").cast("double"))
+    sb = F.sqrt(F.col("b2").cast("double"))
+    return ab.select(
+        "vec_id",
+        F.col("own_label").cast("long").alias("cluster"),
+        F.col("a2").cast("long").alias("dist2_own"),
+        F.col("b2").cast("long").alias("dist2_other"),
+        F.when(F.col("b2").isNull(), F.lit(None).cast("double"))
+        .when((F.col("a2") == 0) & (F.col("b2") == 0), F.lit(0.0))
+        .otherwise(
+            (sb - sa) / F.when(F.col("a2") >= F.col("b2"), sa).otherwise(sb)
+        )
+        .alias("silhouette"),
+    )
+
+
 @register(
     "emb_quantize_int8",
     """

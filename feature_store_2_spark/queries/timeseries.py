@@ -456,6 +456,185 @@ def attribution_time_decay(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Shapley-value channel attribution (round 8)
+# ---------------------------------------------------------------------------
+
+# (channel, bit, subset-without-channel, 6x Shapley weight |S|!(c-|S|-1)!
+# / c! for c=3: |S|=0 -> 2, |S|=1 -> 1, |S|=2 -> 2). Pure literals so
+# both engines share the identical coalition algebra.
+_SHAP_MAP = [
+    ("view", 1, 0, 2), ("view", 1, 2, 1), ("view", 1, 4, 1),
+    ("view", 1, 6, 2),
+    ("click", 2, 0, 2), ("click", 2, 1, 1), ("click", 2, 4, 1),
+    ("click", 2, 5, 2),
+    ("signup", 4, 0, 2), ("signup", 4, 1, 1), ("signup", 4, 2, 1),
+    ("signup", 4, 3, 2),
+]
+
+_SHAP_MAP_SQL = ",".join(
+    f"('{ch}',{bit},{s},{w})" for ch, bit, s, w in _SHAP_MAP
+)
+
+_SHAPLEY_ORACLE = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+fp AS (SELECT user_id, min(ts) AS pts
+       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+expo AS (
+    SELECT u.user_id,
+           CAST(max(CASE WHEN f.pts IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS conv,
+           CAST(coalesce(max(CASE WHEN t.event_type = 'view'
+                                  THEN 1 END), 0)
+              + coalesce(max(CASE WHEN t.event_type = 'click'
+                                  THEN 2 END), 0)
+              + coalesce(max(CASE WHEN t.event_type = 'signup'
+                                  THEN 4 END), 0) AS BIGINT) AS mask
+    FROM users u
+    LEFT JOIN fp f ON f.user_id = u.user_id
+    LEFT JOIN events t
+      ON t.user_id = u.user_id
+     AND t.event_type IN ('view', 'click', 'signup')
+     AND (f.pts IS NULL OR t.ts < f.pts)
+    GROUP BY u.user_id),
+seg AS (SELECT mask, count(*) AS n, sum(conv) AS c
+        FROM expo GROUP BY mask),
+v AS (SELECT mask, (1000000 * c) // n AS v_ppm FROM seg),
+m(channel, bit, s, w) AS (VALUES {_SHAP_MAP_SQL}),
+shap AS (
+    SELECT m.channel,
+           CAST(sum(m.w * (coalesce(vw.v_ppm, 0)
+                           - coalesce(vo.v_ppm, 0))) AS BIGINT)
+               AS shapley_x6_ppm
+    FROM m
+    LEFT JOIN v vo ON vo.mask = m.s
+    LEFT JOIN v vw ON vw.mask = m.s + m.bit
+    GROUP BY 1),
+ch(channel, bit) AS (VALUES ('view', 1), ('click', 2), ('signup', 4)),
+exposed AS (
+    SELECT ch.channel,
+           CAST(coalesce(sum(seg.n), 0) AS BIGINT) AS n_exposed,
+           CAST(coalesce(sum(seg.c), 0) AS BIGINT) AS n_conv_exposed
+    FROM ch LEFT JOIN seg ON (seg.mask & ch.bit) <> 0
+    GROUP BY 1)
+SELECT s.channel, s.shapley_x6_ppm, e.n_exposed, e.n_conv_exposed
+FROM shap s JOIN exposed e ON e.channel = s.channel
+"""
+
+
+@register(
+    "attribution_shapley",
+    _SHAPLEY_ORACLE,
+    doc="exact Shapley-value channel attribution (Shapley 1953 as "
+    "operationalized for marketing by Dalessandro et al. 2012): "
+    "coalition = the SET of channels (view/click/signup) a user was "
+    "exposed to before their first purchase (all exposure counts for "
+    "non-converters), v(S) = conversion rate of the users exposed to "
+    "exactly S, channel credit = the Shapley average of marginal "
+    "contributions v(S+i)-v(S) over all orderings — the "
+    "game-theoretic attribution the time-decay entry's heuristic "
+    "family doesn't cover. Exactness: rates in ppm by integer floor "
+    "division, the 3-channel coalition weights 2/1/1/2 are 6x the "
+    "exact factorials (output is Shapley x 6 in ppm — an integer), "
+    "unobserved coalitions contribute v = 0 (documented estimator "
+    "choice; credits can legitimately go negative). Scale: ONE "
+    "corpus pass builds per-user exposure masks (conditional-max "
+    "agg on the user grain — the feature-store aggregate shuffle), "
+    "the 8-row segment table and 12-row coalition map are metadata; "
+    "everything after the first agg is broadcast arithmetic.",
+)
+def attribution_shapley(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    users = ev.select("user_id").distinct()
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("t_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    base = users.join(fp, "user_id", "left")
+    joined = base.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("pts").isNull() | (F.col("t_ts") < F.col("pts"))),
+        "left",
+    )
+    expo = joined.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("pts").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("conv"),
+        (
+            F.coalesce(
+                F.max(F.when(F.col("t_type") == "view", 1)), F.lit(0)
+            )
+            + F.coalesce(
+                F.max(F.when(F.col("t_type") == "click", 2)), F.lit(0)
+            )
+            + F.coalesce(
+                F.max(F.when(F.col("t_type") == "signup", 4)), F.lit(0)
+            )
+        ).cast("long").alias("mask"),
+    )
+    seg = expo.groupBy("mask").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("c")
+    )
+    v = seg.select("mask", F.expr("1000000 * c div n").alias("v_ppm"))
+    m = spark.createDataFrame(_SHAP_MAP, "channel string, bit long, s long, w long")
+    shap = (
+        m.join(
+            F.broadcast(v.withColumnRenamed("mask", "mo")),
+            F.col("mo") == F.col("s"),
+            "left",
+        )
+        .withColumnRenamed("v_ppm", "vo")
+        .join(
+            F.broadcast(
+                v.select(
+                    F.col("mask").alias("mw"), F.col("v_ppm").alias("vw")
+                )
+            ),
+            F.col("mw") == F.col("s") + F.col("bit"),
+            "left",
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.col("w")
+                * (
+                    F.coalesce(F.col("vw"), F.lit(0))
+                    - F.coalesce(F.col("vo"), F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("shapley_x6_ppm")
+        )
+    )
+    ch = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4)], "channel string, bit long"
+    )
+    exposed = (
+        ch.join(
+            F.broadcast(seg),
+            F.expr("(mask & bit) <> 0"),
+            "left",
+        )
+        .groupBy("channel")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_exposed"),
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("n_conv_exposed"),
+        )
+    )
+    return shap.join(exposed, "channel")
+
+
+# ---------------------------------------------------------------------------
 # Rate limiting / throttling
 # ---------------------------------------------------------------------------
 

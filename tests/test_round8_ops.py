@@ -1,0 +1,157 @@
+"""Contract tests for the round-8 late additions beyond the oracle
+gate: exact Shapley attribution (pure-pandas recompute + the
+efficiency axiom) and simplified silhouette (numpy recompute, bounds,
+single-cluster NULL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feature_store_2_spark.queries import CATALOG
+from feature_store_2_spark.queries.timeseries import _SHAP_MAP
+from feature_store_2_spark.sources.tables import load_table
+
+_BY = {q.name: q for q in CATALOG}
+
+
+@pytest.fixture(scope="module")
+def events_pd(spark, sf_dir):
+    return load_table(spark, "events", sf_dir).toPandas()
+
+
+def _shapley_pandas(ev: pd.DataFrame) -> dict[str, dict[str, int]]:
+    fp = (
+        ev[ev["event_type"] == "purchase"]
+        .groupby("user_id")["ts"]
+        .min()
+        .rename("pts")
+    )
+    bits = {"view": 1, "click": 2, "signup": 4}
+    masks: dict[int, int] = {}
+    convs: dict[int, int] = {}
+    for uid, g in ev.groupby("user_id"):
+        pts = fp.get(uid)
+        conv = int(pts is not None and not pd.isna(pts))
+        t = g[g["event_type"].isin(bits)]
+        if conv:
+            t = t[t["ts"] < pts]
+        mask = 0
+        for et in t["event_type"].unique():
+            mask |= bits[et]
+        masks[uid] = mask
+        convs[uid] = conv
+    seg: dict[int, list[int]] = {}
+    for uid, m in masks.items():
+        seg.setdefault(m, [0, 0])
+        seg[m][0] += 1
+        seg[m][1] += convs[uid]
+    v = {m: (1_000_000 * c) // n for m, (n, c) in seg.items()}
+    out: dict[str, dict[str, int]] = {}
+    for ch, bit in bits.items():
+        shap = sum(
+            w * (v.get(s + b, 0) - v.get(s, 0))
+            for (c2, b, s, w) in _SHAP_MAP
+            if c2 == ch
+        )
+        n_exp = sum(n for m, (n, _) in seg.items() if m & bit)
+        c_exp = sum(c for m, (_, c) in seg.items() if m & bit)
+        out[ch] = {
+            "shapley_x6_ppm": shap,
+            "n_exposed": n_exp,
+            "n_conv_exposed": c_exp,
+            "v7_minus_v0_x6": 6 * (v.get(7, 0) - v.get(0, 0)),
+        }
+    return out
+
+
+def test_shapley_matches_pandas_and_efficiency_axiom(spark, sf_dir, events_pd):
+    out = (
+        _BY["attribution_shapley"].fn(spark, sf_dir).toPandas()
+        .set_index("channel")
+    )
+    ref = _shapley_pandas(events_pd)
+    assert set(out.index) == set(ref)
+    for ch, r in ref.items():
+        assert int(out.loc[ch, "shapley_x6_ppm"]) == r["shapley_x6_ppm"]
+        assert int(out.loc[ch, "n_exposed"]) == r["n_exposed"]
+        assert int(out.loc[ch, "n_conv_exposed"]) == r["n_conv_exposed"]
+    # efficiency axiom: credits telescope to v(full) - v(empty) (x6,
+    # with unobserved coalitions contributing v=0 as documented)
+    assert (
+        int(out["shapley_x6_ppm"].sum())
+        == ref["view"]["v7_minus_v0_x6"]
+    )
+
+
+def test_silhouette_matches_numpy_recompute(spark, sf_dir):
+    from feature_store_2_spark.functions.vector import QUANT_SCALE
+
+    out = (
+        _BY["eval_silhouette_simplified"].fn(spark, sf_dir).toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.floor(
+        np.stack(emb["embedding"].to_numpy()) * float(QUANT_SCALE)
+    ).astype(np.int64)
+    labels = emb["label"].to_numpy()
+    cents = {}
+    for lab in np.unique(labels):
+        g = q[labels == lab]
+        cents[lab] = np.floor(
+            g.sum(axis=0).astype(float) / len(g)
+        ).astype(np.int64)
+    rows = []
+    for vid, lab, vec in zip(emb["vec_id"], labels, q):
+        d2 = {
+            cl: int(((vec - c) ** 2).sum()) for cl, c in cents.items()
+        }
+        a2 = d2[lab]
+        others = [d for cl, d in d2.items() if cl != lab]
+        b2 = min(others) if others else None
+        if b2 is None:
+            s = None
+        elif a2 == 0 and b2 == 0:
+            s = 0.0
+        else:
+            sa, sb = np.sqrt(float(a2)), np.sqrt(float(b2))
+            s = (sb - sa) / (sa if a2 >= b2 else sb)
+        rows.append((vid, a2, b2, s))
+    ref = pd.DataFrame(
+        rows, columns=["vec_id", "a2", "b2", "s"]
+    ).sort_values("vec_id").reset_index(drop=True)
+    assert (out["dist2_own"].to_numpy() == ref["a2"].to_numpy()).all()
+    assert (out["dist2_other"].to_numpy() == ref["b2"].to_numpy()).all()
+    # bit-identical doubles: both sides are the same fixed IEEE chain
+    assert (
+        out["silhouette"].to_numpy() == ref["s"].astype(float).to_numpy()
+    ).all()
+    assert out["silhouette"].between(-1.0, 1.0).all()
+
+
+def test_silhouette_single_cluster_is_null(spark, tmp_path):
+    emb = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "label": [0, 0, 0],
+            "embedding": [
+                [0.1] * 64,
+                [0.2] * 64,
+                [0.3] * 64,
+            ],
+        }
+    )
+    emb.to_parquet(tmp_path / "embeddings.parquet")
+    out = (
+        _BY["eval_silhouette_simplified"]
+        .fn(spark, str(tmp_path))
+        .toPandas()
+    )
+    assert len(out) == 3
+    # k=1: no other centroid exists; silhouette is undefined -> NULL
+    assert out["dist2_other"].isna().all()
+    assert out["silhouette"].isna().all()

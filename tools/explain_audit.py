@@ -117,7 +117,16 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "stats_mann_kendall",
                # 1-row corpus-midpoint + 1-row pooled-theta scalar
                # broadcasts (CUPED pre/post cut and adjustment)
-               "stats_cuped_adjustment"}
+               "stats_cuped_adjustment",
+               # broadcast k x dim centroid table (the
+               # emb_centroid_assign shape) — a(i)/b(i) need every
+               # vector x centroid distance by definition
+               "eval_silhouette_simplified",
+               # metadata-only coalition algebra: 12-row literal map x
+               # 8-row segment table x 3-row channel table broadcasts
+               # (theta joins on bitmasks); the one corpus-scale join
+               # is the user-grain exposure equi-join
+               "attribution_shapley"}
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
@@ -257,6 +266,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/llm_similarity.py", "cb"): "PQ codebook (m x k = 64 rows)",
     ("queries/llm_similarity.py", "lut"): "ADC lookup table (n_q x m x k = 640 rows)",
     ("queries/llm_similarity.py", "tot"): "1-row totals aggregate",
+    ("queries/llm_similarity.py", "cent"): "k x dim centroid table",
+    ("queries/timeseries.py", "v"): "coalition-value table (<= 8 rows)",
+    ("queries/timeseries.py", "seg"): "exposure-segment table (<= 8 rows)",
     ("queries/llm_text.py", "spine"): "threshold spine (5 constant rows)",
     ("queries/sketches.py", "sk"): "bottom-k sketches (<= k x |event_types| rows)",
     ("queries/training_data.py", "qterms"): "query-term spine (NQ=5 rows)",
