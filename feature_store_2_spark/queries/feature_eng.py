@@ -579,3 +579,149 @@ def feat_winsorize_clip(spark, sf_dir):
         .otherwise(F.col("o_totalprice"))
         .alias("winsorized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval (round 8)
+# ---------------------------------------------------------------------------
+
+_CONF_PAR_SQL = (
+    "(CAST(position(substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN "
+    f"'{_HEXD}') AS BIGINT) - 1) % 2"
+)
+
+_CONFORMAL_ORACLE = f"""
+WITH base AS (
+    SELECT event_id, event_type, {_V_MICRO_SQL} AS v,
+           {_CONF_PAR_SQL} AS par
+    FROM events),
+cal AS (SELECT * FROM base WHERE par = 0),
+tst AS (SELECT * FROM base WHERE par = 1),
+mu AS (SELECT event_type,
+              CAST(sum(v) AS BIGINT) // count(*) AS m
+       FROM cal GROUP BY 1),
+g AS (SELECT count(*) AS n_cal,
+             CASE WHEN count(*) = 0 THEN NULL
+                  ELSE CAST(sum(v) AS BIGINT) // count(*) END AS gm
+      FROM cal),
+calr AS (SELECT abs(c.v - m.m) AS r
+         FROM cal c JOIN mu m USING (event_type)),
+hist AS (SELECT r, count(*) AS cnt FROM calr GROUP BY r),
+cum AS (SELECT r, sum(cnt) OVER (ORDER BY r
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist),
+k AS (SELECT LEAST((9 * (n_cal + 1) + 9) // 10, n_cal) AS k FROM g),
+q AS (SELECT min(r) AS q_hat FROM cum, k WHERE cum.cum >= k.k),
+cov AS (SELECT count(*) AS n_test,
+               CAST(sum(CASE WHEN abs(t.v - coalesce(m.m, g.gm))
+                                  <= q.q_hat THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cov
+        FROM tst t
+        LEFT JOIN mu m USING (event_type)
+        CROSS JOIN q CROSS JOIN g)
+SELECT CAST(g.n_cal AS BIGINT) AS n_cal,
+       CAST(cov.n_test AS BIGINT) AS n_test,
+       CAST(q.q_hat AS BIGINT) AS q_hat_micro,
+       cov.n_cov AS n_covered,
+       CAST((1000000 * cov.n_cov) // cov.n_test AS BIGINT)
+           AS coverage_ppm
+FROM g CROSS JOIN q CROSS JOIN cov
+WHERE g.n_cal > 0 AND cov.n_test > 0
+"""
+
+
+@register(
+    "eval_conformal_interval",
+    _CONFORMAL_ORACLE,
+    doc="split-conformal prediction interval + coverage audit (Vovk's "
+    "inductive conformal / Lei et al. 2018): md5-parity halves the "
+    "corpus into calibration and test, the 'model' is the per-type "
+    "calibration mean (floor-div micro-units; global-mean fallback "
+    "for types unseen in calibration), q_hat is the "
+    "ceil(0.9*(n+1))-th smallest absolute calibration residual — the "
+    "distribution-free 90% interval half-width — and realized test "
+    "coverage is reported in integer ppm (the finite-sample "
+    "guarantee coverage >= 1-alpha is pytest-pinned with a tolerance "
+    "band). Exactness: residuals/quantile/coverage are pure integer "
+    "arithmetic; the k-th order statistic is a rank-pick on the "
+    "residual HISTOGRAM, never a corpus sort. The global cumulative "
+    "window ranges over the bounded distinct-residual domain (the "
+    "stats_ks_test / stats_equidepth_histogram move); scale path is "
+    "range-partitioned partials + broadcast prefix offsets. "
+    "Degenerate shapes (empty calibration or test half) yield an "
+    "empty result on BOTH engines, never a crash.",
+)
+def eval_conformal_interval(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    par = (
+        F.position(
+            F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 1),
+            F.lit(_HEXD),
+        ).cast("long")
+        - 1
+    ) % 2
+    base = ev.select(
+        "event_id", "event_type", _v_micro().alias("v"), par.alias("par")
+    )
+    cal = base.filter(F.col("par") == 0)
+    tst = base.filter(F.col("par") == 1)
+    mu = cal.groupBy("event_type").agg(
+        F.expr("sum(v) div count(*)").alias("m")
+    )
+    g = cal.agg(
+        F.count("*").alias("n_cal"),
+        F.when(
+            F.count("*") == 0, F.lit(None).cast("long")
+        ).otherwise(F.expr("sum(v) div count(*)")).alias("gm"),
+    )
+    calr = cal.join(F.broadcast(mu), "event_type").select(
+        F.abs(F.col("v") - F.col("m")).alias("r")
+    )
+    hist = calr.groupBy("r").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("r", F.sum("cnt").over(wcum).alias("cum"))
+    k = g.select(
+        F.least(
+            F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")
+        ).alias("k")
+    )
+    q = (
+        cum.join(F.broadcast(k))
+        .filter(F.col("cum") >= F.col("k"))
+        .agg(F.min("r").alias("q_hat"))
+    )
+    cov = (
+        tst.join(F.broadcast(mu), "event_type", "left")
+        .join(F.broadcast(q))
+        .join(F.broadcast(g.select("gm")))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("v") - F.coalesce(F.col("m"), F.col("gm"))
+                    )
+                    <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_cov"),
+        )
+    )
+    return (
+        g.join(F.broadcast(q))
+        .join(F.broadcast(cov))
+        .filter((F.col("n_cal") > 0) & (F.col("n_test") > 0))
+        .select(
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("q_hat").cast("long").alias("q_hat_micro"),
+            F.col("n_cov").alias("n_covered"),
+            F.expr("1000000 * n_cov div n_test")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )

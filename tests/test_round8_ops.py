@@ -155,3 +155,52 @@ def test_silhouette_single_cluster_is_null(spark, tmp_path):
     # k=1: no other centroid exists; silhouette is undefined -> NULL
     assert out["dist2_other"].isna().all()
     assert out["silhouette"].isna().all()
+
+
+def test_conformal_matches_pandas_and_coverage_band(spark, sf_dir, events_pd):
+    import hashlib
+    from decimal import Decimal, ROUND_HALF_UP
+
+    out = _BY["eval_conformal_interval"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    row = out[0]
+
+    def micro(x):
+        return int(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            * 1_000_000
+        )
+
+    df = events_pd.assign(
+        v=events_pd["value"].map(micro),
+        par=events_pd["event_id"].map(
+            lambda e: int(hashlib.md5(str(int(e)).encode()).hexdigest()[0], 16)
+            % 2
+        ),
+    )
+    cal = df[df["par"] == 0]
+    tst = df[df["par"] == 1]
+    mu = {
+        t: int(g["v"].sum()) // len(g)
+        for t, g in cal.groupby("event_type")
+    }
+    gm = int(cal["v"].sum()) // len(cal)
+    res = sorted(
+        abs(int(r["v"]) - mu[r["event_type"]]) for _, r in cal.iterrows()
+    )
+    n_cal = len(res)
+    k = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+    q_hat = res[k - 1]
+    n_cov = sum(
+        abs(int(r["v"]) - mu.get(r["event_type"], gm)) <= q_hat
+        for _, r in tst.iterrows()
+    )
+    assert row["n_cal"] == n_cal
+    assert row["n_test"] == len(tst)
+    assert row["q_hat_micro"] == q_hat
+    assert row["n_covered"] == n_cov
+    assert row["coverage_ppm"] == (1_000_000 * n_cov) // len(tst)
+    # finite-sample conformal guarantee: coverage >= 1 - alpha holds
+    # marginally; one split concentrates near 0.9 at these n — pin a
+    # tolerant band that still catches a broken quantile pick
+    assert 850_000 <= row["coverage_ppm"] <= 1_000_000

@@ -126,7 +126,11 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # 8-row segment table x 3-row channel table broadcasts
                # (theta joins on bitmasks); the one corpus-scale join
                # is the user-grain exposure equi-join
-               "attribution_shapley"}
+               "attribution_shapley",
+               # 1-row scalar broadcasts (conformal k / q_hat /
+               # calibration totals / coverage counts) — the
+               # collect-free way to apply global scalars
+               "eval_conformal_interval"}
 
 # Entries whose single-partition window is the documented intent:
 # window_ntile_percentrank is the global-order ranking-family demo (its
@@ -167,7 +171,12 @@ GLOBAL_WINDOW_OK = {"window_ntile_percentrank", "doc_pack_token_budget",
                     # month-grain lag: the window input is one row per
                     # calendar month (bounded metadata scale by
                     # construction), not the fact table
-                    "stats_revenue_price_volume_decomp"}
+                    "stats_revenue_price_volume_decomp",
+                    # conformal q_hat rank-pick: cumulative over the
+                    # RESIDUAL HISTOGRAM (bounded distinct-value
+                    # domain, the stats_ks_test move — its docstring
+                    # says so), never the calibration row count
+                    "eval_conformal_interval"}
 
 _WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
 
@@ -286,6 +295,11 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/feature_eng.py", "cat"): "category table (|event_types| rows)",
     ("queries/feature_eng.py", "n"): "1-row sample-sizes scalar aggregate",
     ("queries/feature_eng.py", "thr"): "per-group threshold table (|o_orderpriority| = 5 rows)",
+    ("queries/feature_eng.py", "mu"): "per-type calibration-mean table (|event_types| rows)",
+    ("queries/feature_eng.py", "k"): "1-row conformal rank scalar",
+    ("queries/feature_eng.py", "q"): "1-row conformal quantile scalar",
+    ("queries/feature_eng.py", "g"): "1-row calibration-totals scalar",
+    ("queries/feature_eng.py", "cov"): "1-row coverage-counts scalar",
     ("queries/stats_inference.py", "obs"): "1-row observed-stat aggregate",
     ("queries/stats_inference.py", "verdicts"): "1-row verdict-count aggregate",
     ("queries/stats_inference.py", "sen"): "1-row median-slope aggregate",
