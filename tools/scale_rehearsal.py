@@ -81,6 +81,14 @@ ENTRIES = (
     # construction (replicas perturb text so cross-replica gram
     # collisions stay rare), measured to confirm
     "dedup_exact_substring_spans",
+    # round-8 late additions: user-grain exposure agg + metadata-only
+    # coalition algebra (shapley), one corpus pass vs a broadcast
+    # k x dim centroid table (silhouette), two corpus scans + a
+    # residual-histogram rank-pick (conformal) — all linear by
+    # construction, measured to confirm
+    "attribution_shapley",
+    "eval_silhouette_simplified",
+    "eval_conformal_interval",
 )
 
 
