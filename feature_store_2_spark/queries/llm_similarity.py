@@ -1207,6 +1207,117 @@ def graph_bfs_distance(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Modularity of the label partition over the k-NN graph (round 8)
+# ---------------------------------------------------------------------------
+
+_MODULARITY_ORACLE = f"""
+WITH knn AS ({_KNN_JOIN_ORACLE}),
+e AS (SELECT DISTINCT a, b FROM (
+    SELECT query_id AS a, neighbor_id AS b FROM knn
+    UNION ALL SELECT neighbor_id, query_id FROM knn)),
+m AS (SELECT count(*) // 2 AS m, 4 * (count(*) // 2) * (count(*) // 2)
+             AS fourm2 FROM e),
+lab AS (SELECT vec_id, label FROM embeddings),
+deg AS (SELECT a AS vec_id, count(*) AS deg FROM e GROUP BY 1),
+degc AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS deg_c,
+                CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg d JOIN lab l USING (vec_id) GROUP BY 1),
+ein AS (SELECT la.label, CAST(count(*) // 2 AS BIGINT) AS e_in
+        FROM e
+        JOIN lab la ON la.vec_id = e.a
+        JOIN lab lb ON lb.vec_id = e.b
+        WHERE la.label = lb.label
+        GROUP BY 1)
+SELECT CAST(degc.label AS BIGINT) AS label,
+       degc.n_nodes,
+       degc.deg_c,
+       CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+       CAST(4 * m.m * coalesce(ein.e_in, 0) - degc.deg_c * degc.deg_c
+            AS BIGINT) AS q_num_x4m2,
+       CAST(m.m AS BIGINT) AS m_edges,
+       CAST(4 * m.m * coalesce(ein.e_in, 0) - degc.deg_c * degc.deg_c
+            AS DOUBLE) / CAST(m.fourm2 AS DOUBLE) AS q_contribution
+FROM degc LEFT JOIN ein USING (label) CROSS JOIN m
+"""
+
+
+@register(
+    "graph_modularity_labels",
+    _MODULARITY_ORACLE,
+    doc="Newman modularity of the LABEL partition over the adaptive-SRP "
+    "k-NN similarity graph (Newman & Girvan 2004): per community, "
+    "Q_c = e_in/m - (deg_c/2m)^2 — does the ground-truth labeling "
+    "explain the similarity structure (the assortativity audit the "
+    "graph family's CC/k-core/LPA/PageRank entries don't report; sum "
+    "of rows = graph modularity, in [-1/2, 1]). Exactness: each "
+    "community's contribution is emitted as the INTEGER numerator "
+    "4m*e_in - deg_c^2 over the common denominator 4m^2 (one exact "
+    "BIGINT chain; the double ratio is a single division of two "
+    "exactly-cast BIGINTs — bit-identical; 4m^2 < 2^53 documented "
+    "bound, integers are the durable output past it). Scale: the "
+    "edge set dedups once; degrees, community degrees, and "
+    "within-community edges are three hash aggs over E — linear, "
+    "never per-pair beyond the banded kNN join itself; m is a "
+    "bounded metadata scalar (the pagerank move).",
+)
+def graph_modularity_labels(spark, sf_dir):
+    vecs = load_table(spark, "embeddings", sf_dir)
+    knn = embedding_srp_knn_join_scored(vecs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    edges = (
+        knn.select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"))
+        .unionAll(
+            knn.select(
+                F.col("neighbor_id").alias("a"), F.col("query_id").alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # undirected edge count: bounded metadata scalar (the oracle derives
+    # the same m via its own count subquery)
+    m = edges.count() // 2
+    fourm2 = 4 * m * m
+    lab = vecs.select("vec_id", "label")
+    deg = edges.groupBy(F.col("a").alias("vec_id")).agg(
+        F.count("*").alias("deg")
+    )
+    degc = deg.join(lab, "vec_id").groupBy("label").agg(
+        F.sum("deg").cast("long").alias("deg_c"),
+        F.count("*").cast("long").alias("n_nodes"),
+    )
+    ein = (
+        edges.join(
+            lab.select(F.col("vec_id").alias("a"), F.col("label").alias("la")),
+            "a",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("b"), F.col("label").alias("lb")),
+            "b",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg((F.count("*") / 2).cast("long").alias("e_in"))
+    )
+    q_num = (
+        F.lit(4 * m) * F.coalesce(F.col("e_in"), F.lit(0))
+        - F.col("deg_c") * F.col("deg_c")
+    ).cast("long")
+    return degc.join(ein, "label", "left").select(
+        F.col("label").cast("long").alias("label"),
+        "n_nodes",
+        "deg_c",
+        F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+        q_num.alias("q_num_x4m2"),
+        F.lit(m).cast("long").alias("m_edges"),
+        (
+            q_num.cast("double") / F.lit(fourm2).cast("long").cast("double")
+        ).alias("q_contribution"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact corpus covariance matrix (the PCA / whitening feed)
 # ---------------------------------------------------------------------------
 

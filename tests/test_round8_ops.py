@@ -204,3 +204,62 @@ def test_conformal_matches_pandas_and_coverage_band(spark, sf_dir, events_pd):
     # marginally; one split concentrates near 0.9 at these n — pin a
     # tolerant band that still catches a broken quantile pick
     assert 850_000 <= row["coverage_ppm"] <= 1_000_000
+
+
+def test_modularity_matches_pure_python(spark, sf_dir):
+    """Rebuild the symmetrized kNN edge set (same operator the entry
+    uses — its cross-engine identity is pinned by the oracle), then
+    recompute per-label modularity numerators in pure python and check
+    the integer identities + the [-1/2, 1] bound on total Q."""
+    from feature_store_2_spark.operators.dedup import (
+        embedding_srp_knn_join_scored,
+    )
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    knn = embedding_srp_knn_join_scored(vecs, k=5).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    labels = dict(
+        vecs.select("vec_id", "label").rdd.map(tuple).collect()
+    )
+    edges = set()
+    for r in knn:
+        a, b = int(r["query_id"]), int(r["neighbor_id"])
+        edges.add((a, b))
+        edges.add((b, a))
+    m = len(edges) // 2
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    deg_c: dict[int, int] = {}
+    n_nodes: dict[int, int] = {}
+    for v, d in deg.items():
+        lab = int(labels[v])
+        deg_c[lab] = deg_c.get(lab, 0) + d
+        n_nodes[lab] = n_nodes.get(lab, 0) + 1
+    e_in: dict[int, int] = {}
+    for a, b in edges:
+        la, lb = int(labels[a]), int(labels[b])
+        if la == lb:
+            e_in[la] = e_in.get(la, 0) + 1
+    e_in = {k: v // 2 for k, v in e_in.items()}
+
+    out = (
+        _BY["graph_modularity_labels"].fn(spark, sf_dir).toPandas()
+        .set_index("label")
+    )
+    assert set(out.index) == set(deg_c)
+    total_q = 0.0
+    for lab in deg_c:
+        row = out.loc[lab]
+        assert int(row["n_nodes"]) == n_nodes[lab]
+        assert int(row["deg_c"]) == deg_c[lab]
+        assert int(row["e_in"]) == e_in.get(lab, 0)
+        assert int(row["m_edges"]) == m
+        expect = 4 * m * e_in.get(lab, 0) - deg_c[lab] ** 2
+        assert int(row["q_num_x4m2"]) == expect
+        total_q += row["q_contribution"]
+    # Newman bound: Q in [-1/2, 1]
+    assert -0.5 - 1e-12 <= total_q <= 1.0 + 1e-12
+    # handshake identity: community degrees sum to 2m
+    assert sum(deg_c.values()) == 2 * m
