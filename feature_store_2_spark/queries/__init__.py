@@ -53,12 +53,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #      a runtime-drift canary. Listed FIRST so they can never be pushed
 #      past the driver's budget by a large batch of new entries (the
 #      round-5 situation: >50 never-scored at once).
-#   2. NEVER-SCORED — entries with no row in any CORRECTNESS_r0*.json,
-#      in registration order. Every new entry lands here until it earns
-#      a driver row; an overflow past the budget stays never-scored and
-#      auto-promotes next round, so nothing can silt up — scoring is at
-#      worst deferred one round.
-#   3. STALEST RE-SCORE — remaining head slots filled with the entries
+#   2. PINNED — entries whose CODE materially changed since their last
+#      driver row (bug fix, algorithm swap). Scoring changed code beats
+#      scoring unchanged code: a fix without a fresh driver row is
+#      unverified, and a backlog of never-scored-but-unchanged entries
+#      must not defer that verification a round (the r8 situation:
+#      the func_array_set_ops fix and the adaptive-SRP promotion would
+#      otherwise sit behind 60 never-scored entries).
+#   3. NEVER-SCORED — entries with no row in any CORRECTNESS_r0*.json,
+#      FIFO by first-registered round then registration order. Every new
+#      entry lands here until it earns a driver row; an overflow past
+#      the budget stays never-scored and auto-promotes next round, so
+#      nothing can silt up — scoring is at worst deferred.
+#   4. STALEST RE-SCORE — remaining head slots filled with the entries
 #      whose most recent driver row is oldest (round ascending, then
 #      registration order), so the whole catalog re-scores over rounds.
 # Everything else keeps registration order after the head.
@@ -81,12 +88,30 @@ _STAPLES: tuple[str, ...] = (
     "emb_kmeans_fit",
 )
 
-# Entries whose LAST driver row predates a material upgrade. They queue
-# immediately after the never-scored tier so the upgraded evidence
-# reaches the driver ahead of ordinary staleness rotation; remove a
-# name once its fresh row lands. (Empty this round: emb_kmeans_fit is
-# temporarily a staple — see above.)
-_PINNED_RESCORE: tuple[str, ...] = ()
+# Entries whose LAST driver row (or no row yet) predates a material code
+# change. They queue immediately AFTER the staples — ahead of the
+# never-scored FIFO — so the changed code earns a driver row the same
+# round it ships; remove a name once its fresh row lands.
+#
+# Round 8 pins — the two code changes of the round:
+#   * func_array_set_ops — the only red driver row in seven rounds
+#     (r7 ERR: array-typed output the driver can't hash); fixed via
+#     array_join this round, and the r8 green row is the r7 verdict's
+#     ask #1 done-criterion.
+#   * the six adaptive-SRP ANN entries + their new sizing audit — the
+#     r7 verdict's ask #3 (fixed-band n^1.52 candidate quadratic →
+#     adaptive band sizing, exponent ≤0.6) changed the scored plan of
+#     all six; their green rows are the ask's done-criterion.
+#     (dedup_embedding_ann_pairs is already a staple.)
+_PINNED_RESCORE: tuple[str, ...] = (
+    "func_array_set_ops",
+    "emb_knn_join_ann",
+    "emb_knn_label_vote",
+    "graph_bfs_distance",
+    "eval_ann_recall_at_k",
+    "eval_mrr_retrieval",
+    "ann_adaptive_sizing_audit",
+)
 
 
 def _scored_rounds() -> dict[str, int]:
@@ -143,6 +168,12 @@ def _derive_head(names_in_order: list[str]) -> list[str]:
     order = {n: i for i, n in enumerate(names_in_order)}
     head = [s for s in _STAPLES if s in order]
     taken = set(head)
+    # Changed-code pins outrank the never-scored FIFO: a shipped fix or
+    # algorithm swap needs its driver row THIS round (see tier-2 note).
+    head += [
+        n for n in _PINNED_RESCORE if n in order and n not in taken
+    ]
+    taken = set(head)
     # Never-scored entries queue FIFO by the round they first appeared
     # (then registration order): a fresh round's additions must not
     # push last round's still-unscored entries past the driver budget
@@ -153,10 +184,6 @@ def _derive_head(names_in_order: list[str]) -> list[str]:
         (n for n in names_in_order if n not in scored and n not in taken),
         key=lambda n: (reg.get(n, 1 << 30), order[n]),
     )
-    taken = set(head)
-    head += [
-        n for n in _PINNED_RESCORE if n in order and n not in taken
-    ]
     taken = set(head)
     stale = sorted(
         (n for n in names_in_order if n not in taken),
@@ -200,6 +227,9 @@ def _load_all() -> None:
     missing = [s for s in _STAPLES if s not in by_name]
     if missing:
         raise RuntimeError(f"_STAPLES names not registered: {missing}")
+    missing = [s for s in _PINNED_RESCORE if s not in by_name]
+    if missing:
+        raise RuntimeError(f"_PINNED_RESCORE names not registered: {missing}")
     head = _derive_head([q.name for q in CATALOG])
     head_set = set(head)
     rest = [q for q in CATALOG if q.name not in head_set]

@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from feature_store_2_spark.queries import (
     CATALOG,
     _HEAD_SIZE,
+    _PINNED_RESCORE,
     _STAPLES,
     _derive_head,
     _scored_rounds,
@@ -41,26 +42,34 @@ def test_derived_head_leads_catalog():
 
 
 def test_never_scored_entries_lead_head():
-    """Head contract (r4 verdict, amended r5): staples lead (drift
-    canaries can never be pushed past the driver budget by a large
-    batch of new entries), then every never-scored entry in
-    registration order ahead of every scored non-staple, then stalest
-    re-scores. A never-scored overflow past the budget defers exactly
-    one round (it stays never-scored and auto-promotes)."""
+    """Head contract (r4 verdict, amended r5 and r8): staples lead
+    (drift canaries can never be pushed past the driver budget by a
+    large batch of new entries), then changed-code pins (a shipped fix
+    must earn its driver row the round it ships), then every
+    never-scored entry in registration order ahead of every scored
+    non-staple non-pin, then stalest re-scores. A never-scored
+    overflow past the budget defers exactly one round (it stays
+    never-scored and auto-promotes)."""
     scored = _scored_rounds()
     names = [q.name for q in CATALOG]
-    staple_set = set(_STAPLES)
+    priority = set(_STAPLES) | set(_PINNED_RESCORE)
     never = [n for n in names if n not in scored]
     # staples are all in the head and ahead of everything else
     for i, s_name in enumerate(_STAPLES):
         assert names.index(s_name) < len(_STAPLES)
-    # never-scored entries come before every scored non-staple entry
-    first_scored_nonstaple = min(
-        (names.index(n) for n in names if n in scored and n not in staple_set),
+    # pins follow immediately after the staples
+    n_lead = len(set(_STAPLES) | set(_PINNED_RESCORE))
+    for p in _PINNED_RESCORE:
+        assert names.index(p) < n_lead, f"pin {p} not directly after staples"
+    # never-scored entries come before every scored non-priority entry
+    first_scored_rest = min(
+        (names.index(n) for n in names if n in scored and n not in priority),
         default=len(names),
     )
     for n in never:
-        assert names.index(n) < first_scored_nonstaple, (
+        if n in priority:
+            continue
+        assert names.index(n) < first_scored_rest, (
             f"never-scored {n} sorted after a scored non-staple entry"
         )
 
@@ -76,16 +85,21 @@ def test_derive_head_promotes_unscored():
     head = _derive_head(names)
     assert len(head) <= max(_HEAD_SIZE, len(head))
     scored = _scored_rounds()
-    staple_set = set(_STAPLES)
+    priority = set(_STAPLES) | set(_PINNED_RESCORE)
     reg = _registered_rounds()
     order = {n: i for i, n in enumerate(names)}
     never = sorted(
-        (n for n in names if n not in scored and n not in staple_set),
+        (n for n in names if n not in scored and n not in priority),
         key=lambda n: (reg.get(n, 1 << 30), order[n]),
     )
     n_staples = len([s_ for s_ in _STAPLES if s_ in names])
     assert head[:n_staples] == [s_ for s_ in _STAPLES if s_ in names]
-    assert head[n_staples : n_staples + len(never)] == never
+    pins = [
+        p for p in _PINNED_RESCORE if p in names and p not in set(_STAPLES)
+    ]
+    assert head[n_staples : n_staples + len(pins)] == pins
+    n_lead = n_staples + len(pins)
+    assert head[n_lead : n_lead + len(never)] == never
 
 
 def test_catalog_rounds_covers_catalog():
