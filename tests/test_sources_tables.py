@@ -64,3 +64,31 @@ def test_checker_flags_int_float_drift():
     assert any("dtype-kind drift" in p for p in problems), problems
     # identical-kind frames stay clean
     assert compare("same", spark_side, spark_side.copy()) == []
+
+
+def test_checker_canon_sorts_raw_not_rendered():
+    """canon must sort RAW values, the driver's order (r7 verdict ask
+    #2). The old stringify-before-sort false-passed a real NULL against
+    the literal string 'None' and false-failed numerically-equal
+    Decimals whose renderings differ ('3.50' vs '3.5')."""
+    from decimal import Decimal
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from check_oracle import compare
+
+    # a real NULL is NOT the string 'None' — must mismatch
+    spark_side = pd.DataFrame({"k": ["a", "b"], "v": [None, "x"]})
+    duck_side = pd.DataFrame({"k": ["a", "b"], "v": ["None", "x"]})
+    assert compare("null-vs-none", spark_side, duck_side), (
+        "NULL vs literal 'None' must not compare equal"
+    )
+
+    # numerically-equal Decimals with different renderings must PASS
+    spark_side = pd.DataFrame({"k": [1, 2], "v": [Decimal("3.50"), Decimal("4")]})
+    duck_side = pd.DataFrame({"k": [1, 2], "v": [Decimal("3.5"), Decimal("4.0")]})
+    assert compare("decimal-render", spark_side, duck_side) == []
+
+    # rows that differ only pre-sort order still canonicalize equal
+    spark_side = pd.DataFrame({"k": ["b", "a"], "v": [2, 1]})
+    duck_side = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    assert compare("order", spark_side, duck_side) == []

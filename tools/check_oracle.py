@@ -51,10 +51,14 @@ def unhashable_cols(df: pd.DataFrame) -> list[str]:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort RAW values — the driver's _canon order (it sorts before any
+    rendering; r7 verdict ask #2). The old stringify-before-sort both
+    masked crashes the driver hits (unhashable cells — now pre-flagged
+    by unhashable_cols) and could false-pass NULL vs the literal string
+    'None' / false-fail numerically-equal Decimals ('3.50' vs '3.5').
+    Nulls sort last on both frames, and compare() is already NaN-aware,
+    so no rendering is needed at all."""
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
