@@ -438,13 +438,26 @@ def srp_scored_lookup_rows() -> str:
     )
 
 
+# Vector-attach strategy bound for the scored wrappers: below this
+# corpus size the (vid, quantized-vector, norm) table (~600 B/row →
+# ~600 MB at the bound) broadcasts and the candidate pairs never
+# reshuffle carrying vectors. Above it the table is genuinely big and
+# the partitioned attach is the right plan (executors, not one JVM,
+# absorb the shuffle). Found at the 30x rehearsal: 58M candidate pairs
+# x 520 B attached vectors = two ~30 GB sort-merge shuffles that spilled
+# — 3.4x per-candidate degradation vs the linear candidate census.
+SRP_ATTACH_BROADCAST_MAX = 1_000_000
+
+
 def embedding_srp_near_pairs_scored(
     emb: DataFrame, threshold: float = SRP_SCORED_THRESHOLD, **kw
 ) -> DataFrame:
     """Adaptive-sized near-pairs: one count() (bounded driver scalar —
     the same corpus-size metadata the oracle derives via count(*)),
     then the standard operator with the derived layout."""
-    n_bits, band_bits = srp_scored_params(emb.count())
+    n = emb.count()
+    n_bits, band_bits = srp_scored_params(n)
+    kw.setdefault("broadcast_attach", n <= SRP_ATTACH_BROADCAST_MAX)
     return embedding_srp_near_pairs(
         emb, threshold=threshold, n_bits=n_bits, band_bits=band_bits, **kw
     )
@@ -452,7 +465,9 @@ def embedding_srp_near_pairs_scored(
 
 def embedding_srp_knn_join_scored(emb: DataFrame, k: int = 5, **kw) -> DataFrame:
     """Adaptive-sized corpus x corpus k-NN join (see near_pairs twin)."""
-    n_bits, band_bits = srp_scored_params(emb.count())
+    n = emb.count()
+    n_bits, band_bits = srp_scored_params(n)
+    kw.setdefault("broadcast_attach", n <= SRP_ATTACH_BROADCAST_MAX)
     return embedding_srp_knn_join(
         emb, k=k, n_bits=n_bits, band_bits=band_bits, **kw
     )
@@ -542,6 +557,7 @@ def embedding_srp_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    broadcast_attach: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs at corpus scale: SRP-LSH band buckets
     generate candidates (equi-join on (band, band_key) — never an
@@ -601,6 +617,14 @@ def embedding_srp_near_pairs(
     vb = base.select(
         F.col("vid").alias("vec2"), F.col("v").alias("vb"), F.col("n2").alias("nb")
     )
+    if broadcast_attach:
+        # Map-side vector attach: without the hint the two attach joins
+        # go sort-merge past the auto-broadcast threshold and the
+        # candidate table reshuffles TWICE carrying ~520 B of vector
+        # payload per row (measured at the 30x rehearsal: ~30 GB spills,
+        # 3.4x per-candidate degradation). The vector table is n rows;
+        # callers enable this only below SRP_ATTACH_BROADCAST_MAX.
+        va, vb = F.broadcast(va), F.broadcast(vb)
     cos = cosine_from_parts(qdot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     return (
         cand.join(va, "vec1")
@@ -618,6 +642,7 @@ def embedding_srp_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    broadcast_attach: bool = False,
 ) -> DataFrame:
     """Corpus x corpus approximate k-NN JOIN: every vector's top-k
     neighbors by exact quantized cosine, candidates restricted to SRP
@@ -672,6 +697,10 @@ def embedding_srp_knn_join(
         F.col("v").alias("vb"),
         F.col("n2").alias("nb"),
     )
+    if broadcast_attach:
+        # See embedding_srp_near_pairs: keeps the candidate pairs from
+        # reshuffling twice with vector payloads attached.
+        va, vb = F.broadcast(va), F.broadcast(vb)
     cos = cosine_from_parts(qdot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     scored = (
         cand.join(va, "query_id")

@@ -160,6 +160,42 @@ def test_embedding_srp_pairs_plan_has_no_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_srp_broadcast_attach_plan_and_value_parity(spark, sf_dir):
+    """broadcast_attach pins the vector-attach joins to
+    BroadcastHashJoin (the 30x rehearsal found the default SMJ attach
+    reshuffling 58M candidate rows TWICE with ~520 B vector payloads —
+    ~30 GB of spill; the vector table is n rows and broadcastable far
+    beyond test scale) and must not change a single output value —
+    it is a physical-strategy hint only. The scored wrappers enable it
+    below SRP_ATTACH_BROADCAST_MAX."""
+    from feature_store_2_spark.operators.dedup import (
+        SRP_ATTACH_BROADCAST_MAX,
+        embedding_srp_knn_join,
+        embedding_srp_near_pairs_scored,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    assert e.count() <= SRP_ATTACH_BROADCAST_MAX
+    plan = (
+        embedding_srp_near_pairs_scored(e)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, "vector attach fell back to SMJ"
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    smj = {
+        key(r): (r["neighbor_id"], r["cosine"])
+        for r in embedding_srp_knn_join(e, k=3, broadcast_attach=False).collect()
+    }
+    bhj = {
+        key(r): (r["neighbor_id"], r["cosine"])
+        for r in embedding_srp_knn_join(e, k=3, broadcast_attach=True).collect()
+    }
+    assert smj == bhj and smj
+
+
 def test_brute_force_topk_ranks_identical_vector_first(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

@@ -262,6 +262,12 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/storage.py", "dim"): "day dimension (bounded calendar)",
     ("queries/storage.py", "mx"): "1-row max-date split scalar",
     ("operators/curation.py", "bench"): "eval-suite shingles (MB-scale)",
+    ("operators/dedup.py", "va"): (
+        "vector-attach table (n x ~600 B quantized rows); hint applied "
+        "only when callers prove n <= SRP_ATTACH_BROADCAST_MAX (1M) — "
+        "above that the partitioned attach is the right plan"
+    ),
+    ("operators/dedup.py", "vb"): "vector-attach twin of va (same gate)",
     ("operators/curation.py", "n_docs"): "1-row scalar aggregate",
     ("operators/similarity.py", "qry"): "query workload (documented small)",
     ("operators/similarity.py", "probes"): "query workload x nprobe cells",

@@ -107,7 +107,8 @@ def _ann_adaptive(spark, sf_dir):
     # demo's 0.45 has rho ~ 0.62 where LSH barely beats brute force.
     n_bits, band_bits = srp_adaptive_params(n, threshold=0.8)
     return embedding_srp_near_pairs(
-        e, threshold=0.8, n_bits=n_bits, band_bits=band_bits
+        e, threshold=0.8, n_bits=n_bits, band_bits=band_bits,
+        broadcast_attach=n <= 1_000_000,
     )
 
 
@@ -126,7 +127,8 @@ def _bfs_adaptive(spark, sf_dir):
     n = e.count()
     n_bits, band_bits = srp_adaptive_params(n, threshold=0.8)
     knn = embedding_srp_knn_join(
-        e, k=5, n_bits=n_bits, band_bits=band_bits
+        e, k=5, n_bits=n_bits, band_bits=band_bits,
+        broadcast_attach=n <= 1_000_000,
     ).select("query_id", "neighbor_id")
     edges = (
         knn.select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"))
