@@ -398,6 +398,11 @@ def _aggregates_view(state: DataFrame, config: EngineConfig) -> DataFrame:
     return state.select(*cols)
 
 
+# txnAppId for the aggregate-state MERGE's idempotence stamp: one
+# writer app per store, version = the streaming micro-batch id.
+_MERGE_TXN_APP = "grants_merge"
+
+
 def run_grants_pipeline_merge(
     spark: SparkSession,
     events_path: str,
@@ -422,7 +427,21 @@ def run_grants_pipeline_merge(
     against the batch grants SQL) but no Python executes per event —
     per-user work is whole-stage-codegen'd and the per-batch Python
     cost is O(1) driver orchestration. A micro-batch touching k users
-    rewrites <= k aggregate shards and <= k grant shards."""
+    rewrites <= k aggregate shards and <= k grant shards.
+
+    Exactly-once under replay: foreachBatch is at-least-once, and this
+    strategy merges DELTAS (counters add), so a replayed micro-batch
+    must not re-apply. The aggstate upsert stamps ``(app, batch_id)``
+    atomically with its manifest commit (the Delta txnAppId/txnVersion
+    pattern); on replay the state merge is skipped and the
+    value-idempotent tail (grants upsert + change-diff notifications)
+    re-runs to completion — crash anywhere inside the batch converges
+    to the same final stores (tests/test_streaming.py replay test).
+    The stamp assumes batch ids are monotonic per checkpoint, Spark's
+    contract; wiping the checkpoint while keeping the stores resets
+    batch ids and (correctly, conservatively) treats the re-served
+    backlog as replayed — the same rule Delta documents for
+    ``txnVersion``."""
     aggstate_path = aggstate_path or grants_path + "_aggstate"
     prev_parts = None
     if shuffle_partitions is not None:
@@ -456,19 +475,59 @@ def run_grants_pipeline_merge(
                 r[0]
                 for r in delta.select(sharded_store.SHARD_COL).distinct().collect()
             }
-            old_state = sharded_store.read_store(sess, aggstate_path, shards=touched)
-            merged = (
-                _merge_state(
-                    None if old_state is None else old_state.drop(sharded_store.SHARD_COL),
-                    delta.drop(sharded_store.SHARD_COL),
-                    config,
+            # foreachBatch is at-least-once: a crash after the aggstate
+            # MERGE committed but before the streaming checkpoint commit
+            # replays this batch_id on restart, and re-adding the deltas
+            # would double-count (counters add). The txn stamp commits
+            # atomically WITH the state (same manifest write — Delta's
+            # txnAppId/txnVersion pattern), so a replay is detected here
+            # and the state merge skipped; the current state already
+            # contains this batch. Grants/notifications below are
+            # value-idempotent (upsert of absolute state + change-diff
+            # against the stored grants), so re-running them completes
+            # any half-applied tail of the crashed batch exactly once.
+            last_applied = sharded_store.read_txn(aggstate_path, _MERGE_TXN_APP)
+            replayed = last_applied is not None and batch_id <= last_applied
+            if replayed:
+                state = sharded_store.read_store(
+                    sess, aggstate_path, shards=touched
                 )
-                .withColumn(sharded_store.SHARD_COL, sharded_store.shard_of("user_id"))
-                .persist()
-            )
-            sharded_store.upsert(
-                merged, aggstate_path, ("user_id",), "user_id", touched=touched
-            )
+                if state is None:  # stamp without data = corrupt store
+                    raise RuntimeError(
+                        f"aggstate txn stamp >= batch {batch_id} but no "
+                        f"state for shards {sorted(touched)}"
+                    )
+                # Same row set _merge_state would have produced: exactly
+                # this batch's users (their state already holds the
+                # deltas).
+                merged = state.join(
+                    delta.select("user_id"), "user_id", "left_semi"
+                ).persist()
+            else:
+                old_state = sharded_store.read_store(
+                    sess, aggstate_path, shards=touched
+                )
+                merged = (
+                    _merge_state(
+                        None
+                        if old_state is None
+                        else old_state.drop(sharded_store.SHARD_COL),
+                        delta.drop(sharded_store.SHARD_COL),
+                        config,
+                    )
+                    .withColumn(
+                        sharded_store.SHARD_COL, sharded_store.shard_of("user_id")
+                    )
+                    .persist()
+                )
+                sharded_store.upsert(
+                    merged,
+                    aggstate_path,
+                    ("user_id",),
+                    "user_id",
+                    touched=touched,
+                    txn=(_MERGE_TXN_APP, batch_id),
+                )
             new = (
                 melt_grants(
                     grants_wide_from_aggregates(

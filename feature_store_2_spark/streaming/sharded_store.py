@@ -66,6 +66,29 @@ def _read_manifest(path: str) -> dict[int, int] | None:
         return {int(k): int(v) for k, v in json.load(f)["shards"].items()}
 
 
+def _read_manifest_doc(path: str) -> dict | None:
+    """The full current manifest document (shards + any txn stamps)."""
+    version = current_version(path)
+    if version is None:
+        return None
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def read_txn(path: str, app_id: str) -> int | None:
+    """Last transaction version committed for ``app_id``, or None.
+
+    The Delta ``txnAppId``/``txnVersion`` idempotence surface: a writer
+    that stamps ``upsert(..., txn=(app_id, version))`` can detect a
+    replayed write (same or older version) and skip re-applying it —
+    the exactly-once guard for at-least-once callers (foreachBatch)."""
+    doc = _read_manifest_doc(path)
+    if doc is None:
+        return None
+    v = doc.get("txn", {}).get(app_id)
+    return None if v is None else int(v)
+
+
 def shard_of(key_col: str, n_shards: int = N_SHARDS) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
 
@@ -164,6 +187,7 @@ def upsert(
     compact_after: int = 8,
     touched: set[int] | None = None,
     retain_versions: int = 1,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """MERGE ``new`` into the store: matching ``key_cols`` rows replaced,
     others carried forward; only shards containing incoming rows are
@@ -177,9 +201,21 @@ def upsert(
     data version they reference) readable via
     ``read_store(at_version=...)`` — Delta's retention window; 1 keeps
     only the current snapshot.
+
+    ``txn=(app_id, version)`` stamps an application transaction version
+    into the SAME manifest commit (Delta's ``txnAppId``/``txnVersion``):
+    the stamp and the data become visible atomically, so an
+    at-least-once caller (foreachBatch replaying a micro-batch after a
+    crash landed the store write but not the checkpoint commit) can
+    consult ``read_txn`` and skip the re-apply. Stamps from other apps
+    are carried forward untouched.
     """
     spark = new.sparkSession
-    manifest = _read_manifest(path) or {}
+    doc = _read_manifest_doc(path) or {}
+    txn_map: dict[str, int] = {k: int(v) for k, v in doc.get("txn", {}).items()}
+    if txn is not None:
+        txn_map[txn[0]] = int(txn[1])
+    manifest = {int(k): int(v) for k, v in doc.get("shards", {}).items()}
     # Version off _LATEST, not manifest truthiness: a delete_keys that
     # emptied every shard leaves a committed EMPTY manifest, and the next
     # upsert must continue the version chain, not restart at v0.
@@ -212,8 +248,13 @@ def upsert(
     for s in shards_to_write:
         new_manifest[s] = next_version
     os.makedirs(path, exist_ok=True)
+    manifest_doc: dict = {
+        "shards": {str(k): v for k, v in new_manifest.items()}
+    }
+    if txn_map:
+        manifest_doc["txn"] = txn_map
     with open(_manifest_path(path, next_version), "w") as f:
-        json.dump({"shards": {str(k): v for k, v in new_manifest.items()}}, f)
+        json.dump(manifest_doc, f)
     tmp = _latest_path(path) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(next_version))
@@ -299,7 +340,9 @@ def delete_keys(
     Returns the number of shards rewritten.
     """
     spark = keys.sparkSession
-    manifest = _read_manifest(path) or {}
+    doc = _read_manifest_doc(path) or {}
+    txn_map = {k: int(v) for k, v in doc.get("txn", {}).items()}
+    manifest = {int(k): int(v) for k, v in doc.get("shards", {}).items()}
     if not manifest:
         return 0
     version = current_version(path)
@@ -331,8 +374,13 @@ def delete_keys(
             new_manifest[s] = next_version
         else:
             new_manifest.pop(s, None)
+    manifest_doc: dict = {
+        "shards": {str(k): v for k, v in new_manifest.items()}
+    }
+    if txn_map:
+        manifest_doc["txn"] = txn_map
     with open(_manifest_path(path, next_version), "w") as f:
-        json.dump({"shards": {str(k): v for k, v in new_manifest.items()}}, f)
+        json.dump(manifest_doc, f)
     tmp = _latest_path(path) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(next_version))

@@ -300,3 +300,42 @@ def test_delete_everything_then_upsert_continues_version_chain(spark, tmp_path):
     )
     assert ss.current_version(path) == v_after_purge + 1
     assert snapshot(spark, path) == {(3, "message"): True}
+
+
+def test_txn_stamp_read_and_carry_forward(spark, tmp_path):
+    """The Delta txnAppId/txnVersion surface: a txn stamp commits
+    atomically with the manifest, later commits WITHOUT a stamp carry
+    it forward (upsert and delete_keys both), and apps are
+    independent."""
+    path = str(tmp_path / "store")
+    ss.upsert(
+        grants_df(spark, [(1, "message", True)]),
+        path, ("user_id", "feature"), "user_id", txn=("app_a", 0),
+    )
+    assert ss.read_txn(path, "app_a") == 0
+    assert ss.read_txn(path, "app_b") is None
+
+    ss.upsert(  # no txn: app_a's stamp must survive
+        grants_df(spark, [(2, "message", True)]),
+        path, ("user_id", "feature"), "user_id",
+    )
+    assert ss.read_txn(path, "app_a") == 0
+
+    ss.upsert(
+        grants_df(spark, [(1, "message", False)]),
+        path, ("user_id", "feature"), "user_id", txn=("app_a", 3),
+    )
+    ss.upsert(
+        grants_df(spark, [(3, "message", True)]),
+        path, ("user_id", "feature"), "user_id", txn=("app_b", 7),
+    )
+    assert ss.read_txn(path, "app_a") == 3
+    assert ss.read_txn(path, "app_b") == 7
+
+    ss.delete_keys(  # delete commits a manifest too — stamps survive
+        spark.createDataFrame([(3, "message")], "user_id long, feature string"),
+        path, ("user_id", "feature"), "user_id",
+    )
+    assert ss.read_txn(path, "app_a") == 3
+    assert ss.read_txn(path, "app_b") == 7
+    assert snapshot(spark, path) == {(1, "message"): False, (2, "message"): True}

@@ -339,3 +339,88 @@ def test_incremental_merge_pipeline_cross_batch(spark, tmp_path):
         assert len({s for s in after if after[s] != before.get(s)}) <= 1
     assert has_grant(spark, grants_dir, 1, "message") is False
     assert has_grant(spark, grants_dir, 2, "message") is True
+
+
+def test_merge_pipeline_exactly_once_on_batch_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: if a crash lands AFTER the
+    aggstate MERGE commit but BEFORE the streaming checkpoint commit,
+    restart re-runs the same batch_id — and the delta MERGE (counters
+    ADD) would double-count without the txn stamp. Simulate the exact
+    crash window by deleting the checkpoint's last commit marker (the
+    offsets file stays, so restart replays that batch), and pin that
+    state, grants, and the notification log all converge to the
+    single-apply values."""
+    import os as _os
+
+    from feature_store_2_spark.streaming import run_grants_pipeline_merge
+
+    events_dir, grants_dir, notes_dir, ckpt = _paths(tmp_path)
+    aggstate_dir = str(tmp_path / "aggstate")
+
+    def drop_commits_from(n=0):
+        """Remove commit markers for batches >= n (offsets stay): the
+        crash window where the work landed but the checkpoint commit
+        didn't. Restart then re-executes those batch ids. Checksum
+        siblings (.N.crc, ..N.<uuid>.tmp.crc) must go with their files
+        or Spark 4's checksum manager flags a concurrent writer."""
+        import re as _re
+
+        commits = _os.path.join(ckpt, "commits")
+        for f in _os.listdir(commits):
+            m = _re.match(r"\.{0,2}(\d+)", f)
+            if m and int(m.group(1)) >= n:
+                _os.remove(_os.path.join(commits, f))
+
+    def agg_state():
+        return {
+            (r.user_id, r.errors, r.spend)
+            for r in ss.snapshot(spark, aggstate_dir).collect()
+        }
+
+    # Batch 0: one error (rule errors<2 passes -> granted), one purchase.
+    _write_events(
+        spark, events_dir, [(100, 1, "error", None), (101, 1, "purchase", 5.0)]
+    )
+    run_grants_pipeline_merge(
+        spark, events_dir, grants_dir, notes_dir, ckpt, aggstate_dir, TEST_CONFIG
+    )
+    state_once = agg_state()
+    assert state_once == {(1, 1, 500)}  # errors=1, spend=500 cents
+    assert has_grant(spark, grants_dir, 1, "message") is True
+
+    # Crash window replay from batch 0: WITHOUT the txn guard this
+    # double-adds (errors=2) and silently revokes the grant.
+    drop_commits_from(0)
+    run_grants_pipeline_merge(
+        spark, events_dir, grants_dir, notes_dir, ckpt, aggstate_dir, TEST_CONFIG
+    )
+    assert agg_state() == state_once
+    assert has_grant(spark, grants_dir, 1, "message") is True
+    notes = read_notifications(spark, notes_dir)  # no phantom revoke
+    assert notes is None or notes.count() == 0
+
+    # Batch 1: second error -> genuine revoke, exactly one notification.
+    _write_events(spark, events_dir, [(102, 1, "error", None)])
+    run_grants_pipeline_merge(
+        spark, events_dir, grants_dir, notes_dir, ckpt, aggstate_dir, TEST_CONFIG
+    )
+    assert has_grant(spark, grants_dir, 1, "message") is False
+    assert read_notifications(spark, notes_dir).count() == 1
+
+    # Replay the WHOLE history after the revoke batch: the revoke must
+    # not double-append and no counter may re-add.
+    drop_commits_from(0)
+    run_grants_pipeline_merge(
+        spark, events_dir, grants_dir, notes_dir, ckpt, aggstate_dir, TEST_CONFIG
+    )
+    assert agg_state() == {(1, 2, 500)}
+    assert has_grant(spark, grants_dir, 1, "message") is False
+    assert read_notifications(spark, notes_dir).count() == 1
+
+    # And the pipeline keeps moving: new data after a replay applies.
+    _write_events(spark, events_dir, [(103, 2, "purchase", 1.0)])
+    run_grants_pipeline_merge(
+        spark, events_dir, grants_dir, notes_dir, ckpt, aggstate_dir, TEST_CONFIG
+    )
+    assert has_grant(spark, grants_dir, 2, "message") is True
+    assert agg_state() == {(1, 2, 500), (2, 0, 100)}
