@@ -103,6 +103,11 @@ HEADLINE = [
     # rounds).
     "stats_poisson_bootstrap",
     "graph_bfs_distance",
+    # Round-8 addition: the exact-Jaccard prefix join + wedge-join
+    # triangle shape, timed on its rewritten verify (AllPairs length
+    # filter + smaller-side expansion + 64-bit shingle keys — the 100x
+    # rehearsal's disk-spill find, BENCH_NOTES 8q).
+    "graph_triangle_count",
     # The reference's true workload end-to-end: streaming ingest ->
     # keyed-state aggregation -> grants upsert. ~100k events at sf0.1;
     # wall seconds here are ~events/sec throughput vs BASELINE's 2k req/s.

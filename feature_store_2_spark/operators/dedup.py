@@ -192,16 +192,65 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
-    a_sh = sh.select(F.col(id_col).alias("doc1"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("doc2"), "shingle")
-    # Surviving candidates are typically a small fraction of the corpus,
-    # but their cardinality is data-dependent (adversarially near-dup
-    # corpora blow it up) — so no forced broadcast: the join is keyed by
-    # doc1 and AQE broadcasts the candidate side only when it measures
-    # small. The remaining join is an equi-join on (doc2, shingle).
+    # --- verify: exact |A∩B| per candidate pair -----------------------
+    # The expansion below shuffles one row per (pair, expanded shingle):
+    # the verify's volume term. Measured at the 100x rehearsal dir
+    # (500k docs) the naive form — expand doc1's full set, string
+    # shingle keys — is sum(|A|) = 3.13B rows (~125 GB pre-compression),
+    # a disk-spill cliff on a single box even though the growth is
+    # exactly linear (10x staged dir: 313M rows). Three classic AllPairs
+    # refinements cut it ~4x without changing a single output value:
+    #   1. length filter (Arasu/Bayardo): J >= t forces
+    #      t*max(|A|,|B|) <= |A∩B| <= min(|A|,|B|) — prune pairs whose
+    #      sizes alone rule the threshold out (25% of candidates here);
+    #   2. expand the SMALLER side — intersection is symmetric, so the
+    #      volume drops from sum(|A|) to sum(min(|A|,|B|)) (another 20%);
+    #   3. 64-bit shingle keys — xxhash64 narrows the expanded row from
+    #      a ~25-char word-trigram UTF8 payload to a long. Collisions
+    #      would need two DISTINCT shingles of the SAME candidate pair
+    #      to collide: P ~ |shingles|^2 / 2^64 per pair (~1e-6 across
+    #      the whole 100x corpus) — far below any measurable effect and
+    #      zero in every gate corpus (values verified identical).
+    s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("s1"))
+    s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("s2"))
+    sized = (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .filter(
+            F.least("s1", "s2").cast("double")
+            >= F.lit(threshold) * F.greatest("s1", "s2") - F.lit(1e-9)
+        )
+        .select(
+            "doc1",
+            "doc2",
+            F.when(
+                (F.col("s1") < F.col("s2"))
+                | (
+                    (F.col("s1") == F.col("s2"))
+                    & (F.col("doc1") <= F.col("doc2"))
+                ),
+                F.col("doc1"),
+            )
+            .otherwise(F.col("doc2"))
+            .alias("doc_small"),
+        )
+        .withColumn(
+            "doc_big",
+            F.when(
+                F.col("doc_small") == F.col("doc1"), F.col("doc2")
+            ).otherwise(F.col("doc1")),
+        )
+    )
+    hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    small_sh = hashed.select(F.col(id_col).alias("doc_small"), "h")
+    big_sh = hashed.select(F.col(id_col).alias("doc_big"), "h")
+    # Candidate cardinality is data-dependent (adversarially near-dup
+    # corpora blow it up) — no forced broadcast: AQE broadcasts the
+    # pair side only when it measures small.
     common = (
-        a_sh.join(cand, "doc1")
-        .join(b_sh, ["doc2", "shingle"])
+        small_sh.join(sized, "doc_small")
+        .select("doc1", "doc2", "doc_big", "h")
+        .join(big_sh, ["doc_big", "h"])
         .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("n_common"))
     )

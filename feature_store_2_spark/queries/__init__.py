@@ -103,6 +103,18 @@ _STAPLES: tuple[str, ...] = (
 #     adaptive band sizing, exponent ≤0.6) changed the scored plan of
 #     all six; their green rows are the ask's done-criterion.
 #     (dedup_embedding_ann_pairs is already a staple.)
+#   * four representatives of the ngram-jaccard verify rewrite — the
+#     100x rehearsal found the prefix join's exact-verify expansion
+#     (sum(|A|) rows, string shingle keys) spilling past single-box
+#     disk; the fix (AllPairs length filter + smaller-side expansion +
+#     64-bit shingle keys, operators/dedup.py) changes the plan of 11
+#     consumers with value-identical outputs. Pinning all 11 would
+#     displace 11 never-scored entries from the head (r7 ask #4), so
+#     the four below cover the distinct consumer shapes — raw jaccard
+#     values, the connected-components reducer, the tf-cosine re-rank,
+#     and the triangle entry whose rehearsal hit the cliff; the other
+#     seven hold local 3-SF sweep + adversarial-fixture evidence and
+#     rotate in via staleness.
 _PINNED_RESCORE: tuple[str, ...] = (
     "func_array_set_ops",
     "emb_knn_join_ann",
@@ -111,6 +123,10 @@ _PINNED_RESCORE: tuple[str, ...] = (
     "eval_ann_recall_at_k",
     "eval_mrr_retrieval",
     "ann_adaptive_sizing_audit",
+    "dedup_ngram_jaccard",
+    "graph_triangle_count",
+    "dedup_cluster_components",
+    "sim_token_cosine_pairs",
 )
 
 
