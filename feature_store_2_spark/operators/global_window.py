@@ -1,0 +1,224 @@
+"""Distributed global ordered scans — the two-phase prefix pattern.
+
+A window spec with an empty (or low-cardinality) PARTITION BY forces
+Spark to sort and scan each partition's rows in ONE task — the classic
+100 TB cliff behind ``ntile() OVER (ORDER BY ...)``, global running
+sums, and sweep lines. Several catalog docstrings name the standard
+fix ("range-partitioned partials + broadcast prefix offsets"); this
+module IS that fix, as a reusable operator:
+
+  1. **Bucket** rows by a range key: collect ~``n_buckets`` approximate
+     quantile boundaries of the key to the driver (a bounded action —
+     one sketch aggregation), then assign each row a bucket id with a
+     pure column expression over those literals. Because the bucket id
+     is a FUNCTION of the key, every row with the same key lands in the
+     same bucket and the assignment is immune to the classic
+     exchange-reuse / resampling hazard of ``spark_partition_id()``
+     after ``repartitionByRange`` (two executions of the sampler can
+     disagree; literals cannot).
+  2. **Local scan**: an ordinary window partitioned by
+     ``(partition_cols..., bucket)`` — each bucket sorts and scans in
+     its own task, in parallel.
+  3. **Offsets**: per-bucket totals from one map-side-combined hash
+     agg, a running sum over the ≤``n_buckets``-row metadata table
+     (a genuinely bounded window), broadcast-joined back.
+
+The result is VALUE-IDENTICAL to the single-task window for any
+boundary set — boundaries only steer load balance, never values — so
+the DuckDB oracles of consuming entries are unchanged and the property
+test in tests/test_global_window.py pins equality against the plain
+window on adversarial key distributions (ties straddling boundaries,
+nulls, constant keys, empty frames).
+
+Null range keys sort FIRST (Spark's ASC NULLS FIRST default): the
+bucket expression sends them to bucket 0 explicitly.
+
+Scale shape: two shuffles of the fact table (hash by bucket for the
+local window; the partial-agg shuffle is metadata-sized after map-side
+combine) + one bounded driver action for boundaries, instead of one
+shuffle into ONE sort task. At 1000 executors, ``n_buckets`` tracks
+the cluster's task budget, not the data.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "range_bucket",
+    "bucketed_running_sum",
+    "bucketed_running_sums",
+    "bucketed_row_number",
+]
+
+_B = "_gw_bucket"
+
+
+def range_bucket(
+    df: DataFrame, range_key: str, n_buckets: int = 32
+) -> tuple[DataFrame, int]:
+    """Attach a range-bucket id column (``_gw_bucket``) derived from
+    driver-collected approximate quantiles of ``range_key``.
+
+    Returns ``(df_with_bucket, n_distinct_buckets)``. The boundary
+    collection is one bounded action (a quantile sketch — never the
+    rows); duplicate boundaries collapse, so heavily-tied keys simply
+    use fewer buckets (correctness is unaffected; a single giant tie
+    degrades to the single-task case, which is unavoidable for exact
+    ordered semantics and irrelevant for real numeric keys).
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qs = df.select(F.col(range_key).cast("double").alias("k")).stat.approxQuantile(
+        "k", probs, 0.01
+    )
+    # Dedup + sort: approxQuantile can repeat a boundary on tied keys.
+    bounds = sorted(set(qs))
+    bucket: Column = F.lit(0)
+    for b in bounds:
+        # NULL keys: (NULL > b) is NULL -> otherwise-0 keeps them in
+        # bucket 0, matching ASC NULLS FIRST.
+        bucket = bucket + F.when(
+            F.col(range_key).cast("double") > F.lit(b), 1
+        ).otherwise(0)
+    return df.withColumn(_B, bucket), len(bounds) + 1
+
+
+def bucketed_running_sums(
+    df: DataFrame,
+    range_key: str,
+    order_cols: Sequence[str],
+    items: Sequence[tuple[Column, str]],
+    partition_cols: Sequence[str] = (),
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``sum(value_i) OVER (PARTITION BY partition_cols ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)`` for every ``(value_i,
+    out_col_i)`` in ``items`` — one bucketing pass, one local window,
+    one offset table, however many cumulative columns.
+
+    ``range_key`` must be the leading element of ``order_cols`` (the
+    bucketing key); ``order_cols`` must be a total order within each
+    partition group so frames are deterministic (the catalog's standard
+    tie-break discipline). Sum typing follows Spark's usual window-sum
+    rules per value expression.
+    """
+    assert order_cols and order_cols[0] == range_key, (
+        "range_key must lead order_cols so buckets are order-contiguous"
+    )
+    assert items, "at least one (value, out_col) pair"
+    pc = list(partition_cols)
+    tagged, _ = range_bucket(df, range_key, n_buckets)
+    vcols = [f"_gw_v{i}" for i in range(len(items))]
+    for vc, (value, _o) in zip(vcols, items):
+        tagged = tagged.withColumn(vc, value)
+
+    local_w = (
+        W.partitionBy(*pc, _B)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = tagged
+    lcols = [f"_gw_l{i}" for i in range(len(items))]
+    for lc, vc in zip(lcols, vcols):
+        local = local.withColumn(lc, F.sum(vc).over(local_w))
+
+    # Per-(partition, bucket) totals -> running offset over the bounded
+    # bucket table. The offset window's partition count is |partition
+    # values actually present| and its per-partition row count is
+    # <= n_buckets: metadata by construction.
+    totals = tagged.groupBy(*pc, _B).agg(
+        *[F.sum(vc).alias(f"_gw_t{i}") for i, vc in enumerate(vcols)]
+    )
+    off_w = (
+        W.partitionBy(*pc)
+        .orderBy(_B)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = totals.select(
+        *pc,
+        F.col(_B),
+        *[
+            (F.sum(f"_gw_t{i}").over(off_w) - F.col(f"_gw_t{i}")).alias(
+                f"_gw_o{i}"
+            )
+            for i in range(len(items))
+        ],
+    )
+
+    joined = local.join(F.broadcast(offsets), pc + [_B])
+    for i, (_v, out_col) in enumerate(items):
+        joined = joined.withColumn(
+            out_col, F.col(lcols[i]) + F.col(f"_gw_o{i}")
+        )
+    drop = [_B] + vcols + lcols + [f"_gw_o{i}" for i in range(len(items))]
+    return joined.drop(*drop)
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    range_key: str,
+    order_cols: Sequence[str],
+    value: Column,
+    out_col: str,
+    partition_cols: Sequence[str] = (),
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Single-column convenience wrapper over ``bucketed_running_sums``."""
+    return bucketed_running_sums(
+        df,
+        range_key,
+        order_cols,
+        [(value, out_col)],
+        partition_cols=partition_cols,
+        n_buckets=n_buckets,
+    )
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    range_key: str,
+    order_cols: Sequence[str],
+    out_col: str = "rn",
+    partition_cols: Sequence[str] = (),
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY partition_cols ORDER BY
+    order_cols)`` via the two-phase prefix (a running count of 1s).
+
+    With the catalog's unique-tie-break discipline, row_number == rank
+    == dense_rank, so this is also the scale path for percent_rank
+    ((rn-1)/(n-1)) and exact ntile(k) — see ``ntile_from_row_number``.
+    """
+    out = bucketed_running_sum(
+        df,
+        range_key,
+        order_cols,
+        F.lit(1).cast("long"),
+        out_col,
+        partition_cols=partition_cols,
+        n_buckets=n_buckets,
+    )
+    return out
+
+
+def ntile_from_row_number(rn: Column, n: Column, k: int) -> Column:
+    """Exact SQL ntile(k) from a 1-based row_number and the partition
+    row count, as a closed-form column expression.
+
+    SQL semantics: the first ``n mod k`` tiles get ``n div k + 1``
+    rows, the rest ``n div k``. For ``n < k`` every row gets its own
+    tile (q = 0 branch degenerates correctly: cutoff = n covers all
+    rows with tile = rn).
+    """
+    q = (n / k).cast("long")  # floor for non-negative n
+    r = n - q * k
+    big = q + 1
+    cutoff = r * big
+    return (
+        F.when(rn <= cutoff, ((rn - 1) / big).cast("long") + 1)
+        .otherwise(r + ((rn - cutoff - 1) / F.greatest(q, F.lit(1))).cast("long") + 1)
+        .cast("long")
+    )

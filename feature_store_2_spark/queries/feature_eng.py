@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators.global_window import (
+    bucketed_running_sums,
+)
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
@@ -376,9 +379,11 @@ GROUP BY n.na, n.nb
     "int64 at 100 TB), one final division of exact operands. "
     "Scale: both ECDFs collapse onto the micro-unit VALUE "
     "HISTOGRAM first (the agg_gini_spend move) so the running sum "
-    "ranges over the bounded distinct-value domain, never the row "
-    "count; the scale path for the single ordered pass is "
-    "range-partitioned partials + broadcast prefix offsets.",
+    "ranges over the distinct-value domain, never the row count; "
+    "and the ordered CDF pass itself RUNS as range-partitioned "
+    "partials + broadcast prefix offsets "
+    "(operators/global_window.py), so even a fully-continuous "
+    "value domain (distinct ~ n) never funnels into one sort task.",
 )
 def stats_ks_test(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -394,13 +399,9 @@ def stats_ks_test(spark, sf_dir):
         F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("cb"),
     )
-    wcum = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select(
-        F.sum("ca").over(wcum).alias("cuma"),
-        F.sum("cb").over(wcum).alias("cumb"),
-    )
+    cum = bucketed_running_sums(
+        hist, "v", ["v"], [(F.col("ca"), "cuma"), (F.col("cb"), "cumb")]
+    ).select("cuma", "cumb")
     n = sides.agg(
         F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("nb"),
@@ -461,11 +462,13 @@ FROM ranked
     "NOT a per-type window over the raw fact (5 types = 5 window "
     "partitions = skew): rows collapse onto the micro-unit VALUE "
     "HISTOGRAM per type first (the agg_gini_spend move), the "
-    "cumulative count runs over that bounded distinct-value domain, "
-    "and rank = cum_prev + 1 joins back on (type, value) — a "
-    "metadata-scale broadcastable map at any corpus size. The "
-    "ORACLE keeps the textbook per-row rank() form: matching "
-    "hashes prove the histogram identity cross-engine.",
+    "cumulative count runs over that distinct-value domain (and "
+    "RUNS as range-partitioned partials + broadcast prefix offsets "
+    "— operators/global_window.py — so a fully-continuous domain "
+    "never funnels into one task per type), and rank = cum_prev + 1 "
+    "joins back on (type, value). The ORACLE keeps the textbook "
+    "per-row rank() form: matching hashes prove the histogram "
+    "identity cross-engine.",
 )
 def feat_quantile_normalize(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -473,17 +476,16 @@ def feat_quantile_normalize(spark, sf_dir):
     hist = base.groupBy("event_type", "v").agg(
         F.count("*").alias("c")
     )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bucketed_running_sums(
+        hist, "v", ["v"], [(F.col("c"), "cum")],
+        partition_cols=["event_type"],
     )
-    wn = Window.partitionBy("event_type")
-    ranks = hist.select(
+    tot = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
+    ranks = cum.join(F.broadcast(tot), "event_type").select(
         "event_type",
         "v",
-        (F.sum("c").over(wcum) - F.col("c") + 1).alias("r"),
-        F.sum("c").over(wn).alias("n"),
+        (F.col("cum") - F.col("c") + 1).alias("r"),
+        "n",
     )
     return base.join(ranks, ["event_type", "v"]).select(
         "event_id",
@@ -531,9 +533,11 @@ FROM base b JOIN t ON t.pri = b.o_orderpriority
     "integer (q*n+99) DIV 100 — no double quantiles, no division in "
     "any output), so every emitted column stays DECIMAL and both "
     "engines agree bit-for-bit, ties included. Scale shape: one "
-    "histogram agg with map-side combine, a window over DISTINCT "
-    "values per group (never the raw fact table), and a broadcast "
-    "join of the tiny per-group threshold table back onto orders.",
+    "histogram agg with map-side combine, the per-group cumulative "
+    "count as range-partitioned partials + broadcast prefix offsets "
+    "(operators/global_window.py — never one task per priority even "
+    "on a continuous value domain), and a broadcast join of the "
+    "tiny per-group threshold table back onto orders.",
 )
 def feat_winsorize_clip(spark, sf_dir):
     base = (
@@ -545,17 +549,12 @@ def feat_winsorize_clip(spark, sf_dir):
         F.col("o_orderpriority").alias("pri"),
         F.col("o_totalprice").alias("v"),
     ).agg(F.count("*").alias("c"))
-    wcum = (
-        Window.partitionBy("pri")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cumdf = bucketed_running_sums(
+        hist, "v", ["v"], [(F.col("c"), "cum")], partition_cols=["pri"]
     )
-    wn = Window.partitionBy("pri")
-    ranks = hist.select(
-        "pri",
-        "v",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wn).alias("n"),
+    tot = hist.groupBy("pri").agg(F.sum("c").alias("n"))
+    ranks = cumdf.join(F.broadcast(tot), "pri").select(
+        "pri", "v", "cum", "n"
     )
     thr = (
         ranks.withColumn("k05", F.expr("(5 * n + 99) div 100"))
@@ -644,12 +643,14 @@ WHERE g.n_cal > 0 AND cov.n_test > 0
     "guarantee coverage >= 1-alpha is pytest-pinned with a tolerance "
     "band). Exactness: residuals/quantile/coverage are pure integer "
     "arithmetic; the k-th order statistic is a rank-pick on the "
-    "residual HISTOGRAM, never a corpus sort. The global cumulative "
-    "window ranges over the bounded distinct-residual domain (the "
-    "stats_ks_test / stats_equidepth_histogram move); scale path is "
-    "range-partitioned partials + broadcast prefix offsets. "
-    "Degenerate shapes (empty calibration or test half) yield an "
-    "empty result on BOTH engines, never a crash.",
+    "residual HISTOGRAM, never a corpus sort. The cumulative pass "
+    "over the distinct-residual domain RUNS as range-partitioned "
+    "partials + broadcast prefix offsets "
+    "(operators/global_window.py — the stats_ks_test / "
+    "stats_equidepth_histogram move, no single-task sort even on a "
+    "continuous residual domain). Degenerate shapes (empty "
+    "calibration or test half) yield an empty result on BOTH "
+    "engines, never a crash.",
 )
 def eval_conformal_interval(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -678,10 +679,9 @@ def eval_conformal_interval(spark, sf_dir):
         F.abs(F.col("v") - F.col("m")).alias("r")
     )
     hist = calr.groupBy("r").agg(F.count("*").alias("cnt"))
-    wcum = Window.orderBy("r").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select("r", F.sum("cnt").over(wcum).alias("cum"))
+    cum = bucketed_running_sums(
+        hist, "r", ["r"], [(F.col("cnt"), "cum")]
+    ).select("r", "cum")
     k = g.select(
         F.least(
             F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")

@@ -25,6 +25,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators.global_window import (
+    bucketed_running_sums,
+)
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
@@ -464,9 +467,12 @@ FROM edges
     "cum*10 DIV n) — 10 rows total exploded across the whole "
     "histogram, all-integer rank arithmetic (no interpolation, so "
     "any quantile is exact cross-engine). Scale: the cumulative "
-    "runs over the bounded micro-unit value domain, never the raw "
-    "fact; past ~1e8 distinct values the domain pre-bins to fixed "
-    "width first (documented trade: edge resolution).",
+    "runs over the micro-unit value domain, never the raw fact, "
+    "and the ordered pass itself RUNS as range-partitioned "
+    "partials + broadcast prefix offsets "
+    "(operators/global_window.py) with the grand total as a 1-row "
+    "broadcast — a fully-continuous domain (distinct ~ n) never "
+    "funnels into one sort task.",
 )
 def stats_equidepth_histogram(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -476,18 +482,10 @@ def stats_equidepth_histogram(spark, sf_dir):
         .alias("v")
     )
     hist = base.groupBy("v").agg(F.count("*").alias("c"))
-    wcum = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = hist.select(
-        "v",
-        "c",
-        F.sum("c").over(wcum).alias("cm"),
-        F.sum("c").over(wall).alias("n"),
-    )
+    tot = hist.agg(F.sum("c").alias("n"))
+    cum = bucketed_running_sums(
+        hist, "v", ["v"], [(F.col("c"), "cm")]
+    ).join(F.broadcast(tot)).select("v", "c", "cm", "n")
     # sequence(a, b) DESCENDS when a > b (unlike DuckDB range's empty
     # result) — keep only histogram rows whose cumulative range covers
     # at least one bucket index.

@@ -29,6 +29,9 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators.global_window import (
+    bucketed_running_sum,
+)
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
@@ -1401,9 +1404,12 @@ FROM run GROUP BY event_type
     "streams) interval_coalesce's islands can't express. Exactness: "
     "pure BIGINT microsecond arithmetic. Scale: boundaries collapse "
     "onto DISTINCT timestamps before the window (the value-"
-    "histogram move); the per-type running sum's scale path is "
-    "range-partitioned partials + broadcast prefix offsets, the "
-    "stats_ks_test recipe.",
+    "histogram move), and the per-type running sum RUNS as "
+    "range-partitioned partials + broadcast prefix offsets "
+    "(operators/global_window.py) — ~n distinct boundary "
+    "timestamps scan in parallel bucket tasks instead of one task "
+    "per event type; value-identical by boundary-independence "
+    "(tests/test_global_window.py).",
 )
 def window_max_concurrency(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -1421,14 +1427,14 @@ def window_max_concurrency(spark, sf_dir):
         .groupBy("event_type", "t")
         .agg(F.sum("d").alias("nd"))
     )
-    wrun = (
-        W.partitionBy("event_type")
-        .orderBy("t")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    run = net.select(
-        "event_type", F.sum("nd").over(wrun).alias("conc")
-    )
+    run = bucketed_running_sum(
+        net,
+        "t",
+        ["t"],
+        F.col("nd"),
+        "conc",
+        partition_cols=["event_type"],
+    ).select("event_type", "conc")
     return run.groupBy("event_type").agg(
         F.max("conc").cast("long").alias("peak_concurrency"),
         F.count("*").cast("long").alias("n_boundaries"),

@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators.global_window import (
+    bucketed_row_number,
+    ntile_from_row_number,
+)
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.queries.relational import dec
 from feature_store_2_spark.sources.tables import load_table
@@ -121,15 +125,34 @@ SELECT c_custkey,
 FROM customer
 WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 """,
-    doc="ntile + percent_rank over a global order (single-partition window)",
+    doc="ntile + percent_rank over a global order. The SEMANTICS are "
+    "the single-partition SQL window (the oracle states them "
+    "verbatim); the PLAN is the two-phase prefix "
+    "(operators/global_window.py): range-bucket on c_acctbal, "
+    "per-bucket row_number in parallel tasks, broadcast bucket "
+    "offsets, then closed-form ntile(4) and percent_rank from the "
+    "global row number and a 1-row broadcast count — value-identical "
+    "(unique (acctbal, custkey) tie-break makes rank == row_number), "
+    "property-pinned in tests/test_global_window.py, and never a "
+    "single-task sort of the customer corpus.",
 )
 def window_ntile_percentrank(spark, sf_dir):
     cust = load_table(spark, "customer", sf_dir)
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    ranked = bucketed_row_number(
+        cust.select("c_custkey", "c_acctbal"),
+        "c_acctbal",
+        ["c_acctbal", "c_custkey"],
+        "rn",
+    )
+    tot = cust.agg(F.count("*").alias("_n"))
+    return ranked.join(F.broadcast(tot)).select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
+        ntile_from_row_number(F.col("rn"), F.col("_n"), 4).alias("quartile"),
+        F.when(F.col("_n") == 1, F.lit(0.0))
+        .otherwise(
+            (F.col("rn") - 1).cast("double") / (F.col("_n") - 1)
+        )
+        .alias("pct_rank"),
     )
 
 

@@ -93,6 +93,12 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "doc_zipf_rank_frequency",
                # 5-row threshold-spine broadcast (ROC sweep)
                "eval_roc_points",
+               # 1-row corpus-count scalar broadcast (ntile/percent_rank
+               # denominator applied to the two-phase global row number)
+               "window_ntile_percentrank",
+               # 1-row grand-total scalar broadcast (equi-depth bucket
+               # denominator applied to the two-phase cumulative)
+               "stats_equidepth_histogram",
                # 1-row max-date split scalar broadcast (IVM delta cut)
                "mv_incremental_maintenance",
                # 1-row session-count scalar broadcast (support denominator)
@@ -269,6 +275,15 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ),
     ("operators/dedup.py", "vb"): "vector-attach twin of va (same gate)",
     ("operators/curation.py", "n_docs"): "1-row scalar aggregate",
+    ("operators/global_window.py", "offsets"): (
+        "bucket-offset metadata (<= |partition values| x n_buckets rows "
+        "by construction — the two-phase prefix's bounded side)"
+    ),
+    ("queries/windows_setops.py", "tot"): "1-row scalar aggregate",
+    ("queries/feature_eng.py", "tot"): (
+        "per-group totals (|event_types| / |priorities| rows)"
+    ),
+    ("queries/stats_inference.py", "tot"): "1-row scalar aggregate",
     ("operators/similarity.py", "qry"): "query workload (documented small)",
     ("operators/similarity.py", "probes"): "query workload x nprobe cells",
     ("operators/similarity.py", "cents"): "k x dim centroid table",
