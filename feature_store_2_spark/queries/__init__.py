@@ -127,6 +127,22 @@ _PINNED_RESCORE: tuple[str, ...] = (
     "graph_triangle_count",
     "dedup_cluster_components",
     "sim_token_cosine_pairs",
+    # round-8d: the two-phase global-window promotion
+    # (operators/global_window.py) changed the scored PLAN of eight
+    # entries, value-identically (boundary-independence property).
+    # window_max_concurrency already sits in the never-scored FIFO's
+    # head slice; the other seven queue here so the changed plans earn
+    # driver rows this round — two are previously-green entries whose
+    # scored form changed (ntile, rfm), five are the converted CDF
+    # entries (never-scored r7 registrations whose code just changed).
+    # Cost: seven unchanged never-scored entries defer to r9.
+    "window_ntile_percentrank",
+    "rfm_segmentation",
+    "stats_ks_test",
+    "feat_quantile_normalize",
+    "feat_winsorize_clip",
+    "stats_equidepth_histogram",
+    "eval_conformal_interval",
 )
 
 

@@ -30,7 +30,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.operators.global_window import (
+    bucketed_row_number,
     bucketed_running_sum,
+    ntile_from_row_number,
 )
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
@@ -321,10 +323,12 @@ FROM m
     "carries a user_id tie-break so the quintile assignment is "
     "total. Scale: one shuffle to per-user purchase aggregates; the "
     "anchor date is a 1-row broadcast scalar (no collect); the "
-    "ntile windows are PARTITIONED by cohort week, so no global "
-    "sort exists and each window task handles one week's signups — "
-    "the partition count grows with corpus age, keeping per-task "
-    "size roughly constant as history accumulates.",
+    "three quintile ranks are PARTITIONED by cohort week AND "
+    "range-bucketed within each cohort (two-phase prefix, "
+    "operators/global_window.py) with closed-form exact ntile from "
+    "the global row number — so neither corpus age (many cohorts) "
+    "nor a viral signup week (one huge cohort) ever serializes "
+    "into a single sort task.",
 )
 def rfm_segmentation(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -352,23 +356,42 @@ def rfm_segmentation(spark, sf_dir):
             "monetary",
         )
     )
-    wc = W.partitionBy("cohort_week")
-    return m.select(
+    # Three per-cohort global ranks via the two-phase prefix
+    # (operators/global_window.py): a viral signup week is a skew bomb
+    # for a plain per-cohort window (one sort task per cohort); the
+    # range-bucketed row_number keeps even a 100M-user cohort parallel.
+    # DESC orderings range-bucket on the negated key (double cast is
+    # monotone, so bucket order respects the exact decimal order; ties
+    # share a bucket by construction).
+    m2 = m.withColumn("negf", -F.col("freq")).withColumn(
+        "negm", -F.col("monetary")
+    )
+    r1 = bucketed_row_number(
+        m2, "recency_days", ["recency_days", "user_id"], "rn_r",
+        partition_cols=["cohort_week"],
+    )
+    r2 = bucketed_row_number(
+        r1, "negf", ["negf", "user_id"], "rn_f",
+        partition_cols=["cohort_week"],
+    )
+    r3 = bucketed_row_number(
+        r2, "negm", ["negm", "user_id"], "rn_m",
+        partition_cols=["cohort_week"],
+    )
+    tot = m.groupBy("cohort_week").agg(F.count("*").alias("_n"))
+    return r3.join(F.broadcast(tot), "cohort_week").select(
         "user_id",
         "cohort_week",
         F.col("recency_days").cast("int").alias("recency_days"),
         F.col("freq").cast("int").alias("frequency"),
         F.col("monetary").cast("double").alias("monetary"),
-        F.ntile(5)
-        .over(wc.orderBy(F.col("recency_days").asc(), F.col("user_id")))
+        ntile_from_row_number(F.col("rn_r"), F.col("_n"), 5)
         .cast("int")
         .alias("r_score"),
-        F.ntile(5)
-        .over(wc.orderBy(F.col("freq").desc(), F.col("user_id")))
+        ntile_from_row_number(F.col("rn_f"), F.col("_n"), 5)
         .cast("int")
         .alias("f_score"),
-        F.ntile(5)
-        .over(wc.orderBy(F.col("monetary").desc(), F.col("user_id")))
+        ntile_from_row_number(F.col("rn_m"), F.col("_n"), 5)
         .cast("int")
         .alias("m_score"),
     )

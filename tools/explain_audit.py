@@ -311,7 +311,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/timeseries.py", "n"): "fixed dim (25 rows)",
     ("queries/timeseries.py", "r"): "fixed dim (5 rows)",
     ("queries/timeseries.py", "anchor"): "1-row max-date scalar aggregate",
-    ("queries/timeseries.py", "tot"): "per-type totals (|event_types| rows)",
+    ("queries/timeseries.py", "tot"): (
+        "per-type / per-cohort-week totals (domain- or calendar-bounded)"
+    ),
     ("queries/feature_eng.py", "glob"): "1-row global-mean scalar aggregate",
     ("queries/feature_eng.py", "cat"): "category table (|event_types| rows)",
     ("queries/feature_eng.py", "n"): "1-row sample-sizes scalar aggregate",

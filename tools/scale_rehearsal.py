@@ -89,6 +89,23 @@ ENTRIES = (
     "attribution_shapley",
     "eval_silhouette_simplified",
     "eval_conformal_interval",
+    # round-8d: the two-phase global-window promotion — the catalog
+    # form (range-bucketed prefix) vs the pre-promotion single-task
+    # window twin, plus the converted CDF entries (their cumulative
+    # pass now range-buckets over a distinct-value domain ~ n)
+    "window_max_concurrency",
+    "window_max_concurrency_singletask",
+    "stats_ks_test",
+    "feat_quantile_normalize",
+    "stats_equidepth_histogram",
+    # round-8d: the inverted-index similarity family was the last
+    # measured-census gap — candidate volume rides posting-list
+    # lengths (sum over tokens of df^2 for the pair forms), the
+    # classic hidden quadratic if a hot token slips the df cap
+    "sim_token_cosine_pairs",
+    "dedup_winnowing_containment",
+    "search_bm25_topk",
+    "dedup_fuzzy_levenshtein",
 )
 
 
@@ -160,9 +177,43 @@ def _bfs_adaptive(spark, sf_dir):
     )
 
 
+def _concurrency_singletask(spark, sf_dir):
+    """window_max_concurrency's PRE-round-8d form: the per-type running
+    sum as a plain window (5 event types = 5 sort tasks, each scanning
+    ~n/5 distinct boundary timestamps sequentially) — kept here as the
+    before/after twin for the two-phase global-window promotion."""
+    from pyspark.sql import Window as W
+
+    from feature_store_2_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    t = F.unix_micros("ts")
+    starts = ev.select("event_type", t.alias("t"), F.lit(1).alias("d"))
+    ends = ev.select(
+        "event_type", (t + F.lit(1_800_000_000)).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(F.sum("d").alias("nd"))
+    )
+    wrun = (
+        W.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = net.select("event_type", F.sum("nd").over(wrun).alias("conc"))
+    return run.groupBy("event_type").agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        F.count("*").cast("long").alias("n_boundaries"),
+    )
+
+
 EXTRA_FNS = {
     "dedup_embedding_ann_adaptive": _ann_adaptive,
     "graph_bfs_adaptive": _bfs_adaptive,
+    "window_max_concurrency_singletask": _concurrency_singletask,
 }
 
 
