@@ -138,6 +138,7 @@ _PINNED_RESCORE: tuple[str, ...] = (
     # Cost: seven unchanged never-scored entries defer to r9.
     "window_ntile_percentrank",
     "rfm_segmentation",
+    "pareto_revenue_concentration",
     "stats_ks_test",
     "feat_quantile_normalize",
     "feat_winsorize_clip",

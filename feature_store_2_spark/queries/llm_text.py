@@ -804,9 +804,30 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
         "doc_id",
         F.rpad(F.lower(F.substring("text", 1, 60)), 60, " ").alias("fkey"),
     )
+    # ns = the key's non-space character count. Every unit edit
+    # (insert / delete / substitute) changes it by at most 1, so
+    # levenshtein(f1, f2) >= |ns1 - ns2| and |ns1 - ns2| <= 4 is a
+    # NECESSARY condition — a sound pre-levenshtein count filter
+    # (Ed-Join's frequency-filter idea, Xiao et al. VLDB'08). It is
+    # what defuses the pigeonhole's hot-bucket hazard: every doc
+    # shorter than 48 chars shares the all-space 5th segment, one
+    # bucket that grows linearly with the corpus and would emit
+    # C(m,2) candidate pairs — 604k of the 1.6M total at the 100x
+    # rehearsal point (census in BENCH_NOTES 8u) — while the band
+    # keeps only near-equal-length members of it.
+    k = k.withColumn(
+        "ns", F.length(F.replace(F.col("fkey"), F.lit(" "), F.lit("")))
+    )
+    # Candidates as BARE ID PAIRS, fkeys attached after the distinct.
+    # With fkeys inside the candidate stream, Catalyst pushes the
+    # levenshtein filter BELOW the distinct (its inputs are group-by
+    # keys), evaluating the O(60^2) DP on every pre-distinct duplicate
+    # join row, and the two 60-char keys ride the join+distinct
+    # shuffles; measured at the 100x dir this was 46 s against 2.9 s
+    # for the same 1.5M distances computed once each (BENCH_NOTES 8u).
     keyed = k.select(
         "doc_id",
-        "fkey",
+        "ns",
         F.explode(
             F.array(
                 *[
@@ -818,26 +839,41 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
                 ]
             )
         ).alias("s"),
-    ).select("doc_id", "fkey", F.col("s.seg_i").alias("seg_i"), F.col("s.seg").alias("seg"))
+    ).select(
+        "doc_id", "ns",
+        F.col("s.seg_i").alias("seg_i"), F.col("s.seg").alias("seg"),
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.seg_i") == F.col("b.seg_i"))
             & (F.col("a.seg") == F.col("b.seg"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.ns") - F.col("b.ns")) <= F.lit(4)
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
-            F.col("a.fkey").alias("f1"),
-            F.col("b.fkey").alias("f2"),
         )
         .distinct()
     )
-    dist = F.levenshtein("f1", "f2")
-    return cand.filter(dist <= 4).select(
-        "doc1", "doc2", dist.cast("long").alias("edit_distance")
+    f1 = k.select(F.col("doc_id").alias("doc1"), F.col("fkey").alias("f1"))
+    f2 = k.select(F.col("doc_id").alias("doc2"), F.col("fkey").alias("f2"))
+    # Threshold form: banded DP, O(threshold * len) per pair instead of
+    # O(len^2), returns -1 past the bound — values for kept pairs are
+    # identical to the full distance (measured 5x cheaper).
+    dist = F.levenshtein("f1", "f2", 4)
+    return (
+        pairs.join(f1, "doc1")
+        .join(f2, "doc2")
+        .withColumn("ed", dist)
+        .filter((F.col("ed") >= 0) & (F.col("ed") <= 4))
+        .select(
+            "doc1", "doc2", F.col("ed").cast("long").alias("edit_distance")
+        )
     )
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from feature_store_2_spark.operators.global_window import (
     bucketed_row_number,
     bucketed_running_sum,
+    bucketed_running_sums,
     ntile_from_row_number,
 )
 from feature_store_2_spark.queries import register
@@ -229,13 +230,11 @@ GROUP BY r_name
     "dims broadcast (customer->nation->region), then the running "
     "window partitions by region over the customer-grain aggregate. "
     "Tie-break (crev DESC, custkey) makes the rank total. The "
-    "low-cardinality region partition funnels one region's "
-    "customers through one window task; the 100-TB refinement is "
-    "two-phase: bucket customers by floor(log2(revenue)) (one hash "
-    "agg), run the prefix over the ~60-bucket metadata table to "
-    "locate the boundary bucket, then sort ONLY that bucket's "
-    "customers to refine the exact count — same answer, per-task "
-    "input shrinks from the region to one revenue band.",
+    "running sum and rank RUN as the two-phase prefix "
+    "(operators/global_window.py, range-bucketed on -revenue per "
+    "region) with per-region totals broadcast — a region's "
+    "customers never funnel through one window task; value-"
+    "identical by boundary-independence.",
 )
 def pareto_revenue_concentration(spark, sf_dir):
     o = load_table(spark, "orders", sf_dir)
@@ -251,15 +250,20 @@ def pareto_revenue_concentration(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("crev")
         )
     )
-    wall = W.partitionBy("r_name")
-    word = wall.orderBy(F.col("crev").desc(), F.col("c_custkey"))
-    ranked = rev.select(
-        "r_name",
-        F.sum("crev").over(word.rowsBetween(W.unboundedPreceding, 0))
-        .alias("running"),
-        F.sum("crev").over(wall).alias("total"),
-        F.row_number().over(word).alias("rk"),
-        F.count("*").over(wall).alias("n_customers"),
+    rev2 = rev.withColumn("negcrev", -F.col("crev"))
+    cum = bucketed_running_sums(
+        rev2,
+        "negcrev",
+        ["negcrev", "c_custkey"],
+        [(F.col("crev"), "running"), (F.lit(1).cast("long"), "rk")],
+        partition_cols=["r_name"],
+    )
+    tots = rev.groupBy("r_name").agg(
+        F.sum("crev").alias("total"),
+        F.count("*").alias("n_customers"),
+    )
+    ranked = cum.join(F.broadcast(tots), "r_name").select(
+        "r_name", "running", "total", "rk", "n_customers"
     )
     hit = F.when(
         F.col("running") * 5 >= F.col("total") * 4, F.col("rk")

@@ -314,6 +314,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/timeseries.py", "tot"): (
         "per-type / per-cohort-week totals (domain- or calendar-bounded)"
     ),
+    ("queries/timeseries.py", "tots"): "per-region totals (5 rows)",
     ("queries/feature_eng.py", "glob"): "1-row global-mean scalar aggregate",
     ("queries/feature_eng.py", "cat"): "category table (|event_types| rows)",
     ("queries/feature_eng.py", "n"): "1-row sample-sizes scalar aggregate",
