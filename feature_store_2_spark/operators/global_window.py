@@ -58,7 +58,10 @@ _B = "_gw_bucket"
 
 
 def range_bucket(
-    df: DataFrame, range_key: str, n_buckets: int = 32
+    df: DataFrame,
+    range_key: str,
+    n_buckets: int = 32,
+    nulls: str = "first",
 ) -> tuple[DataFrame, int]:
     """Attach a range-bucket id column (``_gw_bucket``) derived from
     driver-collected approximate quantiles of ``range_key``.
@@ -70,13 +73,18 @@ def range_bucket(
     degrades to the single-task case, which is unavoidable for exact
     ordered semantics and irrelevant for real numeric keys).
 
-    The input is localCheckpoint-ed (eager) first: the quantile action,
-    the local-window branch, and the offsets branch all read the SAME
-    materialization instead of recomputing the upstream plan three
+    The input is persist()-ed first: the quantile action (which runs
+    at PLAN-CONSTRUCTION time — callers of a bucketed_* consumer
+    trigger one bounded Spark job just building the DataFrame)
+    materializes it, and the local-window and offsets branches then
+    read the SAME cache instead of recomputing the upstream plan three
     times (measured 2.5x overhead on window_max_concurrency at 30x
-    before this; the checkpoint also hard-pins branch consistency).
+    before this). persist — not localCheckpoint — so lineage survives
+    executor loss at cluster scale; blocks are evictable (worst case a
+    branch recomputes) and live until the session drops them, the same
+    trade the prefix-join operator's persist already makes.
     """
-    df = df.localCheckpoint(eager=True)
+    df = df.persist()
     probs = [i / n_buckets for i in range(1, n_buckets)]
     qs = df.select(F.col(range_key).cast("double").alias("k")).stat.approxQuantile(
         "k", probs, 0.01
@@ -90,7 +98,14 @@ def range_bucket(
         bucket = bucket + F.when(
             F.col(range_key).cast("double") > F.lit(b), 1
         ).otherwise(0)
-    return df.withColumn(_B, bucket), len(bounds) + 1
+    if nulls == "last":
+        # ASC NULLS LAST (the DESC-via-negation case: DESC defaults to
+        # NULLS LAST in both engines): nulls get their own final
+        # bucket, past every boundary bucket.
+        bucket = F.when(
+            F.col(range_key).isNull(), F.lit(len(bounds) + 1)
+        ).otherwise(bucket)
+    return df.withColumn(_B, bucket), len(bounds) + 2
 
 
 def bucketed_running_sums(
@@ -100,6 +115,7 @@ def bucketed_running_sums(
     items: Sequence[tuple[Column, str]],
     partition_cols: Sequence[str] = (),
     n_buckets: int = 32,
+    nulls: str = "first",
 ) -> DataFrame:
     """``sum(value_i) OVER (PARTITION BY partition_cols ORDER BY
     order_cols ROWS UNBOUNDED PRECEDING)`` for every ``(value_i,
@@ -116,15 +132,21 @@ def bucketed_running_sums(
         "range_key must lead order_cols so buckets are order-contiguous"
     )
     assert items, "at least one (value, out_col) pair"
+    assert nulls in ("first", "last")
     pc = list(partition_cols)
-    tagged, _ = range_bucket(df, range_key, n_buckets)
+    tagged, _ = range_bucket(df, range_key, n_buckets, nulls=nulls)
     vcols = [f"_gw_v{i}" for i in range(len(items))]
     for vc, (value, _o) in zip(vcols, items):
         tagged = tagged.withColumn(vc, value)
 
+    lead = (
+        F.col(order_cols[0]).asc_nulls_last()
+        if nulls == "last"
+        else F.col(order_cols[0]).asc()
+    )
     local_w = (
         W.partitionBy(*pc, _B)
-        .orderBy(*order_cols)
+        .orderBy(lead, *order_cols[1:])
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = tagged
@@ -155,7 +177,20 @@ def bucketed_running_sums(
         ],
     )
 
-    joined = local.join(F.broadcast(offsets), pc + [_B])
+    # Null-safe equi-join on the partition columns: Window.partitionBy
+    # treats NULL as an ordinary group, so the offsets attach must too
+    # (a plain equi-join would silently DROP every null-group row).
+    off = F.broadcast(offsets.select(
+        *[F.col(c).alias(f"_gw_p_{c}") for c in pc], _B, *[
+            F.col(f"_gw_o{i}") for i in range(len(items))
+        ]
+    ).withColumnRenamed(_B, "_gw_pb"))
+    cond = F.col(_B) == F.col("_gw_pb")
+    for c in pc:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_gw_p_{c}"))
+    joined = local.join(off, cond).drop(
+        "_gw_pb", *[f"_gw_p_{c}" for c in pc]
+    )
     for i, (_v, out_col) in enumerate(items):
         joined = joined.withColumn(
             out_col, F.col(lcols[i]) + F.col(f"_gw_o{i}")
@@ -191,6 +226,7 @@ def bucketed_row_number(
     out_col: str = "rn",
     partition_cols: Sequence[str] = (),
     n_buckets: int = 32,
+    nulls: str = "first",
 ) -> DataFrame:
     """``row_number() OVER (PARTITION BY partition_cols ORDER BY
     order_cols)`` via the two-phase prefix (a running count of 1s).
@@ -199,16 +235,15 @@ def bucketed_row_number(
     == dense_rank, so this is also the scale path for percent_rank
     ((rn-1)/(n-1)) and exact ntile(k) — see ``ntile_from_row_number``.
     """
-    out = bucketed_running_sum(
+    return bucketed_running_sums(
         df,
         range_key,
         order_cols,
-        F.lit(1).cast("long"),
-        out_col,
+        [(F.lit(1).cast("long"), out_col)],
         partition_cols=partition_cols,
         n_buckets=n_buckets,
+        nulls=nulls,
     )
-    return out
 
 
 def ntile_from_row_number(rn: Column, n: Column, k: int) -> Column:

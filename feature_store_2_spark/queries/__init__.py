@@ -131,11 +131,12 @@ _PINNED_RESCORE: tuple[str, ...] = (
     # (operators/global_window.py) changed the scored PLAN of eight
     # entries, value-identically (boundary-independence property).
     # window_max_concurrency already sits in the never-scored FIFO's
-    # head slice; the other seven queue here so the changed plans earn
-    # driver rows this round — two are previously-green entries whose
-    # scored form changed (ntile, rfm), five are the converted CDF
-    # entries (never-scored r7 registrations whose code just changed).
-    # Cost: seven unchanged never-scored entries defer to r9.
+    # head slice; the other eight queue here so the changed plans earn
+    # driver rows this round — three are previously-green entries
+    # whose scored form changed (ntile, rfm, pareto), five are the
+    # converted CDF entries (never-scored r7 registrations whose code
+    # just changed). Cost: eight unchanged never-scored entries defer
+    # to r9.
     "window_ntile_percentrank",
     "rfm_segmentation",
     "pareto_revenue_concentration",

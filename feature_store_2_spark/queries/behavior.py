@@ -783,7 +783,7 @@ ranked AS (
            CAST(row_number() OVER (PARTITION BY event_type
                                    ORDER BY cents, user_id) AS BIGINT) AS i,
            CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-    FROM spend)
+    FROM spend WHERE cents IS NOT NULL)
 SELECT event_type, min(n) AS n_users,
        CAST(sum(cents) AS BIGINT) AS total_micro,
        CAST(2 * sum(i * cents) - (min(n) + 1) * sum(cents) AS BIGINT)
@@ -812,6 +812,11 @@ def agg_gini_spend(spark, sf_dir):
         .cast("long")
         .alias("cents")
     )
+    # A user whose every value is NULL has cents = sum(NULL) = NULL —
+    # no defined spend, so no place on the Lorenz curve (and the two
+    # engines rank NULLs on opposite ends: Spark ASC puts them first,
+    # DuckDB last — the round-8 NULL-value fixture find).
+    spend = spend.filter(F.col("cents").isNotNull())
     hist = spend.groupBy("event_type", "cents").agg(
         F.count("*").cast("long").alias("c")
     )

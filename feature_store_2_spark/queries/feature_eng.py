@@ -338,9 +338,11 @@ def feat_hashing_trick(spark, sf_dir):
 
 _KS_ORACLE = f"""
 WITH a AS (
-    SELECT {_V_MICRO_SQL} AS v FROM events WHERE event_type = 'click'
+    SELECT {_V_MICRO_SQL} AS v FROM events
+    WHERE event_type = 'click' AND value IS NOT NULL
 ), b AS (
-    SELECT {_V_MICRO_SQL} AS v FROM events WHERE event_type = 'purchase'
+    SELECT {_V_MICRO_SQL} AS v FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
 ), hist AS (
     SELECT v,
            sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
@@ -387,8 +389,12 @@ GROUP BY n.na, n.nb
 )
 def stats_ks_test(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
+    # NULL values carry no position in an ECDF — excluded on BOTH
+    # engines (they also rank on opposite ends: Spark ASC first,
+    # DuckDB last — the round-8 NULL-value fixture find).
     sides = ev.filter(
         F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
     ).select(
         _v_micro().alias("v"),
         F.when(F.col("event_type") == "click", "a")
@@ -437,6 +443,7 @@ def stats_ks_test(spark, sf_dir):
 _QNORM_ORACLE = f"""
 WITH base AS (
     SELECT event_id, event_type, {_V_MICRO_SQL} AS v FROM events
+    WHERE value IS NOT NULL
 ), ranked AS (
     SELECT event_id, event_type,
            rank() OVER (PARTITION BY event_type ORDER BY v) AS r,
@@ -472,6 +479,9 @@ FROM ranked
 )
 def feat_quantile_normalize(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
+    # NULL values have no rank (engines disagree on NULL placement;
+    # round-8 NULL-value fixture find) — excluded on BOTH engines.
+    ev = ev.filter(F.col("value").isNotNull())
     base = ev.select("event_id", "event_type", _v_micro().alias("v"))
     hist = base.groupBy("event_type", "v").agg(
         F.count("*").alias("c")
@@ -593,7 +603,7 @@ _CONFORMAL_ORACLE = f"""
 WITH base AS (
     SELECT event_id, event_type, {_V_MICRO_SQL} AS v,
            {_CONF_PAR_SQL} AS par
-    FROM events),
+    FROM events WHERE value IS NOT NULL),
 cal AS (SELECT * FROM base WHERE par = 0),
 tst AS (SELECT * FROM base WHERE par = 1),
 mu AS (SELECT event_type,
@@ -661,7 +671,7 @@ def eval_conformal_interval(spark, sf_dir):
         ).cast("long")
         - 1
     ) % 2
-    base = ev.select(
+    base = ev.filter(F.col("value").isNotNull()).select(
         "event_id", "event_type", _v_micro().alias("v"), par.alias("par")
     )
     cal = base.filter(F.col("par") == 0)

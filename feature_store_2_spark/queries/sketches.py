@@ -758,11 +758,11 @@ WITH RECURSIVE base AS (
     SELECT user_id, event_id,
            row_number() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) AS rn,
-           CAST(CASE WHEN event_type = 'purchase'
+           CAST(COALESCE(CASE WHEN event_type = 'purchase'
                      THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
                      WHEN event_type = 'click'
                      THEN -CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
-                     ELSE 0 END AS BIGINT) AS delta
+                     ELSE 0 END, 0) AS BIGINT) AS delta
     FROM events),
 rec AS (
     SELECT user_id, event_id, rn,
@@ -813,6 +813,11 @@ def window_clamped_running_balance(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("delta"),
     )
+    # A purchase/click whose value is NULL moves the ledger by 0 — an
+    # unknown amount can't move a balance, and NULL would crash the
+    # int() in the Arrow scan (round-8 NULL-value fixture find); the
+    # oracle COALESCEs identically.
+    ev = ev.withColumn("delta", F.coalesce(F.col("delta"), F.lit(0)))
 
     cap = _CLAMP_CAP_MICRO
 

@@ -431,7 +431,7 @@ def stats_survival_km(spark, sf_dir):
 _EDH_ORACLE = """
 WITH base AS (
     SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ), hist AS (
     SELECT v, count(*) AS c FROM base GROUP BY v
 ), cum AS (
@@ -476,6 +476,9 @@ FROM edges
 )
 def stats_equidepth_histogram(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
+    # NULL values have no place in a value histogram (round-8
+    # NULL-value fixture find) — excluded on BOTH engines.
+    ev = ev.filter(F.col("value").isNotNull())
     base = ev.select(
         (F.col("value").cast("decimal(18,6)") * 1_000_000)
         .cast("long")

@@ -674,11 +674,23 @@ def mv_incremental_maintenance(spark, sf_dir):
             )
             .cast("long")
             .alias("n_events"),
-            (
-                F.coalesce(F.col("bs"), F.lit(0).cast("decimal(18,6)"))
-                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,6)"))
+            # Sum-merge with SQL NULL semantics: a NULL side can mean
+            # "group absent in this half" (contributes 0) OR "present
+            # but every value NULL" (sum is NULL). Only when BOTH
+            # halves are NULL is the true group sum NULL — coalescing
+            # unconditionally turned an all-NULL-value group into 0.0
+            # where the oracle's direct sum() gives NULL (round-8
+            # NULL-value fixture find).
+            F.when(
+                F.col("bs").isNull() & F.col("ds").isNull(),
+                F.lit(None).cast("double"),
             )
-            .cast("double")
+            .otherwise(
+                (
+                    F.coalesce(F.col("bs"), F.lit(0).cast("decimal(18,6)"))
+                    + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,6)"))
+                ).cast("double")
+            )
             .alias("total_value"),
         )
     )

@@ -257,6 +257,9 @@ def pareto_revenue_concentration(spark, sf_dir):
         ["negcrev", "c_custkey"],
         [(F.col("crev"), "running"), (F.lit(1).cast("long"), "rk")],
         partition_cols=["r_name"],
+        # DESC-via-negation: DESC is NULLS LAST in both engines (crev
+        # is non-null here, but the ordering contract stays explicit).
+        nulls="last",
     )
     tots = rev.groupBy("r_name").agg(
         F.sum("crev").alias("total"),
@@ -366,7 +369,10 @@ def rfm_segmentation(spark, sf_dir):
     # range-bucketed row_number keeps even a 100M-user cohort parallel.
     # DESC orderings range-bucket on the negated key (double cast is
     # monotone, so bucket order respects the exact decimal order; ties
-    # share a bucket by construction).
+    # share a bucket by construction) with nulls='last' — DESC defaults
+    # to NULLS LAST in both engines, and -NULL is NULL, which plain ASC
+    # would flip to first (a user whose purchases all carry NULL value
+    # has monetary = sum(value) = NULL; review finding, round 8).
     m2 = m.withColumn("negf", -F.col("freq")).withColumn(
         "negm", -F.col("monetary")
     )
@@ -376,11 +382,11 @@ def rfm_segmentation(spark, sf_dir):
     )
     r2 = bucketed_row_number(
         r1, "negf", ["negf", "user_id"], "rn_f",
-        partition_cols=["cohort_week"],
+        partition_cols=["cohort_week"], nulls="last",
     )
     r3 = bucketed_row_number(
         r2, "negm", ["negm", "user_id"], "rn_m",
-        partition_cols=["cohort_week"],
+        partition_cols=["cohort_week"], nulls="last",
     )
     tot = m.groupBy("cohort_week").agg(F.count("*").alias("_n"))
     return r3.join(F.broadcast(tot), "cohort_week").select(

@@ -125,6 +125,15 @@ def _crafted_events() -> pd.DataFrame:
     add(dt.datetime(2024, 12, 31, 11), 9, "view")  # week of 2024-12-30
     add(dt.datetime(2025, 1, 2, 9), 9, "click")    # same ISO week 1 '25
     add(dt.datetime(2025, 1, 8, 9), 9, "view")     # week of 2025-01-06
+    # user 10: a purchaser whose EVERY purchase carries a NULL value —
+    # monetary = sum(value) aggregates to NULL, the DESC-NULLS-LAST
+    # ordering hazard (rfm m_score: plain negation would flip NULL to
+    # first; the round-8 review finding, fixed via nulls='last' in the
+    # two-phase prefix). Also exercises NULL-value paths in every
+    # value-summing entry on this fixture.
+    add(_ts(9, 10), 10, "signup")
+    add(_ts(9, 11), 10, "purchase", None)
+    add(_ts(10, 11), 10, "purchase", None)
     return pd.DataFrame(
         rows,
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],

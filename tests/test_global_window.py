@@ -110,6 +110,54 @@ def test_partitioned_running_sum_matches(spark):
     assert g == e
 
 
+def test_null_partition_keys_are_kept(spark):
+    """Window.partitionBy treats NULL as an ordinary group; the offsets
+    attach must too (a plain equi-join silently drops the null group —
+    the round-8 review's top finding)."""
+    rows = [
+        Row(g="a", k=1, uid=0, v=10),
+        Row(g=None, k=2, uid=1, v=20),
+        Row(g=None, k=5, uid=2, v=5),
+        Row(g="b", k=3, uid=3, v=7),
+    ]
+    df = spark.createDataFrame(rows)
+    got = bucketed_running_sum(
+        df, "k", ["k", "uid"], F.col("v").cast("long"), "run",
+        partition_cols=["g"], n_buckets=4,
+    )
+    w = (
+        W.partitionBy("g").orderBy("k", "uid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = df.select(
+        "uid", F.sum(F.col("v").cast("long")).over(w).alias("run")
+    )
+    g = {r["uid"]: r["run"] for r in got.select("uid", "run").collect()}
+    e = {r["uid"]: r["run"] for r in want.collect()}
+    assert g == e
+    assert len(g) == 4
+
+
+def test_nulls_last_matches_desc_window(spark):
+    """nulls='last' == ordering by the negated key DESC NULLS LAST —
+    the DESC-via-negation case (rfm m_score on a NULL-sum monetary)."""
+    rng = random.Random(5)
+    rows = [
+        Row(k=(None if i % 7 == 0 else rng.randint(-50, 50)), uid=i,
+            v=rng.randint(1, 9))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k int, uid int, v int")
+    got = bucketed_row_number(
+        df, "k", ["k", "uid"], "rn", n_buckets=6, nulls="last"
+    )
+    w = W.orderBy(F.col("k").asc_nulls_last(), "uid")
+    want = df.select("uid", F.row_number().over(w).alias("rn"))
+    g = {r["uid"]: r["rn"] for r in got.select("uid", "rn").collect()}
+    e = {r["uid"]: r["rn"] for r in want.collect()}
+    assert g == e
+
+
 def test_ntile_closed_form_all_small_n(spark):
     """ntile_from_row_number == F.ntile for every (n, k) with n<=12,
     k in {1..6} — the boundary arithmetic (n<k, n=k, n%k edges) has no

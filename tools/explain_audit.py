@@ -167,22 +167,25 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
 # doc_zipf_rank_frequency: rank + cumulative windows run over the
 # FIFTY TakeOrdered top-term rows (metadata by construction — its
 # docstring says so), never the vocabulary or the corpus.
-GLOBAL_WINDOW_OK = {"window_ntile_percentrank", "doc_pack_token_budget",
+GLOBAL_WINDOW_OK = {"doc_pack_token_budget",
+                    # window_ntile_percentrank / stats_ks_test /
+                    # stats_equidepth_histogram / eval_conformal_interval
+                    # were exempt here until round 8d; they now run on
+                    # the two-phase prefix (operators/global_window.py)
+                    # and are CHECKED again — global_windows() skips
+                    # only the operator's own <= n_buckets-row offsets
+                    # window (recognized by its _gw_ columns), so a
+                    # revert to a corpus-grain single-task window flags.
                     "doc_tokenize_to_ids", "doc_vocab_growth_curve",
-                    "stats_ks_test", "eval_auc_exact",
+                    "eval_auc_exact",
                     "stats_chi2_independence",
-                    "stats_equidepth_histogram",
                     "stats_mann_kendall",
                     "doc_zipf_rank_frequency",
                     # month-grain lag: the window input is one row per
                     # calendar month (bounded metadata scale by
                     # construction), not the fact table
                     "stats_revenue_price_volume_decomp",
-                    # conformal q_hat rank-pick: cumulative over the
-                    # RESIDUAL HISTOGRAM (bounded distinct-value
-                    # domain, the stats_ks_test move — its docstring
-                    # says so), never the calibration row count
-                    "eval_conformal_interval"}
+                    }
 
 _WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
 
@@ -204,12 +207,21 @@ def _walk(node):
 
 
 def global_windows(df) -> int:
-    """Count physical Window operators with an empty partition spec."""
+    """Count physical Window operators with an empty partition spec.
+
+    The two-phase prefix operator's OFFSETS window (a running sum over
+    its <= n_buckets-row bucket-totals table) is unpartitioned by
+    design and metadata-bounded by construction; it is recognized by
+    the operator's internal `_gw_` column names and skipped, so
+    consumers of operators/global_window.py are checked like everyone
+    else and a revert to a corpus-grain global window still flags."""
     plan = df._jdf.queryExecution().executedPlan()
     n = 0
     for node in _walk(plan):
         if node.getClass().getSimpleName() in _WINDOW_EXECS:
             if node.partitionSpec().isEmpty():
+                if "_gw_" in node.simpleString(10000):
+                    continue
                 n += 1
     return n
 
