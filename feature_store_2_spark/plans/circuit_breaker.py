@@ -57,9 +57,19 @@ def windowed_denial_rate(
             key,
             "total_users",
             "denied_users",
-            (F.col("denied_users") / F.col("total_users")).alias("denial_rate"),
-            (F.col("denied_users") / F.col("total_users") > F.lit(threshold)).alias(
-                "circuit_open"
-            ),
+            # nullif: countDistinct ignores NULL user_ids, so a window
+            # of purely-anonymous traffic has total_users = 0 — under
+            # ANSI mode the bare division CRASHES the breaker (round-8
+            # anonymous-events fixture find); NULL rate / NULL verdict
+            # matches the oracle's division-by-zero semantics.
+            (
+                F.col("denied_users")
+                / F.nullif(F.col("total_users"), F.lit(0))
+            ).alias("denial_rate"),
+            (
+                F.col("denied_users")
+                / F.nullif(F.col("total_users"), F.lit(0))
+                > F.lit(threshold)
+            ).alias("circuit_open"),
         )
     )

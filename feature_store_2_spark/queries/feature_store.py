@@ -121,9 +121,9 @@ SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
        count(DISTINCT user_id) AS total_users,
        count(DISTINCT CASE WHEN value < 2.0 THEN user_id END) AS denied_users,
        count(DISTINCT CASE WHEN value < 2.0 THEN user_id END)
-           / count(DISTINCT user_id) AS denial_rate,
+           / nullif(count(DISTINCT user_id), 0) AS denial_rate,
        count(DISTINCT CASE WHEN value < 2.0 THEN user_id END)
-           / count(DISTINCT user_id) > 0.05 AS circuit_open
+           / nullif(count(DISTINCT user_id), 0) > 0.05 AS circuit_open
 FROM events
 GROUP BY 1, 2
 """,

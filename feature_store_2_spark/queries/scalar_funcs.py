@@ -502,9 +502,14 @@ FROM events
 )
 def func_xml_events(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
+    # coalesce: a NULL user_id would NULL the whole concat (and so the
+    # whole XML document) — render an empty <u/> instead, which
+    # from_xml parses back to NULL; the roundtrip checks are null-safe
+    # so an anonymous event roundtrips TRUE like every other row
+    # (round-8 anonymous-events fixture find).
     parsed = F.expr(
-        "from_xml(concat('<e><u>', CAST(user_id AS STRING), '</u><t>', "
-        "event_type, '</t></e>'), 'u BIGINT, t STRING')"
+        "from_xml(concat('<e><u>', coalesce(CAST(user_id AS STRING), ''), "
+        "'</u><t>', event_type, '</t></e>'), 'u BIGINT, t STRING')"
     )
     out = ev.select("event_id", "user_id", "event_type", parsed.alias("x"))
     return out.select(
@@ -512,8 +517,8 @@ def func_xml_events(spark, sf_dir):
         F.col("x.u").alias("u"),
         F.col("x.t").alias("t"),
         (
-            (F.col("x.u") == F.col("user_id"))
-            & (F.col("x.t") == F.col("event_type"))
+            F.col("x.u").eqNullSafe(F.col("user_id"))
+            & F.col("x.t").eqNullSafe(F.col("event_type"))
         ).alias("roundtrip_ok"),
     )
 

@@ -771,7 +771,8 @@ rec AS (
     UNION ALL
     SELECT b.user_id, b.event_id, b.rn,
            GREATEST(LEAST(r.bal + b.delta, {_CLAMP_CAP_MICRO}), 0)
-    FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    FROM rec r JOIN base b ON b.user_id IS NOT DISTINCT FROM r.user_id
+                          AND b.rn = r.rn + 1
 )
 SELECT user_id, event_id, CAST(bal AS BIGINT) AS balance_micro
 FROM rec

@@ -498,8 +498,16 @@ def scan_python_datasource(spark, sf_dir):
             t = pq.read_table(
                 self._path, columns=["event_id", "user_id", "event_type", "value"]
             )
-            # n is a power of two: user_id % n == user_id & (n-1)
-            mask = pc.equal(pc.bit_wise_and(t.column("user_id"), n - 1), pid)
+            # n is a power of two: user_id % n == user_id & (n-1).
+            # fill_null: a NULL user_id gives a NULL mask, which
+            # filter() DROPS in every partition — anonymous events
+            # would silently vanish from the scan (round-8
+            # anonymous-events fixture find); route them to
+            # partition 0 instead.
+            mask = pc.equal(
+                pc.fill_null(pc.bit_wise_and(t.column("user_id"), n - 1), 0),
+                pid,
+            )
             for rb in t.filter(mask).to_batches():
                 yield rb
 

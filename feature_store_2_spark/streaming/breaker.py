@@ -55,9 +55,19 @@ def streaming_denial_rate(
             key,
             "total_users",
             "denied_users",
-            (F.col("denied_users") / F.col("total_users")).alias("denial_rate"),
-            (F.col("denied_users") / F.col("total_users") > F.lit(threshold)).alias(
-                "circuit_open"
-            ),
+            # nullif: approx_count_distinct ignores NULL user_ids, so a
+            # window of purely-anonymous traffic has total_users = 0 —
+            # the bare ANSI division would kill the STREAM (round-8
+            # anonymous-events fixture find, the batch twin's guard
+            # mirrored).
+            (
+                F.col("denied_users")
+                / F.nullif(F.col("total_users"), F.lit(0))
+            ).alias("denial_rate"),
+            (
+                F.col("denied_users")
+                / F.nullif(F.col("total_users"), F.lit(0))
+                > F.lit(threshold)
+            ).alias("circuit_open"),
         )
     )

@@ -134,10 +134,22 @@ def _crafted_events() -> pd.DataFrame:
     add(_ts(9, 10), 10, "signup")
     add(_ts(9, 11), 10, "purchase", None)
     add(_ts(10, 11), 10, "purchase", None)
-    return pd.DataFrame(
+    # anonymous events: user_id NULL (the un-identified-session shape
+    # every real event stream contains). NULL is one GROUP in both
+    # engines' GROUP BY but matches nothing in either engine's joins —
+    # entries mixing the two idioms diverge unless they pick one.
+    add(_ts(11, 9), None, "view")
+    add(_ts(11, 9, 30), None, "click", 3.25)
+    df = pd.DataFrame(
         rows,
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
+    # Keep user_id BIGINT in parquet: a bare None promotes the pandas
+    # column to float64, which writes a DOUBLE column and breaks every
+    # reader's schema (the anonymous rows must change VALUES, never
+    # the schema).
+    df["user_id"] = df["user_id"].astype("Int64")
+    return df
 
 
 @pytest.fixture(scope="module")
@@ -158,7 +170,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
             ser = df[c]
-            df[c] = ser.str.replace(r"^(\d{4}-\d{2}-\d{2}) 00:00:00$", r"\1", regex=True)
+            ser = ser.str.replace(r"^(\d{4}-\d{2}-\d{2}) 00:00:00$", r"\1", regex=True)
+            # Null carriers: Spark toPandas renders an object-column
+            # NULL as None ('None'), DuckDB fetchdf as float nan
+            # ('nan') or pandas NA ('<NA>') — same value, three
+            # spellings.
+            df[c] = ser.replace({"nan": "None", "<NA>": "None"})
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(
         drop=True
     )
@@ -582,7 +599,11 @@ def test_multibatch_out_of_order_beyond_watermark_drops(spark, crafted_dir):
     # user set is a strict subset (only users whose events ride in the
     # slices processed before the watermark overtook the rest remain).
     assert len(got) < len(full), (len(got), len(full))
-    assert set(got["user_id"]) < set(full["user_id"])
+    # fillna: the anonymous (NULL) user arrives as float nan, and
+    # nan != nan breaks set containment even when both sides carry it.
+    assert (
+        set(got["user_id"].fillna(-1)) < set(full["user_id"].fillna(-1))
+    )
 
 
 # ---------------------------------------------------------------------------
