@@ -28,7 +28,10 @@ from pyspark.sql import types as T
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("byte_len", T.LongType(), False),
+        # byte_len/width/height/n_frames nullable: a NULL payload (the
+        # missing-asset row every real corpus has) decodes to NULL
+        # metadata, matching strlen(NULL) on the oracle side.
+        T.StructField("byte_len", T.LongType(), True),
         T.StructField("width", T.LongType(), True),
         T.StructField("height", T.LongType(), True),
         T.StructField("n_frames", T.LongType(), True),
@@ -64,14 +67,23 @@ def decode_features(docs_with_payload: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = pdf["payload"].map(_fake_decode_features)
+            # None-safe: a missing asset (NULL payload) yields NULL
+            # metadata instead of crashing len()/decode (round-8
+            # NULL-text fixture find).
+            feats = pdf["payload"].map(
+                lambda p: _fake_decode_features(p)
+                if p is not None
+                else (None, None, None)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": pdf["payload"].map(len),
-                    "width": feats.map(lambda t: t[0]),
-                    "height": feats.map(lambda t: t[1]),
-                    "n_frames": feats.map(lambda t: t[2]),
+                    "byte_len": pdf["payload"]
+                    .map(lambda p: len(p) if p is not None else None)
+                    .astype("Int64"),
+                    "width": feats.map(lambda t: t[0]).astype("Int64"),
+                    "height": feats.map(lambda t: t[1]).astype("Int64"),
+                    "n_frames": feats.map(lambda t: t[2]).astype("Int64"),
                 }
             )
 
@@ -85,8 +97,8 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("width", T.LongType(), True),
         T.StructField("height", T.LongType(), True),
-        T.StructField("out_width", T.LongType(), False),
-        T.StructField("out_height", T.LongType(), False),
+        T.StructField("out_width", T.LongType(), True),
+        T.StructField("out_height", T.LongType(), True),
         T.StructField("scale_num", T.LongType(), True),
     ]
 )
@@ -101,8 +113,10 @@ def resize_features(decoded: DataFrame, max_side: int = 256) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            w = pdf["width"].clip(lower=1)
-            h = pdf["height"].clip(lower=1)
+            # nullable Int64: NULL dims (missing asset) propagate NA
+            # through the integer plan instead of poisoning floats.
+            w = pdf["width"].astype("Int64").clip(lower=1)
+            h = pdf["height"].astype("Int64").clip(lower=1)
             side = pd.concat([w, h], axis=1).max(axis=1)
             # fixed-point scale: max_side/side in 1/1024ths, floor
             num = (max_side * 1024) // side
@@ -169,6 +183,10 @@ def audio_window_energy(docs_with_payload: DataFrame, window: int = 64) -> DataF
                 "doc_id": [], "win_idx": [], "n_samples": [], "peak": [], "energy": []
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # missing asset -> no windows (the oracle's
+                    # generate_series over strlen(NULL) is empty too)
+                    continue
                 samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 for w in range(0, len(samples), window):
                     chunk = samples[w : w + window]

@@ -55,16 +55,24 @@ def mm_decode_features(spark, sf_dir):
     "mm_resize_plan",
     """
 WITH decoded AS (
+    -- strlen(NULL) + 0: DuckDB's greatest() SKIPS NULL arguments
+    -- (greatest(NULL, 1) = 1), which would invent dims for a missing
+    -- asset; adding the NULL-propagating term keeps a NULL payload's
+    -- plan NULL like the Spark side's nullable Int64 math.
     SELECT doc_id,
-           CAST(greatest(strlen(text) % 640, 1) AS BIGINT) AS w,
-           CAST(greatest((strlen(text) * 7) % 480, 1) AS BIGINT) AS h,
+           CAST(greatest(strlen(text) % 640, 1) + strlen(text) * 0
+                AS BIGINT) AS w,
+           CAST(greatest((strlen(text) * 7) % 480, 1) + strlen(text) * 0
+                AS BIGINT) AS h,
            CAST(strlen(text) % 640 AS BIGINT) AS width,
            CAST((strlen(text) * 7) % 480 AS BIGINT) AS height
     FROM documents
 ),
 scaled AS (
     SELECT doc_id, width, height, w, h,
-           least(256 * 1024 // greatest(w, h), 1024) AS scale_num
+           -- + w * 0: least() also SKIPS NULLs (least(NULL, 1024) =
+           -- 1024) — keep a NULL plan NULL.
+           least(256 * 1024 // greatest(w, h), 1024) + w * 0 AS scale_num
     FROM decoded
 )
 SELECT doc_id, width, height,

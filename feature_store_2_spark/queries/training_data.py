@@ -407,19 +407,30 @@ def udf_model_score_linear(spark, sf_dir):
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
-            T.StructField("n_words", T.LongType(), False),
-            T.StructField("n_uniq", T.LongType(), False),
-            T.StructField("score", T.LongType(), False),
-            T.StructField("keep", T.BooleanType(), False),
+            # nullable: a NULL text scores NULL (len(string_split(
+            # NULL)) is NULL on the oracle side too) — round-8
+            # NULL-text fixture find.
+            T.StructField("n_words", T.LongType(), True),
+            T.StructField("n_uniq", T.LongType(), True),
+            T.StructField("score", T.LongType(), True),
+            T.StructField("keep", T.BooleanType(), True),
         ]
     )
 
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             words = pdf["text"].str.split(" ")
-            n_words = words.map(len)
-            n_uniq = words.map(lambda w: len(set(w)))
-            score = 50 * n_words + 30 * n_uniq - 2 * pdf["n_chars"]
+            # nullable Int64 end-to-end: a NULL text yields NULL
+            # features/score/keep (pandas NA comparison stays NA,
+            # where float NaN > 2000 would silently give False).
+            n_words = words.map(
+                lambda w: len(w) if isinstance(w, list) else None
+            ).astype("Int64")
+            n_uniq = words.map(
+                lambda w: len(set(w)) if isinstance(w, list) else None
+            ).astype("Int64")
+            n_chars = pdf["n_chars"].astype("Int64")
+            score = 50 * n_words + 30 * n_uniq - 2 * n_chars
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -463,8 +474,11 @@ def udf_map_in_arrow_tokens(spark, sf_dir):
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
-            T.StructField("n_tokens", T.LongType(), False),
-            T.StructField("n_chars_m", T.LongType(), False),
+            # nullable: pyarrow kernels PROPAGATE a NULL text to NULL
+            # counts; the non-null schema made the Arrow exchange
+            # throw 'Value at index is null' (round-8 fixture find).
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("n_chars_m", T.LongType(), True),
         ]
     )
 
@@ -514,6 +528,10 @@ def udtf_word_positions(spark, sf_dir):
     @udtf(returnType="word: string, pos: int", useArrow=True)
     class _WordPositions:
         def eval(self, text: str):
+            if text is None:
+                # NULL text expands to zero rows — the oracle's
+                # LATERAL unnest over string_split(NULL) is empty too.
+                return
             for i, w in enumerate(text.split(" ")):
                 yield (w, i)
 
@@ -594,8 +612,10 @@ def doc_tokenize_to_ids(spark, sf_dir):
     "doc_export_jsonl",
     """
 SELECT doc_id,
-       '{"doc_id":' || doc_id || ',"lang":"' || lang || '","text":"'
-           || text || '"}' AS record
+       '{"doc_id":' || doc_id
+           || ',"lang":' || coalesce('"' || lang || '"', 'null')
+           || ',"text":' || coalesce('"' || text || '"', 'null')
+           || '}' AS record
 FROM documents
 """,
     doc="JSONL export — the wire format training corpora actually ship "
@@ -611,9 +631,16 @@ FROM documents
 )
 def doc_export_jsonl(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
+    # ignoreNullFields=false: a NULL lang/text renders as a JSON null
+    # literal (the oracle coalesces to 'null' identically) instead of
+    # silently DROPPING the field — field-set stability is part of the
+    # export contract (round-8 NULL-text fixture find).
     return d.select(
         "doc_id",
-        F.to_json(F.struct("doc_id", "lang", "text")).alias("record"),
+        F.to_json(
+            F.struct("doc_id", "lang", "text"),
+            {"ignoreNullFields": "false"},
+        ).alias("record"),
     )
 
 

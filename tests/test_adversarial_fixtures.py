@@ -251,11 +251,20 @@ def _crafted_documents() -> pd.DataFrame:
         (13, "pack my box with five dozen liquor jugs", "fr", "src6"),
         (14, "sphinx of black quartz judge my vow", "fr", "src7"),
         (15, "how vexingly quick daft zebras jump", "de", "src7"),
+        # NULL text (a failed fetch / dropped payload — every real
+        # corpus has them) and NULL lang/source metadata: NULL is one
+        # GROUP in both engines' GROUP BY but matches nothing in
+        # either engine's joins, and string functions propagate it.
+        (16, None, "en", "src8"),
+        (17, "null metadata doc body words here", None, None),
     ]
     return pd.DataFrame(
-        [(i, t, lg, sc, len(t)) for i, t, lg, sc in rows],
+        [
+            (i, t, lg, sc, len(t) if t is not None else None)
+            for i, t, lg, sc in rows
+        ],
         columns=["doc_id", "text", "lang", "source", "n_chars"],
-    )
+    ).astype({"n_chars": "Int64"})
 
 
 @pytest.fixture(scope="module")
