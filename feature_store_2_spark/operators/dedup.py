@@ -636,6 +636,8 @@ def embedding_srp_near_pairs(
     oracle computes the identical candidate set and the entry is
     hash-gateable despite being approximate."""
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    # NULL embeddings do not exist for vector math (operator contract).
+    emb = emb.filter(F.col(vec_col).isNotNull())
     base = (
         # Spread the (compact, few-file) corpus BEFORE the 32-projection
         # signature expression — same explicit-count repartition as the
@@ -725,6 +727,8 @@ def embedding_srp_knn_join(
     from pyspark.sql import Window as W
 
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    # NULL embeddings do not exist for vector math (operator contract).
+    emb = emb.filter(F.col(vec_col).isNotNull())
     base = (
         emb.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("v"))

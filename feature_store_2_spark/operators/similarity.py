@@ -29,8 +29,11 @@ from feature_store_2_spark.functions.vector import (
 
 
 def _prepare(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # Engine contract: a NULL embedding (failed encoder call) does not
+    # exist for vector math — filtered at every operator boundary
+    # (round-8 NULL-embedding fixture class).
     q = quantize(F.col(vec_col))
-    return emb.select(
+    return emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), q.alias("qvec"), qnorm2(q).alias("qn2")
     )
 
@@ -480,7 +483,11 @@ def embedding_covariance_partials(emb: DataFrame, vec_col: str = "embedding") ->
     import numpy as np
     import pandas as pd
 
-    qdf = emb.select(quantize(F.col(vec_col)).alias("qv"))
+    # NULL embeddings contribute nothing to the moments (and an
+    # inhomogeneous batch crashes np.array) — operator-boundary filter.
+    qdf = emb.filter(F.col(vec_col).isNotNull()).select(
+        quantize(F.col(vec_col)).alias("qv")
+    )
 
     def acc(batches):
         for pdf in batches:

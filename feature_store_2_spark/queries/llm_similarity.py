@@ -39,7 +39,8 @@ _SRP_LOOKUP_ROWS = srp_scored_lookup_rows()
 @register(
     "emb_norms",
     f"""
-WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 n AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2_q
       FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id)
 SELECT vec_id, n2_q, sqrt(CAST(n2_q AS DOUBLE)) / {QUANT_SCALE} AS l2_norm
@@ -48,7 +49,10 @@ FROM n
     doc="exact quantized squared-norm + L2 norm per embedding",
 )
 def emb_norms(spark, sf_dir):
-    e = load_table(spark, "embeddings", sf_dir)
+    # NULL embeddings do not exist for vector math (operator contract).
+    e = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull()
+    )
     q = quantize("embedding")
     n2 = qnorm2(q)
     return e.select(
@@ -61,7 +65,8 @@ def emb_norms(spark, sf_dir):
 @register(
     "emb_cosine_topk",
     f"""
-WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
           FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
 pairs AS (
@@ -110,7 +115,8 @@ def _lsh_topk_oracle(n_bits: int = 4, k: int = 5) -> str:
     )
     return f"""
 WITH r(h, i, s) AS (VALUES {rows}),
-qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 bits AS (
     SELECT q.vec_id, r.h,
            CASE WHEN sum(r.s * q.v[r.i]) >= 0 THEN 1 ELSE 0 END AS bit
@@ -165,7 +171,8 @@ def emb_lsh_ann_topk(spark, sf_dir):
 
 
 _IVF_ORACLE = f"""
-WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -244,7 +251,8 @@ prm AS (
     WHERE lk.bb = (SELECT min(k.k)
                    FROM generate_series(4, {SRP_SCORED_MAX_BAND_BITS}) k(k)
                    WHERE (CAST(1 AS BIGINT) << k.k) * {SRP_SCORED_OCCUPANCY}
-                         >= (SELECT count(*) FROM embeddings))),
+                         >= (SELECT count(*) FROM embeddings
+                             WHERE embedding IS NOT NULL))),
 r AS (
     SELECT h.h AS h, i.i AS i,
            CASE WHEN ascii(substr(md5(CAST(h.h AS VARCHAR) || ':' ||
@@ -254,7 +262,8 @@ r AS (
     CROSS JOIN generate_series(1, {DIM}) i(i)
     WHERE h.h < (SELECT n_bits FROM prm)
 ),
-qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 bits AS (
     SELECT q.vec_id, r.h,
            CASE WHEN sum(r.s * q.v[r.i]) >= 0 THEN 1 ELSE 0 END AS bit
@@ -371,7 +380,8 @@ def emb_knn_join_ann(spark, sf_dir):
 @register(
     "emb_centroid_assign",
     f"""
-WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -398,7 +408,8 @@ def emb_centroid_assign(spark, sf_dir):
 
 
 _SILH_ORACLE = f"""
-WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -561,7 +572,8 @@ def _kmeans_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS) -> str:
     division exact), BIGINT squared-L2, (dist2, label) ties."""
     parts = [
         f"""
-WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 sel AS (
     SELECT vec_id,
            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
@@ -634,7 +646,8 @@ _MRL_PRE, _MRL_M, _MRL_K = 16, 20, 5
 @register(
     "emb_matryoshka_rerank",
     f"""
-WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
           FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
 tnorms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
@@ -745,6 +758,10 @@ def emb_knn_label_vote(spark, sf_dir):
             ),
             "neighbor_id",
         )
+        # unlabeled neighbors don't vote: a NULL cand_label group
+        # would win ties on opposite ends cross-engine (Spark orders
+        # NULL first, DuckDB last — round-8 NULL-embedding fixture).
+        .filter(F.col("cand_label").isNotNull())
         .groupBy("query_id", "cand_label")
         .agg(F.count("*").alias("votes"))
     )
@@ -770,7 +787,8 @@ _PQ_K = 16       # codebook entries per subspace
 # the first-{k} codebook, and exact subspace L2 distances (vec x
 # subspace x codebook entry). One source of truth — both oracles embed
 # this block, mirroring the Spark-side _pq_subspace_dists kernel.
-_PQ_DIST_CTE = f"""WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+_PQ_DIST_CTE = f"""WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 cb AS (SELECT vec_id AS j, v FROM qv WHERE vec_id < {_PQ_K}),
 d AS (
     SELECT q.vec_id, s.s, c.j,
@@ -840,7 +858,10 @@ def _pq_subspace_dists(spark, sf_dir):
     from feature_store_2_spark.sources.tables import load_table as _lt
 
     e = _lt(spark, "embeddings", sf_dir)
-    qv = e.select("vec_id", quantize("embedding").alias("v"))
+    # NULL embeddings do not exist for vector math (operator contract).
+    qv = e.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", quantize("embedding").alias("v")
+    )
     subs = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
     sub_slice = F.slice(F.col("v"), F.col("s") * _PQ_SUB + 1, _PQ_SUB)
     qsub = qv.select("vec_id", "v", subs).withColumn("sv", sub_slice).drop("v")
@@ -977,7 +998,8 @@ def emb_ivf_cell_stats(spark, sf_dir):
 _OUTLIER_N = 20
 
 _OUTLIER_ORACLE = f"""
-WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -1044,7 +1066,8 @@ def emb_outlier_centroid_distance(spark, sf_dir):
 _HN_NQ = 20
 
 _HARD_NEG_ORACLE = f"""
-WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 pair AS (
     SELECT q.vec_id AS query_id, q.label AS q_label,
            c.vec_id AS hard_neg_id, c.label AS neg_label,
@@ -1324,7 +1347,8 @@ def graph_modularity_labels(spark, sf_dir):
 _QS2 = float(QUANT_SCALE) * float(QUANT_SCALE)
 
 _COV_ORACLE = f"""
-WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
 x AS (SELECT vec_id, i.i AS i, v[i.i] AS q
       FROM qv CROSS JOIN generate_series(1, {DIM}) i(i)),
 s1 AS (SELECT i, CAST(sum(q) AS DECIMAL(38,0)) AS s FROM x GROUP BY i),
@@ -1332,7 +1356,8 @@ s2 AS (SELECT a.i AS ai, b.i AS bi,
               CAST(sum(a.q * b.q) AS DECIMAL(38,0)) AS s2
        FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
        GROUP BY 1, 2),
-n AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n FROM embeddings)
+n AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n FROM embeddings
+     WHERE embedding IS NOT NULL)
 SELECT CAST(s2.ai - 1 AS INT) AS i, CAST(s2.bi - 1 AS INT) AS j,
        CAST(CAST(n.n * s2.s2 - sa.s * sb.s AS VARCHAR) AS DOUBLE)
            / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)) / {_QS2!r} AS cov
@@ -1392,7 +1417,8 @@ def emb_covariance_matrix(spark, sf_dir):
 
 _ANN_RECALL_ORACLE = f"""
 WITH knn AS ({_KNN_JOIN_ORACLE}),
-qv2 AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+qv2 AS (SELECT vec_id, {_QV} AS v FROM embeddings
+        WHERE embedding IS NOT NULL),
 nn2 AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
         FROM qv2 CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
 p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1544,7 +1570,8 @@ _ANN_SIZING_ORACLE = f"""
 WITH {_SRP_ADAPTIVE_CTES},
 bucket AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS c
            FROM bands GROUP BY 1, 2)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        WHERE embedding IS NOT NULL) AS n_vectors,
        CAST((SELECT band_bits FROM prm) AS BIGINT) AS band_bits,
        CAST((SELECT n_bits FROM prm) // (SELECT band_bits FROM prm)
             AS BIGINT) AS n_bands,
@@ -1579,7 +1606,12 @@ def ann_adaptive_sizing_audit(spark, sf_dir):
     )
     from feature_store_2_spark.functions.vector import quantize
 
-    e = load_table(spark, "embeddings", sf_dir)
+    # NULL embeddings do not exist for vector math (operator contract):
+    # excluded from the corpus count n (the sizing input) AND the
+    # signature pass, mirroring the oracle's IS NOT NULL.
+    e = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull()
+    )
     n = e.count()
     n_bits, band_bits = srp_scored_params(n)
     n_parts = spark.sparkContext.defaultParallelism

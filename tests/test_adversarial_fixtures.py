@@ -335,6 +335,11 @@ def _crafted_embeddings() -> pd.DataFrame:
     ]
     for i in range(7, 40):
         rows.append((i, vec(lambda j, i=i: ((i * 31 + j * 17) % 13) - 6), i % 10))
+    # NULL embedding (a failed encoder call) and NULL label (unlabeled
+    # corpus member): NULL is a group in GROUP BY, vanishes from joins,
+    # and must not crash quantize/dot kernels.
+    rows.append((40, None, 3))
+    rows.append((41, vec(lambda j: 1 if j < 2 else 0), None))
     return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
 
 
