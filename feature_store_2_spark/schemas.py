@@ -72,15 +72,27 @@ def parse_events(events: DataFrame) -> DataFrame:
             F.col("event_type") == name, branch
         )
     out = events.withColumn("props_parsed", parsed)
+    # coalesce to FALSE: with a NULL event_type, `isin` is NULL and a
+    # three-valued is_valid would be dropped by BOTH filter(v) and
+    # filter(~v) — the row VANISHES from valid and quarantine alike
+    # (round-8 ingest-contract find). Event-time and event-name are
+    # CONTRACT-REQUIRED (the reference 400s an event Pydantic can't
+    # parse; time analytics are undefined without ts) — rows missing
+    # either land in quarantine, never in the tables and never in the
+    # void.
     return out.withColumn(
         "is_valid",
-        known
-        & (
-            F.col("props").isNull()
-            | (
-                F.col("props_parsed").isNotNull()
-                & F.col("props_parsed._corrupt").isNull()
-            )
+        F.coalesce(
+            F.col("ts").isNotNull()
+            & known
+            & (
+                F.col("props").isNull()
+                | (
+                    F.col("props_parsed").isNotNull()
+                    & F.col("props_parsed._corrupt").isNull()
+                )
+            ),
+            F.lit(False),
         ),
     ).withColumn("props_parsed", F.col("props_parsed").dropFields("_corrupt"))
 

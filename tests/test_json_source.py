@@ -70,3 +70,25 @@ def test_streaming_json_source_matches_batch(spark, tmp_path):
     assert m["is_active"] is False
     assert m["num_input_rows"] == 5  # 4 json lines + 1 corrupt line
     assert m["source_description"].startswith("FileStreamSource")
+
+
+def test_quarantine_never_voids_rows(spark):
+    """NULL event_type / NULL ts rows must land IN QUARANTINE: with a
+    three-valued is_valid both filter(v) and filter(~v) drop the row —
+    it vanishes from valid AND quarantine (round-8 ingest-contract
+    find, fixed with coalesce-to-FALSE + the ts-required check)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 12), 7, "purchase", 9.5, '{"k": 3}'),
+        (2, dt.datetime(2026, 1, 1, 12), 7, None, 1.0, '{"k": 1}'),  # no name
+        (3, None, 8, "click", 2.0, '{"k": 2}'),                      # no ts
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    valid, quarantined = split_quarantine(df)
+    assert sorted(r.event_id for r in valid.collect()) == [1]
+    assert sorted(r.event_id for r in quarantined.collect()) == [2, 3]
+    assert valid.count() + quarantined.count() == df.count()
