@@ -138,10 +138,23 @@ def main() -> int:
     con = duck_connection(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        # Memory hygiene for the 331-entry single-process sweep: query
+        # fns persist() intermediates by design (the session owns
+        # them), so drop the accumulated cache between entries, and
+        # rotate the DuckDB connection every few entries so its buffer
+        # pool never competes with a full Spark JVM late in the sweep
+        # (observed: heavy brute-force oracles hitting 'bad allocation'
+        # ~240 entries in at sf0.1, green in isolation).
+        spark.catalog.clearCache()
+        n_run += 1
+        if n_run % 10 == 0:
+            con.close()
+            con = duck_connection(sf_dir)
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
