@@ -52,9 +52,44 @@ __all__ = [
     "bucketed_running_sum",
     "bucketed_running_sums",
     "bucketed_row_number",
+    "release_gw_caches",
 ]
 
 _B = "_gw_bucket"
+
+# Bounded FIFO of frames persist()-ed by range_bucket. Persisted blocks
+# must outlive plan construction (the branches read them at action
+# time), so range_bucket can't unpersist its own input — but without a
+# bound every bucketed_* call leaks a cached frame for the session's
+# lifetime (ADVICE r8: rfm_segmentation chains three calls caching
+# progressively wider frames). Unpersisting is always SAFE for
+# correctness — a branch that still references the frame just
+# recomputes its lineage — so a small FIFO keeps the steady-state cache
+# footprint bounded while leaving the frames of the current query (and
+# a few neighbors) warm. release_gw_caches() drops everything now
+# (sweeps, tests, long-lived sessions).
+_MAX_CACHED = 8
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> None:
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _MAX_CACHED:
+        try:
+            _PERSISTED.pop(0).unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped; nothing to release
+
+
+def release_gw_caches() -> None:
+    """Unpersist every frame range_bucket has cached. Safe at any time
+    (consumers recompute from lineage); call between queries in
+    long-lived sessions or after a bucketed_* action completes."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def range_bucket(
@@ -81,10 +116,12 @@ def range_bucket(
     times (measured 2.5x overhead on window_max_concurrency at 30x
     before this). persist — not localCheckpoint — so lineage survives
     executor loss at cluster scale; blocks are evictable (worst case a
-    branch recomputes) and live until the session drops them, the same
-    trade the prefix-join operator's persist already makes.
+    branch recomputes). Caches are tracked in a bounded module FIFO
+    (oldest unpersisted past _MAX_CACHED) and releasable en masse via
+    release_gw_caches() — see the registry note above.
     """
     df = df.persist()
+    _track_persist(df)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     qs = df.select(F.col(range_key).cast("double").alias("k")).stat.approxQuantile(
         "k", probs, 0.01
@@ -255,12 +292,19 @@ def ntile_from_row_number(rn: Column, n: Column, k: int) -> Column:
     tile (q = 0 branch degenerates correctly: cutoff = n covers all
     rows with tile = rn).
     """
-    q = (n / k).cast("long")  # floor for non-negative n
+    # Integral `div` (IntegralDivide), NOT double division + cast:
+    # correctly-rounded doubles can floor wrong once operands approach
+    # 2^53, and the repo's discipline is all-integer exactness at any n
+    # (ADVICE r8).
+    def _div(a: Column, b: Column | int) -> Column:
+        return F.call_function("div", a, F.lit(b) if isinstance(b, int) else b)
+
+    q = _div(n, k)
     r = n - q * k
     big = q + 1
     cutoff = r * big
     return (
-        F.when(rn <= cutoff, ((rn - 1) / big).cast("long") + 1)
-        .otherwise(r + ((rn - cutoff - 1) / F.greatest(q, F.lit(1))).cast("long") + 1)
+        F.when(rn <= cutoff, _div(rn - 1, big) + 1)
+        .otherwise(r + _div(rn - cutoff - 1, F.greatest(q, F.lit(1))) + 1)
         .cast("long")
     )

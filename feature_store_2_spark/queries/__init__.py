@@ -81,70 +81,26 @@ _STAPLES: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_embedding_ann_pairs",
     "sessionize_events",
-    # ONE-ROUND swap (r7 verdict ask #6): emb_kmeans_fit's exact oracle
-    # (r6) lost the head race to 41 never-scored entries two rounds
-    # running — staple it for r8 so its r4 rows-only row finally flips
-    # to hash-green, then demote it back.
-    "emb_kmeans_fit",
 )
+# (r8's one-round emb_kmeans_fit staple swap is done — its exact oracle
+# earned hash-green pass(r8); demoted back to staleness rotation.)
 
 # Entries whose LAST driver row (or no row yet) predates a material code
 # change. They queue immediately AFTER the staples — ahead of the
 # never-scored FIFO — so the changed code earns a driver row the same
 # round it ships; remove a name once its fresh row lands.
 #
-# Round 8 pins — the two code changes of the round:
-#   * func_array_set_ops — the only red driver row in seven rounds
-#     (r7 ERR: array-typed output the driver can't hash); fixed via
-#     array_join this round, and the r8 green row is the r7 verdict's
-#     ask #1 done-criterion.
-#   * the six adaptive-SRP ANN entries + their new sizing audit — the
-#     r7 verdict's ask #3 (fixed-band n^1.52 candidate quadratic →
-#     adaptive band sizing, exponent ≤0.6) changed the scored plan of
-#     all six; their green rows are the ask's done-criterion.
-#     (dedup_embedding_ann_pairs is already a staple.)
-#   * four representatives of the ngram-jaccard verify rewrite — the
-#     100x rehearsal found the prefix join's exact-verify expansion
-#     (sum(|A|) rows, string shingle keys) spilling past single-box
-#     disk; the fix (AllPairs length filter + smaller-side expansion +
-#     64-bit shingle keys, operators/dedup.py) changes the plan of 11
-#     consumers with value-identical outputs. Pinning all 11 would
-#     displace 11 never-scored entries from the head (r7 ask #4), so
-#     the four below cover the distinct consumer shapes — raw jaccard
-#     values, the connected-components reducer, the tf-cosine re-rank,
-#     and the triangle entry whose rehearsal hit the cliff; the other
-#     seven hold local 3-SF sweep + adversarial-fixture evidence and
-#     rotate in via staleness.
+# Round 9 pins. All 19 round-8 pins earned green r8 rows
+# (CORRECTNESS_r08.json: 50/50 green, zero err) and are cleared; with
+# the pin tier empty-ish, the head is staples + the full 30-entry
+# never-scored FIFO (the r8 verdict's ask #1: drain it to zero) + ~10
+# staleness slots. Names are appended here as round-9 code changes
+# ship (each needs a fresh driver row the same round).
 _PINNED_RESCORE: tuple[str, ...] = (
-    "func_array_set_ops",
-    "emb_knn_join_ann",
+    # ADVICE r8 (medium): emb_knn_label_vote oracle votes CTE counted
+    # unlabeled neighbors as a NULL vote group while the engine filters
+    # them pre-vote; oracle now agrees (WHERE label IS NOT NULL).
     "emb_knn_label_vote",
-    "graph_bfs_distance",
-    "eval_ann_recall_at_k",
-    "eval_mrr_retrieval",
-    "ann_adaptive_sizing_audit",
-    "dedup_ngram_jaccard",
-    "graph_triangle_count",
-    "dedup_cluster_components",
-    "sim_token_cosine_pairs",
-    # round-8d: the two-phase global-window promotion
-    # (operators/global_window.py) changed the scored PLAN of eight
-    # entries, value-identically (boundary-independence property).
-    # window_max_concurrency already sits in the never-scored FIFO's
-    # head slice; the other eight queue here so the changed plans earn
-    # driver rows this round — three are previously-green entries
-    # whose scored form changed (ntile, rfm, pareto), five are the
-    # converted CDF entries (never-scored r7 registrations whose code
-    # just changed). Cost: eight unchanged never-scored entries defer
-    # to r9.
-    "window_ntile_percentrank",
-    "rfm_segmentation",
-    "pareto_revenue_concentration",
-    "stats_ks_test",
-    "feat_quantile_normalize",
-    "feat_winsorize_clip",
-    "stats_equidepth_histogram",
-    "eval_conformal_interval",
 )
 
 

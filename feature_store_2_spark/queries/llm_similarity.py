@@ -723,6 +723,7 @@ votes AS (
     SELECT k.query_id, e.label AS cand_label,
            CAST(count(*) AS BIGINT) AS votes
     FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+    WHERE e.label IS NOT NULL
     GROUP BY k.query_id, e.label),
 pred AS (
     SELECT query_id, cand_label, votes,

@@ -168,14 +168,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype(str)
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-            ser = df[c]
-            ser = ser.str.replace(r"^(\d{4}-\d{2}-\d{2}) 00:00:00$", r"\1", regex=True)
-            # Null carriers: Spark toPandas renders an object-column
-            # NULL as None ('None'), DuckDB fetchdf as float nan
-            # ('nan') or pandas NA ('<NA>') — same value, three
-            # spellings.
-            df[c] = ser.replace({"nan": "None", "<NA>": "None"})
+            # Canonicalize NULL carriers BEFORE the str cast (Spark
+            # toPandas gives None, DuckDB fetchdf float nan or pandas
+            # NA) so a genuine string value 'nan'/'<NA>' returned by
+            # one engine can never alias a NULL from the other
+            # (ADVICE r8: the old post-hoc replace masked exactly that
+            # divergence).
+            df[c] = df[c].where(df[c].notna(), None).astype(str)
+            df[c] = df[c].str.replace(
+                r"^(\d{4}-\d{2}-\d{2}) 00:00:00$", r"\1", regex=True
+            )
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(
         drop=True
     )
