@@ -403,9 +403,10 @@ def srp_adaptive_params(
     low-threshold/high-recall ask degrades recall instead of exploding
     the hyperplane matrix (bands are clamped to max_bits//band_bits).
 
-    The catalog entry keeps the fixed 32/4 layout because its DuckDB
-    oracle rebuilds that exact hyperplane matrix; this helper is the
-    production entry point for corpus-sized runs (used by the scale
+    Since round 8 the driver-scored catalog entries ride the integer
+    twin of this sizing (srp_scored_params + the lookup-CTE oracle —
+    no libm in the SQL derivation); this float-parameter helper remains
+    the free-threshold production entry point (used by the scale
     rehearsal; recall floor pytest-pinned at small scale)."""
     band_bits = max(
         SRP_BAND_BITS, math.ceil(math.log2(max(n, 2) / target_occupancy))
@@ -534,6 +535,32 @@ def embedding_srp_knn_join_scored(emb: DataFrame, k: int = 5, **kw) -> DataFrame
     kw.setdefault("broadcast_attach", n <= SRP_ATTACH_BROADCAST_MAX)
     return embedding_srp_knn_join(
         emb, k=k, n_bits=n_bits, band_bits=band_bits, **kw
+    )
+
+
+def embedding_srp_query_topk_scored(
+    emb: DataFrame, query_filter: Column, k: int = 5, **kw
+) -> DataFrame:
+    """Adaptive-sized query-set ANN top-k: the knn-join candidate
+    machinery with the band join's QUERY side restricted to
+    ``query_filter`` (over the internal ``vid`` column) and broadcast —
+    the "few probes against the whole corpus index" shape. Replaces the
+    fixed 16-bucket hamming-1 multiprobe form on the scored path (r8
+    verdict: constant ~31% corpus fraction per query); under
+    srp_scored_params the per-query candidate count is ~bands x
+    SRP_SCORED_OCCUPANCY, independent of corpus size, with recall held
+    by the band-count bound instead of multiprobe."""
+    n = emb.count()
+    n_bits, band_bits = srp_scored_params(n)
+    kw.setdefault("broadcast_attach", n <= SRP_ATTACH_BROADCAST_MAX)
+    return embedding_srp_knn_join(
+        emb,
+        k=k,
+        n_bits=n_bits,
+        band_bits=band_bits,
+        query_filter=query_filter,
+        broadcast_queries=True,
+        **kw,
     )
 
 
@@ -709,6 +736,8 @@ def embedding_srp_knn_join(
     vec_col: str = "embedding",
     dim: int = 64,
     broadcast_attach: bool = False,
+    query_filter: Column | None = None,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Corpus x corpus approximate k-NN JOIN: every vector's top-k
     neighbors by exact quantized cosine, candidates restricted to SRP
@@ -723,7 +752,18 @@ def embedding_srp_knn_join(
     (full-precision re-rank); recall follows the SRP band bound, floor
     pytest-pinned against brute_force_topk. Same md5-parity hyperplanes
     as embedding_srp_near_pairs, so the DuckDB oracle rebuilds the
-    identical candidate set and ranking."""
+    identical candidate set and ranking.
+
+    ``query_filter`` (a predicate over the internal ``vid`` column —
+    the renamed ``id_col``) restricts the QUERY
+    side of the band join — the query-set ANN top-k shape (a handful
+    of probes against the full corpus index). The corpus side is
+    untouched, so per-query candidate work stays ~bands x bucket
+    occupancy (corpus-size-independent under adaptive sizing) instead
+    of the fixed-band corpus fraction. With ``broadcast_queries`` the
+    filtered query bands ship map-side and the corpus bands never
+    shuffle for the candidate join at all — the right plan whenever
+    |queries| << |corpus|."""
     from pyspark.sql import Window as W
 
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
@@ -745,7 +785,15 @@ def embedding_srp_knn_join(
         .repartition(n_parts, "band", "bkey")
         .persist()
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    qbands = (
+        bands.filter(query_filter) if query_filter is not None else bands
+    )
+    if broadcast_queries:
+        # Query-set shape: the filtered query bands are |queries| x
+        # bands rows (metadata-sized); shipping them map-side keeps the
+        # corpus bands from shuffling for the candidate join.
+        qbands = F.broadcast(qbands)
+    a, b = qbands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,

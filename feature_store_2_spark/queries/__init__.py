@@ -101,6 +101,11 @@ _PINNED_RESCORE: tuple[str, ...] = (
     # unlabeled neighbors as a NULL vote group while the engine filters
     # them pre-vote; oracle now agrees (WHERE label IS NOT NULL).
     "emb_knn_label_vote",
+    # r8 verdict ask #2: the last fixed-band ANN entry promoted onto
+    # srp_scored_params (query-filtered + broadcast band join replaces
+    # the 16-bucket hamming-1 multiprobe whose candidates were a
+    # constant ~31% corpus fraction per query).
+    "emb_lsh_ann_topk",
 )
 
 

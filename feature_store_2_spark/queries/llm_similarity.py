@@ -20,12 +20,12 @@ from feature_store_2_spark.operators.dedup import (
     SRP_SCORED_OCCUPANCY,
     embedding_srp_knn_join_scored,
     embedding_srp_near_pairs_scored,
+    embedding_srp_query_topk_scored,
     srp_scored_lookup_rows,
 )
 from feature_store_2_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
-    lsh_ann_topk,
     nearest_centroid_assign,
 )
 from feature_store_2_spark.queries import register
@@ -95,79 +95,9 @@ def emb_cosine_topk(spark, sf_dir):
     return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
-def _lsh_topk_oracle(n_bits: int = 4, k: int = 5) -> str:
-    """Mirror lsh_ann_topk exactly in SQL: the crc32-parity sign matrix
-    is generated HERE from the same zlib.crc32 the Spark operator uses
-    (one source of truth, inlined as literals — DuckDB has no crc32),
-    then buckets, hamming-1 multiprobe, exact cosine re-rank, and the
-    identical (cosine DESC, neighbor_id) tie-break. An approximate ANN
-    operator that is still value-hash-gateable."""
-    import zlib
-
-    rows = ",".join(
-        f"({b},{d + 1},{1 if zlib.crc32(f'{b}:{d}'.encode()) % 2 == 0 else -1})"
-        for b in range(n_bits)
-        for d in range(DIM)
-    )
-    probe_union = "\n    UNION ".join(
-        f"SELECT vec_id AS query_id, xor(bucket, {1 << b}) AS pb FROM qsig"
-        for b in range(n_bits)
-    )
-    return f"""
-WITH r(h, i, s) AS (VALUES {rows}),
-qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
-bits AS (
-    SELECT q.vec_id, r.h,
-           CASE WHEN sum(r.s * q.v[r.i]) >= 0 THEN 1 ELSE 0 END AS bit
-    FROM qv q CROSS JOIN r GROUP BY q.vec_id, r.h),
-sig AS (
-    SELECT vec_id, CAST(sum(bit * (1 << ({n_bits - 1} - h))) AS BIGINT) AS bucket
-    FROM bits GROUP BY vec_id),
-qsig AS (SELECT * FROM sig WHERE vec_id < 10),
-probes AS (
-    SELECT vec_id AS query_id, bucket AS pb FROM qsig
-    UNION {probe_union}
-),
-cand AS (
-    SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
-    FROM probes p JOIN sig s ON s.bucket = p.pb AND s.vec_id <> p.query_id),
-norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
-          FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
-dots AS (
-    SELECT c.query_id, c.neighbor_id, CAST(sum(a.v[i.i] * b.v[i.i]) AS BIGINT) AS dot
-    FROM cand c
-    JOIN qv a ON c.query_id = a.vec_id
-    JOIN qv b ON c.neighbor_id = b.vec_id
-    CROSS JOIN generate_series(1, {DIM}) i(i)
-    GROUP BY 1, 2),
-scored AS (
-    SELECT d.query_id, d.neighbor_id,
-           CAST(d.dot AS DOUBLE) /
-           (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
-    FROM dots d
-    JOIN norms na ON d.query_id = na.vec_id
-    JOIN norms nb ON d.neighbor_id = nb.vec_id)
-SELECT query_id, neighbor_id, cosine, rank FROM (
-    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-    FROM scored)
-WHERE rank <= {k}
-"""
-
-
-@register(
-    "emb_lsh_ann_topk",
-    _lsh_topk_oracle(),
-    doc="LSH-bucketed approximate top-k with hamming-1 multiprobe (the "
-    "100 TB ANN path) — oracle-checked: the crc32-parity hyperplanes are "
-    "inlined into the SQL from the same source of truth, so the DuckDB "
-    "oracle reproduces buckets, probes, candidates, and the exact "
-    "re-rank bit-for-bit",
-)
-def emb_lsh_ann_topk(spark, sf_dir):
-    e = load_table(spark, "embeddings", sf_dir)
-    return lsh_ann_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_bits=4)
+# emb_lsh_ann_topk moved below the shared adaptive-SRP CTE block — it
+# rides the same corpus-derived band layout as its six siblings (r8
+# verdict ask #2: the last fixed-band ANN entry leaves the scored path).
 
 
 _IVF_ORACLE = f"""
@@ -375,6 +305,61 @@ WHERE rank <= 5
 def emb_knn_join_ann(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
     return embedding_srp_knn_join_scored(e, k=5)
+
+
+_QUERY_TOPK_ORACLE = f"""
+WITH {_SRP_ADAPTIVE_CTES},
+cand AS (
+    SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+    WHERE a.vec_id < 10
+),
+dots AS (
+    SELECT c.query_id, c.neighbor_id,
+           CAST(sum(a.v[i.i] * b.v[i.i]) AS BIGINT) AS dot
+    FROM cand c
+    JOIN qv a ON c.query_id = a.vec_id
+    JOIN qv b ON c.neighbor_id = b.vec_id
+    CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           CAST(d.dot AS DOUBLE) /
+           (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN norms na ON d.query_id = na.vec_id
+    JOIN norms nb ON d.neighbor_id = nb.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register(
+    "emb_lsh_ann_topk",
+    _QUERY_TOPK_ORACLE,
+    doc="query-set ANN top-k (10 probe vectors vs the corpus index) on "
+    "the ADAPTIVE SRP band layout (r9 promotion — the last fixed-band "
+    "ANN entry): candidates come from band-bucket collisions with the "
+    "query side of the band join filtered and broadcast, so the corpus "
+    "bands never shuffle for the candidate join and per-query candidate "
+    "work is ~bands x occupancy (corpus-size-independent by "
+    "srp_scored_params), not the old 16-bucket hamming-1 multiprobe's "
+    "constant ~31% corpus fraction. Recall is held by the band-count "
+    "bound (recall-0.9 lookup) instead of multiprobe; exact quantized-"
+    "cosine re-rank with (cosine DESC, neighbor_id) tie-break keeps the "
+    "approximate operator value-hash-gateable. Oracle derives the "
+    "identical layout from count(*) via the shared integer lookup CTE.",
+)
+def emb_lsh_ann_topk(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    return embedding_srp_query_topk_scored(
+        e, query_filter=F.col("vid") < 10, k=5
+    )
 
 
 @register(

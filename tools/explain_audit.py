@@ -37,7 +37,10 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # sampled-audit recipe, not an accidental cartesian; the
                # ANN side under audit is the banded equi-join.
                "eval_ann_recall_at_k",
-               "emb_lsh_ann_topk", "join_cross_region_nation", "join_range_event_pairs",
+               # (emb_lsh_ann_topk left this list in r9: the adaptive
+               # promotion made it a banded equi-join like its six
+               # siblings — broadcast hash, never BNLJ.)
+               "join_cross_region_nation", "join_range_event_pairs",
                # 1-row broadcast scalar subqueries (threshold / n_docs /
                # global max / total): the BNLJ build side is a single
                # aggregate row, which is the collect-free way to apply a
@@ -286,6 +289,11 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "above that the partitioned attach is the right plan"
     ),
     ("operators/dedup.py", "vb"): "vector-attach twin of va (same gate)",
+    ("operators/dedup.py", "qbands"): (
+        "query-side band keys (|queries| x bands rows, metadata-sized); "
+        "hint applied only on the broadcast_queries query-set top-k "
+        "path where |queries| << |corpus|"
+    ),
     ("operators/curation.py", "n_docs"): "1-row scalar aggregate",
     ("operators/global_window.py", "offsets"): (
         "bucket-offset metadata (<= |partition values| x n_buckets rows "

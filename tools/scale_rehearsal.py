@@ -106,6 +106,11 @@ ENTRIES = (
     "dedup_winnowing_containment",
     "search_bm25_topk",
     "dedup_fuzzy_levenshtein",
+    # round-9: the promoted query-set ANN top-k (last fixed-band entry
+    # onto srp_scored_params) — per-query candidates should be flat
+    # (~bands x occupancy) while n grows, so total time ~the linear
+    # banding pass (census receipt in BENCH_NOTES 9a)
+    "emb_lsh_ann_topk",
 )
 
 
