@@ -262,12 +262,24 @@ def ngram_jaccard_pairs_prefix(
     # Candidate cardinality is data-dependent (adversarially near-dup
     # corpora blow it up) — no forced broadcast: AQE broadcasts the
     # pair side only when it measures small.
+    #
+    # Refinement 4 (r9): the expanded rows carry ONLY (doc_small,
+    # doc_big, h) — 3 longs, not the 4 of the earlier (doc1, doc2,
+    # doc_big, h) — because cand enforces doc1 < doc2, so the original
+    # orientation is recoverable for free after the count agg as
+    # doc1 = least(doc_small, doc_big), doc2 = greatest. A 25% width
+    # cut on the verify's dominant shuffle (the single-box spill
+    # residual at the 100x rehearsal), zero value change.
     common = (
-        small_sh.join(sized, "doc_small")
-        .select("doc1", "doc2", "doc_big", "h")
+        small_sh.join(sized.select("doc_small", "doc_big"), "doc_small")
         .join(big_sh, ["doc_big", "h"])
-        .groupBy("doc1", "doc2")
+        .groupBy("doc_small", "doc_big")
         .agg(F.count("*").alias("n_common"))
+        .select(
+            F.least("doc_small", "doc_big").alias("doc1"),
+            F.greatest("doc_small", "doc_big").alias("doc2"),
+            "n_common",
+        )
     )
     return _jaccard_from_common(common, sizes, threshold, id_col)
 

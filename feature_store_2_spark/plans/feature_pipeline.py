@@ -53,9 +53,19 @@ def _field_col(field: str) -> Column:
     Reference analog: getattr on the typed properties object
     (models/aggregate.py:72-78). Only NULL is treated as missing — a
     documented divergence from the reference's falsy-check.
+
+    try_cast, not cast (r9 props-envelope fixture class): a
+    syntactically-valid envelope whose field is a non-integer value
+    ('{"k": "zip-987"}', 1.5, a nested object) sails through the A2
+    quarantine, and under Spark 4's ANSI default a plain cast then
+    KILLS the whole job on that one producer row. The contract is
+    null-only-missing extended to malformed values: any field that is
+    not a clean integer extracts as NULL, never as an error.
     """
     if field.startswith("props."):
-        return F.get_json_object("props", "$." + field[len("props.") :]).cast("long")
+        return F.get_json_object(
+            "props", "$." + field[len("props.") :]
+        ).try_cast("long")
     return F.col(field)
 
 

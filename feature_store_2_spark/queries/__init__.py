@@ -106,6 +106,32 @@ _PINNED_RESCORE: tuple[str, ...] = (
     # the 16-bucket hamming-1 multiprobe whose candidates were a
     # constant ~31% corpus fraction per query).
     "emb_lsh_ann_topk",
+    # r9 props-envelope fixture class (6 finds): try_cast/try_variant_
+    # get crash-proofing + the strict-integer field contract changed
+    # these two entries' semantics on hostile envelopes (fs_* pipeline
+    # consumers are covered by the fs_user_aggregates /
+    # fs_purchase_allowlist / stream_feature_grants staples).
+    "func_json_events",
+    "func_variant_semistructured",
+    # r9 unicode fixture class: U+0130 lower() divergence — oracle
+    # mirror (representative: the fingerprint entry; fuzzy/incremental/
+    # curation share the recipe and rotate via staleness) + the
+    # collation entry's in-query ASCII scoping (semantic change).
+    "doc_fingerprint_normalized",
+    "func_collation_case_insensitive",
+    # r9 NULL-tie ordering fix (fixture find): top-10 boundary NULLS
+    # FIRST pinned explicitly in the oracle.
+    "stats_key_skew_profile",
+    # r9 shuffle-width cuts (BENCH_NOTES 9b): the verify-stage 3-long
+    # expansion changed the scored plan of all 11 jaccard consumers
+    # (representative: dedup_ngram_jaccard); degree-ordered wedge
+    # orientation changed graph_triangle_count; hashed-word-key +
+    # smaller-side expansion changed sim_token_cosine_pairs. All
+    # value-identical (3-SF oracle sweeps green) — pinned so the
+    # changed plans earn driver rows this round.
+    "dedup_ngram_jaccard",
+    "graph_triangle_count",
+    "sim_token_cosine_pairs",
 )
 
 

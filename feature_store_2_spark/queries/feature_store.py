@@ -27,7 +27,15 @@ _AGG_CTE = """
 WITH dedup AS (
     SELECT user_id, event_id,
            min(event_type) AS event_type,
-           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k,
+           -- strict-integer props field (the r9 props-envelope
+           -- contract): non-integer k values are MISSING, not errors;
+           -- the regex gate mirrors Spark try_cast's strict integer
+           -- parse (DuckDB's bare TRY_CAST would round '1.5' to 2)
+           min(CASE WHEN regexp_matches(
+                        trim(json_extract_string(props, '$.k')),
+                        '^[+-]?[0-9]+$')
+                    THEN TRY_CAST(trim(json_extract_string(props, '$.k'))
+                                  AS BIGINT) END) AS k,
            min(value) AS value
     FROM events
     GROUP BY user_id, event_id

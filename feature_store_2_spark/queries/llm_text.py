@@ -152,15 +152,28 @@ def doc_quality_score(spark, sf_dir):
     return d.select("doc_id", q.alias("quality"), (q > 0.4).alias("is_quality"))
 
 
+# DuckDB mirror of Spark's lower(): Java implements the full Unicode
+# SpecialCasing lowercase table, whose only unconditional multi-char
+# entry is U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE -> i + U+0307;
+# DuckDB simple-maps it to a bare 'i' (r9 unicode fixture find). Every
+# oracle that lowercases document text pre-expands the char so both
+# engines agree on Spark's mapping. Applied AFTER any substr/slice so
+# the expansion can't shift character offsets relative to Spark.
+def _spark_lower_sql(expr: str) -> str:
+    return f"lower(replace({expr}, '\u0130', 'i' || chr(775)))"
+
+
 @register(
     "doc_fingerprint_normalized",
-    """
+    f"""
 SELECT doc_id,
-       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
-       substring(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8) AS prefix8
+       md5(regexp_replace({_spark_lower_sql('text')}, '\\s+', ' ', 'g')) AS fingerprint,
+       substring(md5(regexp_replace({_spark_lower_sql('text')}, '\\s+', ' ', 'g')), 1, 8) AS prefix8
 FROM documents
 """,
-    doc="normalization fingerprint (md5 of collapsed lowercase text)",
+    doc="normalization fingerprint (md5 of collapsed lowercase text); "
+    "the oracle lowers via the _spark_lower_sql mirror so U+0130 "
+    "fingerprints agree cross-engine (r9 unicode fixture class)",
 )
 def doc_fingerprint_normalized(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
@@ -193,13 +206,14 @@ def _curation_oracle() -> str:
         f"CASE WHEN length(text) BETWEEN 100 AND 500 THEN {diversity}"
         f" ELSE ({diversity}) / 2 END"
     )
+    lw = _spark_lower_sql("text")
     return f"""
 WITH stats AS (
     SELECT doc_id, lang,
            {quality} AS quality,
            {guess} AS guessed_lang,
            CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens,
-           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+           md5(regexp_replace({lw}, '\\s+', ' ', 'g')) AS fingerprint
     FROM documents
 ),
 kept AS (SELECT * FROM stats WHERE quality > 0.4 AND guessed_lang = lang),
@@ -764,9 +778,9 @@ def doc_pack_token_budget(spark, sf_dir):
 
 @register(
     "dedup_fuzzy_levenshtein",
-    """
+    f"""
 WITH k AS (
-    SELECT doc_id, rpad(lower(substr(text, 1, 60)), 60, ' ') AS fkey
+    SELECT doc_id, rpad({_spark_lower_sql('substr(text, 1, 60)')}, 60, ' ') AS fkey
     FROM documents),
 keyed AS (
     SELECT doc_id, fkey, seg.i AS seg_i,
@@ -877,12 +891,15 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
     )
 
 
+_INCR_FP_LOWER = _spark_lower_sql("regexp_replace(text, '\\\\s+', ' ', 'g')")
+
+
 @register(
     "dedup_incremental_new_docs",
-    """
+    f"""
 WITH fp AS (
     SELECT doc_id,
-           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+           md5({_INCR_FP_LOWER}) AS fingerprint
     FROM documents),
 old AS (SELECT fingerprint FROM fp WHERE doc_id % 5 <> 0),
 new AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 5 = 0)
@@ -1267,13 +1284,15 @@ FROM documents d LEFT JOIN pernode p USING (doc_id)
     "blocks (template farms: many triangles) from chain-shaped "
     "near-dup drift (zero triangles), which decides whether "
     "canonical-per-cluster or pairwise suppression is the right dedup "
-    "policy. Compact-forward orientation (a<b<c on the lo<hi edge "
-    "list) counts each triangle exactly once with two equi-joins and "
-    "no direction explosion — the standard MapReduce triangle recipe; "
-    "at 100 TB the edge list is degree-ordered first so high-degree "
-    "hubs never build quadratic wedges. Edge list localCheckpointed: "
-    "three scans of one prefix-filtered candidate join, not three "
-    "recomputations.",
+    "policy. Compact-forward orientation counts each triangle exactly "
+    "once with two equi-joins and no direction explosion — the "
+    "standard MapReduce triangle recipe — and since r9 the edges are "
+    "DEGREE-ordered (oriented from the (deg, id)-smaller endpoint), "
+    "capping any node's wedge fan-out at ~sqrt(2|E|)^2 so high-degree "
+    "hubs never build quadratic wedges; per-node counts are "
+    "orientation-independent, so the oracle keeps the simpler lo<hi "
+    "form. Edge list localCheckpointed: three scans of one "
+    "prefix-filtered candidate join, not three recomputations.",
 )
 def graph_triangle_count(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
@@ -1282,15 +1301,69 @@ def graph_triangle_count(spark, sf_dir):
         .select("doc1", "doc2")
         .localCheckpoint()
     )
-    tri = (
-        e.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
-        .join(
-            e.select(F.col("doc1").alias("b"), F.col("doc2").alias("c")),
-            "b",
+    # DEGREE-ordered orientation (r9): the lo<hi edge list builds
+    # wedges at whichever endpoint has the smaller ID — a high-degree
+    # hub with a small id fans out deg^2 wedges (the skew term the
+    # 100x rehearsal pays through one box's disk). Re-orienting every
+    # edge from the (deg, id)-smaller endpoint bounds each node's
+    # out-degree by ~sqrt(2|E|) (a node of degree d has at most
+    # 2|E|/d neighbors of degree >= d), the classic wedge-count cap.
+    # Each triangle still materializes exactly once — its (deg, id)
+    # orientation is acyclic (a total order) — and the per-node explode
+    # is orientation-independent, so values are unchanged and the
+    # DuckDB oracle keeps its compact-forward form.
+    deg = (
+        e.select(F.col("doc1").alias("v"))
+        .unionAll(e.select(F.col("doc2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("doc1"), F.col("deg").alias("d1")), "doc1")
+        .join(deg.select(F.col("v").alias("doc2"), F.col("deg").alias("d2")), "doc2")
+        .select(
+            F.when(
+                (F.col("d1") < F.col("d2"))
+                | ((F.col("d1") == F.col("d2")) & (F.col("doc1") < F.col("doc2"))),
+                F.struct(
+                    F.col("doc1").alias("src"),
+                    F.col("doc2").alias("dst"),
+                    F.col("d1").alias("sd"),
+                    F.col("d2").alias("dd"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("doc2").alias("src"),
+                    F.col("doc1").alias("dst"),
+                    F.col("d2").alias("sd"),
+                    F.col("d1").alias("dd"),
+                )
+            )
+            .alias("o")
         )
+        .select("o.src", "o.dst", "o.dd")
+        .localCheckpoint()
+    )
+    # Wedges at the (deg, id)-low apex: pairs of out-neighbors ordered
+    # by (deg, id); the closing edge b->c is stored in exactly that
+    # orientation, so one equi-join on (src, dst) finishes the count.
+    w1 = ed.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("bd")
+    )
+    w2 = ed.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dd").alias("cd")
+    )
+    tri = (
+        w1.join(w2, "a")
+        .filter(
+            (F.col("bd") < F.col("cd"))
+            | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+        )
+        .select("a", "b", "c")
         .join(
-            e.select(F.col("doc1").alias("a"), F.col("doc2").alias("c")),
-            ["a", "c"],
+            ed.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            ["b", "c"],
         )
     )
     pernode = (
@@ -1498,25 +1571,66 @@ def sim_token_cosine_pairs(spark, sf_dir):
     n2 = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
     )
+    # r9 shuffle-width cuts on the dot-product expansion (the second
+    # single-box spill residual at the 100x rehearsal; volume is
+    # |candidates| x vocab rows, so WIDTH is the only lever left):
+    #   1. 64-bit hashed word keys — tf/n2 aggregate on the true
+    #      strings FIRST (collisions can't merge tf rows), then the
+    #      join matches on xxhash64(word): a ~25-char UTF8 payload
+    #      becomes one long. A false dot term needs two DISTINCT words
+    #      of the SAME candidate pair to collide (P ~ vocab^2/2^64 per
+    #      pair) — the documented AllPairs-shingle trade, values
+    #      verified identical at every gate corpus.
+    #   2. expand the SMALLER vocabulary side — the dot is symmetric,
+    #      so volume drops from sum(|V(doc1)|) to sum(min(|V1|,|V2|));
+    #      doc1 < doc2 by construction, so the original orientation is
+    #      reconstructed for free as least/greatest after the agg.
+    tfh = tf.select("doc_id", F.xxhash64("word").alias("w"), "tf")
+    nv = tf.groupBy("doc_id").agg(F.count("*").alias("nv"))
+    v1 = nv.select(F.col("doc_id").alias("doc1"), F.col("nv").alias("nv1"))
+    v2 = nv.select(F.col("doc_id").alias("doc2"), F.col("nv").alias("nv2"))
+    oriented = (
+        cand.join(v1, "doc1")
+        .join(v2, "doc2")
+        .select(
+            F.when(
+                (F.col("nv1") < F.col("nv2"))
+                | ((F.col("nv1") == F.col("nv2")) & (F.col("doc1") <= F.col("doc2"))),
+                F.struct(
+                    F.col("doc1").alias("doc_small"),
+                    F.col("doc2").alias("doc_big"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("doc2").alias("doc_small"),
+                    F.col("doc1").alias("doc_big"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.doc_small", "o.doc_big")
+    )
     dots = (
-        cand.join(
-            tf.select(
-                F.col("doc_id").alias("doc1"),
-                "word",
-                F.col("tf").alias("tf1"),
+        oriented.join(
+            tfh.select(
+                F.col("doc_id").alias("doc_small"), "w", F.col("tf").alias("tf_s")
             ),
-            "doc1",
+            "doc_small",
         )
         .join(
-            tf.select(
-                F.col("doc_id").alias("doc2"),
-                "word",
-                F.col("tf").alias("tf2"),
+            tfh.select(
+                F.col("doc_id").alias("doc_big"), "w", F.col("tf").alias("tf_b")
             ),
-            ["doc2", "word"],
+            ["doc_big", "w"],
         )
-        .groupBy("doc1", "doc2")
-        .agg(F.sum(F.col("tf1") * F.col("tf2")).cast("long").alias("dot_tf"))
+        .groupBy("doc_small", "doc_big")
+        .agg(F.sum(F.col("tf_s") * F.col("tf_b")).cast("long").alias("dot_tf"))
+        .select(
+            F.least("doc_small", "doc_big").alias("doc1"),
+            F.greatest("doc_small", "doc_big").alias("doc2"),
+            "dot_tf",
+        )
     )
     cos = F.col("dot_tf").cast("double") / (
         F.sqrt(F.col("a.n2").cast("double"))

@@ -250,7 +250,7 @@ SELECT user_id, n,
        CAST(n AS DOUBLE) / n_rows AS row_share,
        CAST(n AS DOUBLE) * n_keys / n_rows AS skew_factor
 FROM c CROSS JOIN tot
-ORDER BY n DESC, user_id LIMIT 10
+ORDER BY n DESC, user_id NULLS FIRST LIMIT 10
 """,
     doc="shuffle-key skew profile — the diagnostic that decides WHEN to "
     "salt (operators/skew.salted_equi_join) or lean on AQE skew-join "
@@ -258,6 +258,10 @@ ORDER BY n DESC, user_id LIMIT 10
     "and skew factor (rows vs a perfectly uniform key). One hash agg "
     "+ a 1-row totals broadcast + TakeOrderedAndProject; ratios are "
     "single divisions of exact integers so the doubles hash exactly. "
+    "The tie-break pins NULLS FIRST explicitly (r9 find: Spark's ASC "
+    "default is NULLS FIRST, DuckDB's is NULLS LAST — an anonymous-"
+    "traffic key tying at the top-10 boundary diverged); the NULL "
+    "user_id group IS a legitimate hot key for skew planning. "
     "At 100 TB this runs on a sample partition-pruned to a recent "
     "window, but the shape is identical.",
 )

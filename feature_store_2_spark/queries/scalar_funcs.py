@@ -143,17 +143,31 @@ def func_array_embeddings(spark, sf_dir):
 @register(
     "func_json_events",
     """
-SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_mod,
-       json_extract_string(props, '$.k') IS NOT NULL AS has_k
-FROM events
+WITH x AS (
+    SELECT event_id,
+           CASE WHEN regexp_matches(
+                    trim(json_extract_string(props, '$.k')),
+                    '^[+-]?[0-9]+$')
+                THEN TRY_CAST(trim(json_extract_string(props, '$.k'))
+                              AS BIGINT) END AS k
+    FROM events
+)
+SELECT event_id, k,
+       CAST(k % 10 AS BIGINT) AS k_mod,
+       k IS NOT NULL AS has_k
+FROM x
 """,
-    doc="JSON family: path extraction + typing (A2's semi-structured parse)",
+    doc="JSON family: path extraction + typing (A2's semi-structured "
+    "parse). Strict-integer field contract (r9 props-envelope class): "
+    "try_cast so a '{\"k\": \"zip-987\"}' row extracts NULL instead of "
+    "killing the job under ANSI; the oracle's regex gate mirrors "
+    "Spark's strict integer parse (DuckDB TRY_CAST alone rounds "
+    "'1.5' to 2 where Spark nulls it); has_k means an integer k "
+    "exists on BOTH engines.",
 )
 def func_json_events(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return ev.select(
         "event_id",
         k.alias("k"),
@@ -455,26 +469,49 @@ def func_interval_calendar(spark, sf_dir):
 @register(
     "func_variant_semistructured",
     """
-SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-       CAST(json_extract_string(props, '$.k') AS BIGINT)
-         * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_sq,
-       json_extract_string(props, '$.k') IS NOT NULL AS has_k
-FROM events
+WITH x AS (
+    SELECT event_id,
+           json_type(TRY_CAST(props AS JSON), '$.k') AS kt,
+           json_extract_string(TRY_CAST(props AS JSON), '$.k') AS ks
+    FROM events
+), v AS (
+    SELECT event_id,
+           CASE
+             WHEN kt IN ('BIGINT', 'UBIGINT') THEN TRY_CAST(ks AS BIGINT)
+             WHEN kt = 'DOUBLE'
+               THEN CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS BIGINT)
+             WHEN kt = 'BOOLEAN'
+               THEN CASE WHEN ks = 'true' THEN 1 ELSE 0 END
+             WHEN kt = 'VARCHAR' AND regexp_matches(trim(ks), '^[+-]?[0-9]+$')
+               THEN TRY_CAST(trim(ks) AS BIGINT)
+             ELSE NULL
+           END AS k_val
+    FROM x
+)
+SELECT event_id, k_val, k_val * k_val AS k_sq,
+       k_val IS NOT NULL AS has_k
+FROM v
 """,
     doc="VARIANT semi-structured type (new Spark 4 surface): "
     "parse_json(props) -> open-schema VARIANT, typed extraction via "
-    "variant_get(v, '$.k', 'bigint') — the shredded-JSON path that "
-    "replaces schema-rigid from_json when event payloads evolve "
-    "freely. Single-pass codegen projection, zero shuffles; the "
-    "oracle extracts the same path with DuckDB's JSON operators, and "
-    "the typed BIGINT values (plus an arithmetic use of them) "
-    "hash-match exactly — proving the variant decode is value-"
-    "faithful, not just parse-successful.",
+    "try_variant_get(v, '$.k', 'bigint') — the shredded-JSON path "
+    "that replaces schema-rigid from_json when event payloads evolve "
+    "freely. try_, not variant_get (r9 props-envelope class): a "
+    "string field 'zip-987' would otherwise throw "
+    "INVALID_VARIANT_CAST and one bad producer row kills the job. "
+    "The oracle mirrors Spark's variant->bigint cast lattice per "
+    "JSON type (integers pass through, doubles truncate toward "
+    "zero, booleans map to 1/0, integer-literal strings parse, "
+    "everything else is NULL) via DuckDB json_type — so the typed "
+    "values plus an arithmetic use of them hash-match exactly, "
+    "proving the variant decode value-faithful on hostile "
+    "envelopes, not just parse-successful.",
 )
 def func_variant_semistructured(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
-    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    # try_parse_json too: a malformed envelope (pre-quarantine read)
+    # degrades to NULL exactly like the oracle's TRY_CAST(... AS JSON).
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')")
     return ev.select(
         "event_id",
         k.alias("k_val"),
@@ -528,10 +565,13 @@ def func_xml_events(spark, sf_dir):
     """
 WITH w AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+aw AS (
+    SELECT doc_id, word FROM w
+    WHERE NOT regexp_matches(word, '[^\\x00-\\x7F]')),
 mixed AS (
     SELECT CASE WHEN doc_id % 2 = 0 THEN upper(word) ELSE word END AS mw,
            word
-    FROM w)
+    FROM aw)
 SELECT lower(mw) AS term,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT mw) AS BIGINT) AS n_case_variants
@@ -546,17 +586,19 @@ FROM mixed GROUP BY lower(mw)
     "n_case_variants (distinct raw spellings per collation group, "
     "here 2 for words present in both halves) shows the collation is "
     "genuinely merging distinct binary strings. One explode + one "
-    "hash agg. ORACLE PRECONDITION: collate==lower() equivalence "
-    "holds for simple case mapping only (full casefold, e.g. 'ß'->'ss' "
-    "under ICU, diverges); the companion test asserts every term is "
-    "ASCII so a corpus change fails loudly in pytest, not as a driver "
-    "hash mismatch.",
+    "hash agg. The entry scopes itself to ASCII tokens IN-QUERY (r9): "
+    "collate==lower() equivalence only holds for simple case mapping "
+    "(upper('ß')/'U+0130' full-mappings diverge between Java and "
+    "DuckDB), so non-ASCII words are filtered on both sides — the "
+    "entry is now total over ANY corpus instead of relying on an "
+    "ASCII-only-corpus pytest precondition (the r9 unicode fixture "
+    "broke that precondition by design).",
 )
 def func_collation_case_insensitive(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
     w = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-    )
+    ).filter(~F.col("word").rlike("[^\\x00-\\x7F]"))
     mixed = w.select(
         F.when(F.col("doc_id") % 2 == 0, F.upper("word"))
         .otherwise(F.col("word"))

@@ -140,6 +140,28 @@ def _crafted_events() -> pd.DataFrame:
     # entries mixing the two idioms diverge unless they pick one.
     add(_ts(11, 9), None, "view")
     add(_ts(11, 9, 30), None, "click", 3.25)
+    # --- round-9 class: hazards INSIDE a syntactically-valid props
+    # envelope (the A2 quarantine only rejects malformed JSON — a valid
+    # envelope whose FIELD is null/absent/mistyped sails through to
+    # every props-extracting entry). user 11's events all carry k
+    # variants a real producer emits:
+    rows.append((len(rows), _ts(12, 9, 0), 11, "view", 1.0,
+                 '{"k": null}'))          # explicit JSON null
+    rows.append((len(rows), _ts(12, 9, 1), 11, "view", 1.0,
+                 '{}'))                   # absent field
+    rows.append((len(rows), _ts(12, 9, 2), 11, "view", 1.0,
+                 '{"k": "12"}'))          # string-typed number
+    rows.append((len(rows), _ts(12, 9, 3), 11, "view", 1.0,
+                 '{"k": "zip-987"}'))     # non-numeric string
+    rows.append((len(rows), _ts(12, 9, 4), 11, "view", 1.0,
+                 '{"k": 1.5}'))           # float where int expected
+    rows.append((len(rows), _ts(12, 9, 5), 11, "view", 1.0,
+                 '{"k": {"v": 1}}'))      # nested object under the key
+    rows.append((len(rows), _ts(12, 9, 6), 11, "view", 1.0,
+                 '{"K": 7}'))             # wrong-case key (paths are
+                                          # case-sensitive in both)
+    rows.append((len(rows), _ts(12, 9, 7), 11, "view", 1.0,
+                 None))                   # NULL envelope entirely
     df = pd.DataFrame(
         rows,
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -259,6 +281,24 @@ def _crafted_documents() -> pd.DataFrame:
         # either engine's joins, and string functions propagate it.
         (16, None, "en", "src8"),
         (17, "null metadata doc body words here", None, None),
+        # --- round-9 class: unicode normalization / astral-plane text.
+        # 18/19: the SAME visual string in NFC vs NFD (é precomposed vs
+        # e+U+0301) — neither engine normalizes, so they must agree the
+        # docs are DIFFERENT (codepoint-level dedup), and every length/
+        # substring/tokenize path must count the combining mark the
+        # same way.
+        (18, "caf\u00e9 latte caf\u00e9 crema", "fr", "src9"),
+        (19, "cafe\u0301 latte cafe\u0301 crema", "fr", "src9"),
+        # 20: astral-plane codepoints (surrogate pairs in UTF-16
+        # engines, 4-byte UTF-8): emoji + ZWJ family + gothic letter —
+        # length() must count codepoints identically, not UTF-16 units.
+        (20, "launch \U0001F680 family \U0001F468\u200d\U0001F469\u200d\U0001F467 note \U0001D11E ok", "en", "src9"),
+        # 21: case-mapping edge chars: ß (upper -> SS, 1->2 chars),
+        # İ (lower -> i + combining dot in full unicode), ﬁ ligature.
+        (21, "straße İstanbul ﬁnance straße", "de", "src10"),
+        # 22: zero-width space + NBSP between words — split(' ') must
+        # NOT split on either in either engine (they are not U+0020).
+        (22, "alpha\u200bbeta gamma\u00a0nbsp delta epsilon", "en", "src10"),
     ]
     return pd.DataFrame(
         [

@@ -456,13 +456,12 @@ def test_collation_merges_case_variants(spark, sf_dir):
     assert rows and all(r.term == r.term.lower() for r in rows)
     variants = {r.n_case_variants for r in rows}
     assert variants <= {1, 2} and 2 in variants  # collation merged spellings
-    # ORACLE PRECONDITION (r5 advisor): the entry's oracle equates
-    # UTF8_LCASE grouping with group-by-lower(), which holds only for
-    # simple case mapping — a full-casefold character (e.g. 'ß' → 'ss'
-    # under ICU) would merge groups in Spark that DuckDB keeps separate.
-    # Pin the precondition: every grouped term must be ASCII. If the
-    # corpus generator ever emits non-ASCII text, this fails loudly here
-    # instead of as an inscrutable driver hash mismatch.
+    # Since r9 the entry scopes itself to ASCII tokens IN-QUERY (the
+    # collate==lower() equivalence only holds for simple case mapping;
+    # the r9 unicode fixture fed it 'İstanbul'/'straße' and the old
+    # corpus-precondition assert became an in-plan filter). Pin the
+    # filter: every grouped term is ASCII on ANY corpus by
+    # construction now.
     assert all(r.term.isascii() for r in rows)
 
 
