@@ -1450,3 +1450,146 @@ def seq_frequent_motifs(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), F.col("motif"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral entropy (round 9)
+# ---------------------------------------------------------------------------
+
+_USER_ENTROPY_ORACLE = """
+WITH tc AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT user_id,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           sum(c * ln(CAST(c AS DOUBLE))) AS slog
+    FROM tc GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       round(ln(CAST(n_events AS DOUBLE)) - slog / n_events, 6)
+           AS behavior_entropy
+FROM s
+"""
+
+
+@register(
+    "user_behavior_entropy",
+    _USER_ENTROPY_ORACLE,
+    doc="Shannon entropy of each user's event-type distribution "
+    "(nats): the behavioral-diversity twin of doc_word_entropy — "
+    "near-zero entropy flags single-action accounts (scrapers, "
+    "monitoring probes), high entropy marks genuinely engaged "
+    "users; a standard bot/engagement screen over the raw event "
+    "log. Same algebraic form H = ln(n) - (Sum c*ln c)/n: two hash "
+    "aggregations over (user, type) counts, no per-event "
+    "probability column, rounded at 6 dp because the float "
+    "Sum c*ln c is addition-order-dependent across partitions and "
+    "JVM/libm ln differs by 1 ulp. NULL user_id is one group in "
+    "both engines (the r8 anonymous-events contract).",
+)
+def user_behavior_entropy(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    tc = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    s = tc.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("slog"),
+    )
+    return s.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(
+            F.log(F.col("n_events").cast("double"))
+            - F.col("slog") / F.col("n_events"),
+            6,
+        ).alias("behavior_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1 / D7 / D30 activation retention (round 9)
+# ---------------------------------------------------------------------------
+
+_ACTIVATION_ORACLE = """
+WITH signups AS (
+    SELECT user_id, min(ts) AS s_ts
+    FROM events
+    WHERE event_type = 'signup' AND user_id IS NOT NULL
+    GROUP BY 1
+), flags AS (
+    SELECT s.user_id, CAST(s.s_ts AS DATE) AS cohort_day,
+           max(CASE WHEN e.ts > s.s_ts
+                     AND e.ts <= s.s_ts + INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END) AS d1,
+           max(CASE WHEN e.ts > s.s_ts
+                     AND e.ts <= s.s_ts + INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END) AS d7,
+           max(CASE WHEN e.ts > s.s_ts
+                     AND e.ts <= s.s_ts + INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END) AS d30
+    FROM signups s
+    LEFT JOIN events e ON e.user_id = s.user_id
+    GROUP BY 1, 2
+)
+SELECT cohort_day,
+       CAST(count(*) AS BIGINT) AS n_signups,
+       CAST(sum(d1) AS BIGINT) AS d1_retained,
+       CAST(sum(d7) AS BIGINT) AS d7_retained,
+       CAST(sum(d30) AS BIGINT) AS d30_retained,
+       CAST(sum(d1) AS DOUBLE) / count(*) AS d1_rate,
+       CAST(sum(d7) AS DOUBLE) / count(*) AS d7_rate,
+       CAST(sum(d30) AS DOUBLE) / count(*) AS d30_rate
+FROM flags GROUP BY 1
+"""
+
+
+@register(
+    "cohort_activation_d1_d7_d30",
+    _ACTIVATION_ORACLE,
+    doc="D1/D7/D30 activation retention by signup-day cohort: for "
+    "each user's FIRST signup, whether ANY later event lands within "
+    "1/7/30 days — the standard growth-accounting readout "
+    "(cohort_retention gives the full month-grain triangle; this is "
+    "the day-grain bounded-horizon form product teams pin on "
+    "dashboards). Exactness: integer flag sums and one final "
+    "double division per rate; window edges are strict-open on the "
+    "signup instant and closed at +N days, both engines comparing "
+    "the same microsecond timestamps. Scale: one user-grain "
+    "min-agg, one hash join on user_id with map-side flag "
+    "aggregation (never a per-event window), then a day-grain "
+    "metadata agg.",
+)
+def cohort_activation_d1_d7_d30(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    signups = (
+        ev.filter(
+            (F.col("event_type") == "signup") & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    e = ev.select("user_id", F.col("ts").alias("e_ts"))
+    flag = lambda days: F.max(
+        F.when(
+            (F.col("e_ts") > F.col("s_ts"))
+            & (F.col("e_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {days} DAYS")),
+            1,
+        ).otherwise(0)
+    )
+    flags = (
+        signups.join(e, "user_id", "left")
+        .groupBy("user_id", F.to_date("s_ts").alias("cohort_day"))
+        .agg(flag(1).alias("d1"), flag(7).alias("d7"), flag(30).alias("d30"))
+    )
+    return flags.groupBy("cohort_day").agg(
+        F.count("*").alias("n_signups"),
+        F.sum("d1").alias("d1_retained"),
+        F.sum("d7").alias("d7_retained"),
+        F.sum("d30").alias("d30_retained"),
+        (F.sum("d1").cast("double") / F.count("*")).alias("d1_rate"),
+        (F.sum("d7").cast("double") / F.count("*")).alias("d7_rate"),
+        (F.sum("d30").cast("double") / F.count("*")).alias("d30_rate"),
+    )

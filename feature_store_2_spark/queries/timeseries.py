@@ -1861,3 +1861,298 @@ def ts_weekly_audience_overlap(spark, sf_dir):
             / F.col("wau")
         ).alias("wow_retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of revenue concentration (round 9)
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH rev AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS crev
+    FROM orders GROUP BY 1
+), rk AS (
+    SELECT crev,
+           row_number() OVER (ORDER BY crev, o_custkey) AS rn
+    FROM rev
+), s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(crev) AS total,
+           sum(rn * crev) AS weighted
+    FROM rk
+)
+SELECT n AS n_customers,
+       CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total_revenue,
+       CAST(CAST(2 * weighted - (n + 1) * total AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(n * total AS VARCHAR) AS DOUBLE) AS gini
+FROM s
+"""
+
+
+@register(
+    "stats_gini_revenue",
+    _GINI_ORACLE,
+    doc="Gini coefficient of customer revenue concentration — the "
+    "single-number inequality complement to pareto_revenue_"
+    "concentration's top-k form (G = 2*Sum(i*x_i)/(n*Sum x) - "
+    "(n+1)/n over ascending-sorted revenues). Exactness: revenue and "
+    "the rank-weighted sum accumulate in DECIMAL (rn*crev stays "
+    "exact; permuting tied revenues cannot change the sum, so the "
+    "(crev, custkey) tie-break is deterministic AND value-"
+    "irrelevant); the numerator 2W-(n+1)T and denominator nT are "
+    "exact decimals cast to double via the varchar round-trip "
+    "(the q1 idiom — DuckDB's direct decimal->double cast can be "
+    "1 ulp off Spark's), and the only double op is their final "
+    "division. Scale: one shuffle to customer grain, then the "
+    "global ascending rank RUNS as the two-phase prefix "
+    "(bucketed_row_number — no single-task corpus sort), and the "
+    "rank-weighted sum is a map-side-combinable agg.",
+)
+def stats_gini_revenue(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("crev")
+    )
+    ranked = bucketed_row_number(
+        rev, "crev", ["crev", "o_custkey"], out_col="rn"
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("crev").alias("total"),
+        F.sum(F.col("rn") * F.col("crev")).alias("weighted"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").cast("double").alias("total_revenue"),
+        (
+            (2 * F.col("weighted") - (F.col("n") + 1) * F.col("total")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("total")).cast("double")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / XYZ inventory classification (round 9)
+# ---------------------------------------------------------------------------
+
+_ABC_XYZ_ORACLE = """
+WITH pr AS (
+    SELECT l_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+    FROM lineitem GROUP BY 1
+), cum AS (
+    SELECT l_partkey, rev,
+           sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS crun,
+           sum(rev) OVER () AS total
+    FROM pr
+), wk AS (
+    SELECT l_partkey, date_trunc('week', l_shipdate) AS w,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * 100) AS BIGINT) AS q
+    FROM lineitem GROUP BY 1, 2
+), cv AS (
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_weeks,
+           sum(q) AS s1, sum(q * q) AS s2
+    FROM wk GROUP BY 1
+)
+SELECT c.l_partkey AS partkey,
+       CAST(CAST(c.rev AS VARCHAR) AS DOUBLE) AS revenue,
+       CASE WHEN c.crun * 5 <= c.total * 4 THEN 'A'
+            WHEN c.crun * 20 <= c.total * 19 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       v.n_weeks,
+       CASE WHEN v.n_weeks < 2 THEN 'Z'
+            WHEN (v.n_weeks * v.s2 - v.s1 * v.s1) * 4
+                 < v.s1 * v.s1 * (v.n_weeks - 1) THEN 'X'
+            WHEN v.n_weeks * v.s2 - v.s1 * v.s1
+                 < v.s1 * v.s1 * (v.n_weeks - 1) THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+FROM cum c JOIN cv v ON c.l_partkey = v.l_partkey
+"""
+
+
+@register(
+    "abc_xyz_part_classes",
+    _ABC_XYZ_ORACLE,
+    doc="ABC/XYZ inventory classification per part: ABC by cumulative "
+    "revenue share (A until 80%, B until 95%, C past that — the "
+    "classic Pareto cut on the revenue-DESC running sum) crossed "
+    "with XYZ demand-variability classes from the coefficient of "
+    "variation of weekly shipped quantity (X: cv < 0.5, Y: cv < 1, "
+    "Z: else or <2 observed weeks). Exactness: every class boundary "
+    "is an integer/decimal cross-multiplication — the ABC cut "
+    "compares crun*5 <= total*4 on exact DECIMAL(12,2) money, and "
+    "the XYZ cut works on centi-unit BIGINT quantities, comparing "
+    "cv^2 via (n*s2-s1^2)*4 < s1^2*(n-1) so no sqrt or float "
+    "division ever decides a class; the revenue double reports via "
+    "the varchar round-trip (the q1 idiom) for bit parity. "
+    "Scale: two part-grain hash aggs (revenue, weekly moments) and "
+    "the global revenue-DESC running sum rides the two-phase "
+    "prefix, never one sort task.",
+)
+def abc_xyz_part_classes(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+        ).alias("rev")
+    )
+    pr2 = pr.withColumn("negrev", -F.col("rev"))
+    cum = bucketed_running_sum(
+        pr2,
+        "negrev",
+        ["negrev", "l_partkey"],
+        F.col("rev"),
+        "crun",
+    ).drop("negrev")
+    tot = pr.agg(F.sum("rev").alias("total"))
+    wk = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("w")
+    ).agg(
+        # centi-units: 2-decimal quantities scale to exact BIGINTs, so
+        # the XYZ moment sums (s1, s2) are pure integer arithmetic with
+        # no decimal-precision ceiling on q*q
+        F.sum(F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("q")
+    )
+    cv = wk.groupBy("l_partkey").agg(
+        F.count("*").alias("n_weeks"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    var_num = F.col("n_weeks") * F.col("s2") - F.col("s1") * F.col("s1")
+    mean_sq = F.col("s1") * F.col("s1")
+    xyz = (
+        F.when(F.col("n_weeks") < 2, "Z")
+        .when(var_num * 4 < mean_sq * (F.col("n_weeks") - 1), "X")
+        .when(var_num < mean_sq * (F.col("n_weeks") - 1), "Y")
+        .otherwise("Z")
+    )
+    abc = (
+        F.when(F.col("crun") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("crun") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .join(cv, "l_partkey")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("rev").cast("double").alias("revenue"),  # oracle: varchar roundtrip
+            abc.alias("abc_class"),
+            "n_weeks",
+            xyz.alias("xyz_class"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-touch / last-touch channel attribution (round 9)
+# ---------------------------------------------------------------------------
+
+_FIRST_LAST_TOUCH_ORACLE = """
+WITH purchases AS (
+    SELECT event_id AS pid, user_id, ts AS p_ts
+    FROM events
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), touches AS (
+    SELECT p.pid,
+           min(struct_pack(t := e.ts, eid := e.event_id,
+                           ch := e.event_type)) AS ft,
+           max(struct_pack(t := e.ts, eid := e.event_id,
+                           ch := e.event_type)) AS lt
+    FROM purchases p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.event_type NOT IN ('purchase')
+     AND e.ts >= p.p_ts - INTERVAL 7 DAY AND e.ts < p.p_ts
+    GROUP BY 1
+), credit AS (
+    SELECT ft.ch AS channel, count(*) AS n_first,
+           0 AS n_last
+    FROM touches GROUP BY 1
+    UNION ALL
+    SELECT lt.ch AS channel, 0 AS n_first, count(*) AS n_last
+    FROM touches GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS np FROM touches)
+SELECT channel,
+       CAST(sum(n_first) AS BIGINT) AS n_first_touch,
+       CAST(sum(n_last) AS BIGINT) AS n_last_touch,
+       CAST(sum(n_first) AS DOUBLE) / (SELECT np FROM tot)
+           AS first_share,
+       CAST(sum(n_last) AS DOUBLE) / (SELECT np FROM tot)
+           AS last_share
+FROM credit GROUP BY 1
+"""
+
+
+@register(
+    "attribution_first_last_touch",
+    _FIRST_LAST_TOUCH_ORACLE,
+    doc="first-touch vs last-touch channel attribution: for every "
+    "purchase with an identified user, the earliest and latest "
+    "non-purchase event in the 7-day lookback window claims the "
+    "credit; output is per-channel conversion counts and shares "
+    "under both rules — the two bookends every marketing mix sits "
+    "between (time-decay and Shapley are the catalog's middle "
+    "points). Exactness: argmin/argmax via min/max over a (ts, "
+    "event_id, channel) struct — total order, engine-identical "
+    "ties; shares are one integer/integer double division. "
+    "Anonymous purchases (NULL user_id) are excluded explicitly: "
+    "they can claim no journey. Scale: the range join is per-user "
+    "(events within 7 days), the same bounded-interval shape as "
+    "join_range_event_pairs; everything after is channel-grain "
+    "metadata.",
+)
+def attribution_first_last_touch(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts")
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("t_ts"), F.col("event_id").alias("eid"),
+        F.col("event_type").alias("ch"),
+    )
+    touch = F.struct(F.col("t_ts").alias("t"), F.col("eid"), F.col("ch"))
+    touches = (
+        p.join(
+            t,
+            (p["user_id"] == t["user_id"])
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("t_ts") < F.col("p_ts")),
+        )
+        .groupBy("pid")
+        .agg(F.min(touch).alias("ft"), F.max(touch).alias("lt"))
+    )
+    tot = touches.agg(F.count("*").alias("np"))
+    first = touches.groupBy(F.col("ft.ch").alias("channel")).agg(
+        F.count("*").alias("n_first_touch")
+    )
+    last = touches.groupBy(F.col("lt.ch").alias("channel")).agg(
+        F.count("*").alias("n_last_touch")
+    )
+    return (
+        first.join(last, "channel", "full")
+        .join(F.broadcast(tot))
+        .select(
+            "channel",
+            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
+            (
+                F.coalesce("n_first_touch", F.lit(0)).cast("double")
+                / F.col("np")
+            ).alias("first_share"),
+            (
+                F.coalesce("n_last_touch", F.lit(0)).cast("double")
+                / F.col("np")
+            ).alias("last_share"),
+        )
+    )

@@ -121,6 +121,10 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # 1-row observed-stat / threshold / verdict-count scalar
                # broadcasts (randomization-test comparisons)
                "stats_permutation_test",
+               # 1-row grand-total scalar broadcast (ABC cumulative-share
+               # denominator) / 1-row purchase-count scalar broadcast
+               # (attribution share denominator)
+               "abc_xyz_part_classes", "attribution_first_last_touch",
                # pairwise theta self-join over the DAILY AGGREGATE
                # (calendar-bounded metadata) + 1-row scalar broadcasts
                "stats_mann_kendall",
