@@ -34,6 +34,15 @@ def get_spark(app_name: str = "feature_store_2_spark") -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Shuffle compression stays on the lz4 default: zstd was
+        # measured both ways (BENCH_NOTES 9b) — at the 100x replica it
+        # cuts shuffle bytes ~40% and wall 19% on the spill-bound
+        # graph entry, but at sf0.1 the CPU overhead costs ~9% total
+        # bench time for zero benefit (small shuffles never touch
+        # disk). On a real cluster submit with
+        # --conf spark.io.compression.codec=zstd for shuffle-heavy
+        # dedup/graph jobs; the bytes cut is network, the scarcest
+        # 100 TB resource.
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
