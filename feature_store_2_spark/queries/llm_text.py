@@ -2731,3 +2731,49 @@ def dedup_exact_substring_spans(spark, sf_dir):
             "dup_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree distribution (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_distribution",
+    _JACV_CTE
+    + """
+, e AS (SELECT doc1, doc2 FROM jacv WHERE jaccard >= 0.5),
+deg AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT doc1 AS v FROM e UNION ALL SELECT doc2 AS v FROM e)
+    GROUP BY 1
+)
+SELECT degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(degree) AS BIGINT) AS n_edge_endpoints
+FROM deg GROUP BY degree
+""",
+    doc="degree histogram of the Jaccard>=0.5 near-dup graph: how many "
+    "docs have k near-duplicates, for each k — the shape diagnostic "
+    "that prices every downstream graph operator (wedge counts scale "
+    "with sum(deg^2), so a heavy tail here is the early warning the "
+    "triangle/clustering entries' degree-ordering exists for) and the "
+    "dedup-policy readout (a spike at high k = template farm, mass at "
+    "k=1 = pairwise drift). Exactness: pure integer counting on the "
+    "prefix-filtered exact-Jaccard edge list. Scale: rides the banded "
+    "candidate machinery; the histogram itself is two metadata-grain "
+    "hash aggs over the edge endpoints.",
+)
+def graph_degree_distribution(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    e = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select("doc1", "doc2")
+    deg = (
+        e.select(F.col("doc1").alias("v"))
+        .unionAll(e.select(F.col("doc2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("degree").cast("long").alias("n_edge_endpoints"),
+    )

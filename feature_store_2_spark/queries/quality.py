@@ -962,3 +962,139 @@ def dq_open_order_aging(spark, sf_dir):
         F.min("age_days").alias("min_age_days"),
         F.max("age_days").alias("max_age_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source freshness lag (round 9)
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_ORACLE = """
+WITH g AS (SELECT max(ts) AS gmax FROM events),
+per AS (
+    SELECT event_type,
+           max(ts) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM events GROUP BY 1
+)
+SELECT p.event_type,
+       epoch_us(p.last_ts) AS last_ts_us,
+       (epoch_us(g.gmax) - epoch_us(p.last_ts)) // 1000000
+           AS lag_seconds,
+       p.n_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM events e
+        WHERE e.event_type = p.event_type
+          AND e.ts > g.gmax - INTERVAL 24 HOUR) AS n_last_24h
+FROM per p CROSS JOIN g
+"""
+
+
+@register(
+    "dq_freshness_lag",
+    _FRESHNESS_ORACLE,
+    doc="per-source freshness audit: each event type's last-seen "
+    "timestamp, its lag behind the corpus high-water mark in whole "
+    "seconds, and trailing-24h volume — the staleness page every "
+    "ingestion SLA dashboard runs before anyone trusts a feature "
+    "refresh (a source whose lag grows while others advance is a "
+    "stuck producer, invisible to row-count checks alone). "
+    "Exactness: microsecond timestamps differenced as integers; no "
+    "floats anywhere. Scale: one conditional hash agg over the "
+    "stream (the 24h flag folds into the same pass as max/count) "
+    "plus a 1-row high-water broadcast — type-grain metadata out.",
+)
+def dq_freshness_lag(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    g = ev.agg(F.max("ts").alias("gmax"))
+    per = (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("ts") > F.col("gmax") - F.expr("INTERVAL 24 HOURS"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_last_24h"),
+            F.max("gmax").alias("gmax"),
+        )
+    )
+    return per.select(
+        "event_type",
+        F.unix_micros("last_ts").alias("last_ts_us"),
+        # integral div, not double division: exact whole-second floor
+        # (DuckDB's date_diff('second') counts boundary crossings — off
+        # by one on sub-second remainders; the oracle floors micros too)
+        F.call_function(
+            "div",
+            F.unix_micros("gmax") - F.unix_micros("last_ts"),
+            F.lit(1_000_000),
+        ).alias("lag_seconds"),
+        "n_total",
+        "n_last_24h",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate event-id audit (round 9)
+# ---------------------------------------------------------------------------
+
+_DUP_EVENT_ORACLE = """
+WITH c AS (
+    SELECT event_id, CAST(count(*) AS BIGINT) AS copies
+    FROM events GROUP BY 1
+), s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_distinct_ids,
+           CAST(sum(copies) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_ids,
+           CAST(sum(CASE WHEN copies > 1 THEN copies ELSE 0 END) AS BIGINT)
+               AS n_dup_rows,
+           CAST(max(copies) AS BIGINT) AS max_copies
+    FROM c
+)
+SELECT n_rows, n_distinct_ids, n_dup_ids, n_dup_rows, max_copies,
+       CAST(n_rows - n_distinct_ids AS DOUBLE) / n_rows AS replay_share
+FROM s
+"""
+
+
+@register(
+    "dq_duplicate_event_audit",
+    _DUP_EVENT_ORACLE,
+    doc="event-id replay audit: distinct ids, ids appearing more than "
+    "once, rows those duplicates contribute, the worst replay "
+    "multiplicity, and the share of rows that uuid-dedup (A5/A7) "
+    "will drop — the upstream-health readout that tells you whether "
+    "a spike in raw volume is traffic or an at-least-once delivery "
+    "storm replaying the same ids across files. Exactness: pure "
+    "integer counting, one final double division. Scale: one "
+    "id-grain hash agg (map-side combinable) folded to a 1-row "
+    "summary — the id-grain table is the same shuffle the dedup "
+    "pipeline already pays.",
+)
+def dq_duplicate_event_audit(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("event_id").agg(F.count("*").alias("copies"))
+    return c.agg(
+        F.sum("copies").cast("long").alias("n_rows"),
+        F.count("*").alias("n_distinct_ids"),
+        F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_ids"),
+        F.sum(F.when(F.col("copies") > 1, F.col("copies")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_rows"),
+        F.max("copies").alias("max_copies"),
+    ).select(
+        "n_rows",
+        "n_distinct_ids",
+        "n_dup_ids",
+        "n_dup_rows",
+        "max_copies",
+        (
+            (F.col("n_rows") - F.col("n_distinct_ids")).cast("double")
+            / F.col("n_rows")
+        ).alias("replay_share"),
+    )

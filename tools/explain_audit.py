@@ -125,6 +125,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                # denominator) / 1-row purchase-count scalar broadcast
                # (attribution share denominator)
                "abc_xyz_part_classes", "attribution_first_last_touch",
+               # 1-row corpus high-water-mark broadcast (freshness lag)
+               "dq_freshness_lag",
                # pairwise theta self-join over the DAILY AGGREGATE
                # (calendar-bounded metadata) + 1-row scalar broadcasts
                "stats_mann_kendall",
@@ -278,6 +280,7 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/quality.py", "act"): "1-row scalar aggregate",
     ("queries/quality.py", "thr"): "5-row ROC threshold spine",
     ("queries/quality.py", "anchor"): "1-row max-date scalar aggregate",
+    ("queries/quality.py", "g"): "1-row high-water-mark scalar aggregate",
     ("queries/llm_text.py", "n"): "1-row n_docs aggregate",
     ("queries/llm_text.py", "shard_prefix"): "shard-totals prefix (1 row/shard, W-tuned ~1e5)",
     ("queries/windows_setops.py", "b"): "equi-depth bucket bounds (k rows)",
