@@ -37,6 +37,7 @@ from feature_store_2_spark.functions.vector import (
     quantize,
 )
 from feature_store_2_spark.operators.text import tokens
+from feature_store_2_spark.operators.cache import track_persist as _track_persist
 
 N_MINHASHES = 16
 N_BANDS = 4  # 4 rows per band
@@ -115,7 +116,7 @@ def ngram_jaccard_pairs(
     is equality-tested against)."""
     # Persisted: the shingle table feeds the pair self-join twice plus
     # the per-doc size aggregate (three scans of one explode).
-    sh = shingle_exploded(docs, text_col, id_col, n).persist()
+    sh = shingle_exploded(docs, text_col, id_col, n).transform(_track_persist)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -161,7 +162,7 @@ def ngram_jaccard_pairs_prefix(
     for the LSH *candidate* operator (its oracle mirrors the same
     construction) — not for reproducing an exact threshold join.
     """
-    sh = shingle_exploded(docs, text_col, id_col, n).persist()
+    sh = shingle_exploded(docs, text_col, id_col, n).transform(_track_persist)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rn = F.row_number().over(
@@ -366,7 +367,7 @@ def minhash_lsh_candidate_pairs(
                 ]
             )
         ).alias("band_idx", "band_key"),
-    ).persist()
+    ).transform(_track_persist)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -684,7 +685,7 @@ def embedding_srp_near_pairs(
         emb.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("v"))
         .withColumn("n2", qnorm2(F.col("v")))
-        .persist()  # feeds the band explode plus both re-rank sides
+        .transform(_track_persist)  # feeds the band explode plus both re-rank sides
     )
     # Explicit partition count on the bucket key: a compact embeddings
     # parquet scans as ~1 partition and AQE would coalesce a bare
@@ -702,7 +703,7 @@ def embedding_srp_near_pairs(
             ).alias("band", "bkey"),
         )
         .repartition(n_parts, "band", "bkey")
-        .persist()  # both sides of the bucket self-join
+        .transform(_track_persist)  # both sides of the bucket self-join
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -785,7 +786,7 @@ def embedding_srp_knn_join(
         emb.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("v"))
         .withColumn("n2", qnorm2(F.col("v")))
-        .persist()
+        .transform(_track_persist)
     )
     bands = (
         base.select(
@@ -795,7 +796,7 @@ def embedding_srp_knn_join(
             ).alias("band", "bkey"),
         )
         .repartition(n_parts, "band", "bkey")
-        .persist()
+        .transform(_track_persist)
     )
     qbands = (
         bands.filter(query_filter) if query_filter is not None else bands
@@ -927,7 +928,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("byte_idx", "byte_val"),
-    ).persist()
+    ).transform(_track_persist)
     a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

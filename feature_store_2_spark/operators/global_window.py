@@ -57,39 +57,13 @@ __all__ = [
 
 _B = "_gw_bucket"
 
-# Bounded FIFO of frames persist()-ed by range_bucket. Persisted blocks
-# must outlive plan construction (the branches read them at action
-# time), so range_bucket can't unpersist its own input — but without a
-# bound every bucketed_* call leaks a cached frame for the session's
-# lifetime (ADVICE r8: rfm_segmentation chains three calls caching
-# progressively wider frames). Unpersisting is always SAFE for
-# correctness — a branch that still references the frame just
-# recomputes its lineage — so a small FIFO keeps the steady-state cache
-# footprint bounded while leaving the frames of the current query (and
-# a few neighbors) warm. release_gw_caches() drops everything now
-# (sweeps, tests, long-lived sessions).
-_MAX_CACHED = 8
-_PERSISTED: list[DataFrame] = []
-
-
-def _track_persist(df: DataFrame) -> None:
-    _PERSISTED.append(df)
-    while len(_PERSISTED) > _MAX_CACHED:
-        try:
-            _PERSISTED.pop(0).unpersist(blocking=False)
-        except Exception:
-            pass  # session already stopped; nothing to release
-
-
-def release_gw_caches() -> None:
-    """Unpersist every frame range_bucket has cached. Safe at any time
-    (consumers recompute from lineage); call between queries in
-    long-lived sessions or after a bucketed_* action completes."""
-    while _PERSISTED:
-        try:
-            _PERSISTED.pop().unpersist(blocking=False)
-        except Exception:
-            pass
+# range_bucket's persisted inputs ride the shared bounded operator
+# cache registry (operators/cache.py — the r8 ADVICE leak fix,
+# generalized repo-wide in r9). release_gw_caches is kept as an alias.
+from feature_store_2_spark.operators.cache import (  # noqa: E402
+    release_tracked_caches as release_gw_caches,
+    track_persist as _track_persist,
+)
 
 
 def range_bucket(
@@ -120,8 +94,7 @@ def range_bucket(
     (oldest unpersisted past _MAX_CACHED) and releasable en masse via
     release_gw_caches() — see the registry note above.
     """
-    df = df.persist()
-    _track_persist(df)
+    df = _track_persist(df)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     qs = df.select(F.col(range_key).cast("double").alias("k")).stat.approxQuantile(
         "k", probs, 0.01

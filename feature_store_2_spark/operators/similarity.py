@@ -20,6 +20,7 @@ import zlib
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators.cache import track_persist as _track_persist
 from feature_store_2_spark.functions.vector import (
     cosine_from_parts,
     qdot,
@@ -223,7 +224,9 @@ def ivf_topk(
     of the corpus per query instead of all of it — the standard IVF trade.
     Recall is tunable via nprobe (tests measure it against brute force).
     """
-    cents = _centroids(emb, id_col, vec_col, label_col, dim).persist()
+    cents = _centroids(emb, id_col, vec_col, label_col, dim).transform(
+        _track_persist
+    )
 
     # Invert: corpus vector -> nearest cell.
     cand = _prepare(emb, id_col, vec_col)

@@ -21,6 +21,7 @@ from feature_store_2_spark.functions.vector import (
     qnorm2,
     quantize,
 )
+from feature_store_2_spark.operators.cache import track_persist as _track_persist
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.queries.relational import dec
 from feature_store_2_spark.sources.tables import load_table
@@ -398,7 +399,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         load_table(spark, "embeddings", sf_dir)
         .select("vec_id", quantize("embedding").alias("v"))
         .withColumn("n2", qnorm2(F.col("v")))
-        .persist()  # both sides of the pair join read it
+        .transform(_track_persist)  # both sides of the pair join read it
     )
     a = e.select(
         F.col("vec_id").alias("vec1"), F.col("v").alias("va"), F.col("n2").alias("na")
