@@ -122,6 +122,9 @@ _PINNED_RESCORE: tuple[str, ...] = (
     # r9 NULL-tie ordering fix (fixture find): top-10 boundary NULLS
     # FIRST pinned explicitly in the oracle.
     "stats_key_skew_profile",
+    # r9 replay fixture class: both as-of relations uuid-dedup first
+    # (per-column min survivor) — replays are one logical event.
+    "udf_cogrouped_asof_join",
     # r9 shuffle-width cuts (BENCH_NOTES 9b): the verify-stage 3-long
     # expansion changed the scored plan of all 11 jaccard consumers
     # (representative: dedup_ngram_jaccard); degree-ordered wedge

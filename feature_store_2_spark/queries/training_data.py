@@ -795,11 +795,13 @@ def search_bm25_topk(spark, sf_dir):
     "udf_cogrouped_asof_join",
     """
 WITH p AS (SELECT user_id, event_id AS purchase_id,
-                  CAST(epoch_us(ts) AS BIGINT) AS purchase_ts_us
-           FROM events WHERE event_type = 'purchase'),
+                  min(CAST(epoch_us(ts) AS BIGINT)) AS purchase_ts_us
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY 1, 2),
 s AS (SELECT user_id, event_id AS version_id,
-             CAST(epoch_us(ts) AS BIGINT) AS st, value AS attr
-      FROM events WHERE event_type = 'signup'),
+             min(CAST(epoch_us(ts) AS BIGINT)) AS st, min(value) AS attr
+      FROM events WHERE event_type = 'signup'
+      GROUP BY 1, 2),
 best AS (
     SELECT p.user_id, p.purchase_id, p.purchase_ts_us,
            s.version_id, s.attr,
@@ -830,16 +832,23 @@ def udf_cogrouped_asof_join(spark, sf_dir):
     import pandas as pd
 
     ev = load_table(spark, "events", sf_dir)
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.unix_micros("ts").alias("purchase_ts_us"),
+    # uuid-dedup BOTH relations first (per-column min — the A5/A7
+    # survivor rule): a replayed event_id is one logical purchase /
+    # signup version, not two as-of probes (r9 replay fixture find —
+    # the oracle's rn=1 collapsed replays while merge_asof emitted one
+    # row per raw input row).
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("event_id").alias("purchase_id"))
+        .agg(F.min(F.unix_micros("ts")).alias("purchase_ts_us"))
     )
-    s = ev.filter(F.col("event_type") == "signup").select(
-        "user_id",
-        F.col("event_id").alias("version_id"),
-        F.unix_micros("ts").alias("st"),
-        F.col("value").alias("attr"),
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("event_id").alias("version_id"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("st"),
+            F.min("value").alias("attr"),
+        )
     )
 
     def merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":

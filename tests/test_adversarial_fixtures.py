@@ -162,6 +162,17 @@ def _crafted_events() -> pd.DataFrame:
                                           # case-sensitive in both)
     rows.append((len(rows), _ts(12, 9, 7), 11, "view", 1.0,
                  None))                   # NULL envelope entirely
+    # --- round-9 class: event_id REPLAY (at-least-once delivery).
+    # The same uuid delivered twice for user 12 with CONFLICTING
+    # payloads (value drifted between retries) — A5/A7 dedup must
+    # resolve the survivor partition/order-independently (min, never
+    # first) on BOTH the batch and streaming paths; and the same
+    # event_id reused by a DIFFERENT user (id-scope check: dedup keys
+    # are (user, uuid), not uuid alone).
+    replay_id = len(rows)
+    rows.append((replay_id, _ts(13, 10, 0), 12, "purchase", 9.75, '{"k": 3}'))
+    rows.append((replay_id, _ts(13, 10, 5), 12, "purchase", 2.25, '{"k": 4}'))
+    rows.append((replay_id, _ts(13, 11, 0), 13, "purchase", 5.00, '{"k": 3}'))
     df = pd.DataFrame(
         rows,
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
