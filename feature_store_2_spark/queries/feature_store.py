@@ -279,3 +279,136 @@ def fs_point_in_time_training_set(spark, sf_dir):
         .cast("long")
         .alias("clicks_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grant flip audit between two corpus snapshots (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _grants_cte(suffix: str, where: str) -> str:
+    """One parameterized instance of the dedup→agg→rules→grants chain
+    (CTE names suffixed so two snapshots coexist in one query). Mirrors
+    _AGG_CTE exactly — same strict-integer k gate, decimal sums, rule
+    conjunctions — plus the long grants projection."""
+    return f"""
+dedup_{suffix} AS (
+    SELECT user_id, event_id,
+           min(event_type) AS event_type,
+           min(CASE WHEN regexp_matches(
+                        trim(json_extract_string(props, '$.k')),
+                        '^[+-]?[0-9]+$')
+                    THEN TRY_CAST(trim(json_extract_string(props, '$.k'))
+                                  AS BIGINT) END) AS k,
+           min(value) AS value
+    FROM events {where}
+    GROUP BY user_id, event_id
+),
+agg_{suffix} AS (
+    SELECT
+        user_id,
+        count(CASE WHEN event_type = 'error' THEN 1 END) AS total_error_flags,
+        count(DISTINCT CASE WHEN event_type = 'signup' THEN k END) AS signup_distinct_ks,
+        count(CASE WHEN event_type = 'signup' THEN 1 END) AS total_signups,
+        CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS total_click_amount,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS total_purchase_amount
+    FROM dedup_{suffix}
+    GROUP BY user_id
+),
+rules_{suffix} AS (
+    SELECT user_id,
+        coalesce(total_error_flags, 0) < 3 AS cannot_error_message,
+        CASE WHEN coalesce(total_signups, 0) < 2 THEN TRUE
+             ELSE (CASE WHEN total_signups = 0 THEN 0.0
+                        ELSE signup_distinct_ks / total_signups END) < 0.95
+        END AS too_many_distinct_ks,
+        (CASE WHEN coalesce(total_purchase_amount, 0.0) = 0 THEN 0.0
+              ELSE coalesce(total_click_amount, 0.0) / total_purchase_amount
+         END) < 1.0 AS click_to_purchase_ratio
+    FROM agg_{suffix}
+),
+grants_{suffix} AS (
+    SELECT user_id, 'purchase' AS feature,
+           too_many_distinct_ks AND click_to_purchase_ratio AS has_grant
+    FROM rules_{suffix}
+    UNION ALL
+    SELECT user_id, 'message', cannot_error_message FROM rules_{suffix}
+)"""
+
+
+_FLIP_ORACLE = (
+    """
+WITH cut AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c FROM events
+),"""
+    + _grants_cte("pre", "WHERE epoch_us(ts) <= (SELECT c FROM cut)")
+    + ","
+    + _grants_cte("now", "")
+    + """
+SELECT coalesce(n.user_id, p.user_id) AS user_id,
+       coalesce(n.feature, p.feature) AS feature,
+       coalesce(p.has_grant, FALSE) AS had_grant,
+       coalesce(n.has_grant, FALSE) AS has_grant,
+       CASE WHEN coalesce(n.has_grant, FALSE) THEN 'gained'
+            ELSE 'lost' END AS flip
+FROM grants_pre p
+FULL JOIN grants_now n
+  ON p.user_id = n.user_id AND p.feature = n.feature
+WHERE coalesce(p.has_grant, FALSE) <> coalesce(n.has_grant, FALSE)
+"""
+)
+
+
+@register(
+    "fs_grant_flip_audit",
+    _FLIP_ORACLE,
+    doc="grant flip audit between two corpus snapshots: the feature "
+    "pipeline evaluated on events up to the corpus midpoint vs the "
+    "full corpus, emitting every (user, feature) whose grant FLIPPED "
+    "— the batch analog of A18's change-notification stream (what "
+    "changed, for whom, in which direction) and the audit a feature "
+    "store runs before shipping a rules change. Absent-in-snapshot "
+    "means no grant (FALSE) — the grants-table reading, distinct "
+    "from A15's fail-open serving default, documented here. "
+    "Exactness: both snapshots are the exact _AGG_CTE machinery "
+    "(strict-integer k, decimal sums); the midpoint cut is integer "
+    "micros floor-div, the CUPED pattern — no wall clock. Scale: "
+    "the pre-snapshot is a filtered re-aggregation (partial aggs, "
+    "same shuffle key), the diff one user-grain full outer join; "
+    "flips out are change-volume-sized, not corpus-sized.",
+)
+def fs_grant_flip_audit(spark, sf_dir):
+    from feature_store_2_spark.plans.feature_pipeline import (
+        feature_grants_long,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        F.call_function(
+            "div",
+            F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")),
+            F.lit(2),
+        ).alias("c")
+    )
+    pre_events = (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(F.unix_micros("ts") <= F.col("c"))
+        .drop("c")
+    )
+    pre = feature_grants_long(pre_events).select(
+        "user_id", "feature", F.col("has_grant").alias("had_grant")
+    )
+    now = feature_grants_long(ev)
+    joined = now.join(pre, ["user_id", "feature"], "full")
+    had = F.coalesce("had_grant", F.lit(False))
+    has = F.coalesce("has_grant", F.lit(False))
+    return (
+        joined.filter(had != has)
+        .select(
+            "user_id",
+            "feature",
+            had.alias("had_grant"),
+            has.alias("has_grant"),
+            F.when(has, "gained").otherwise("lost").alias("flip"),
+        )
+    )

@@ -127,6 +127,8 @@ PAIRWISE_OK = {"dedup_embedding_cosine", "dedup_simhash_pairs", "emb_cosine_topk
                "abc_xyz_part_classes", "attribution_first_last_touch",
                # 1-row corpus high-water-mark broadcast (freshness lag)
                "dq_freshness_lag",
+               # 1-row midpoint-cut scalar broadcast (snapshot split)
+               "fs_grant_flip_audit",
                # pairwise theta self-join over the DAILY AGGREGATE
                # (calendar-bounded metadata) + 1-row scalar broadcasts
                "stats_mann_kendall",
@@ -281,6 +283,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/quality.py", "thr"): "5-row ROC threshold spine",
     ("queries/quality.py", "anchor"): "1-row max-date scalar aggregate",
     ("queries/quality.py", "g"): "1-row high-water-mark scalar aggregate",
+    ("queries/feature_store.py", "bounds"): (
+        "1-row midpoint-cut scalar aggregate (integer-micros corpus split)"
+    ),
     ("queries/llm_text.py", "n"): "1-row n_docs aggregate",
     ("queries/llm_text.py", "shard_prefix"): "shard-totals prefix (1 row/shard, W-tuned ~1e5)",
     ("queries/windows_setops.py", "b"): "equi-depth bucket bounds (k rows)",
