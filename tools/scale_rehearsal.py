@@ -111,6 +111,10 @@ ENTRIES = (
     # (~bands x occupancy) while n grows, so total time ~the linear
     # banding pass (census receipt in BENCH_NOTES 9a)
     "emb_lsh_ann_topk",
+    # round-9: the ABC/XYZ classifier — two part-grain hash aggs + the
+    # two-phase global revenue-DESC running sum over replicated
+    # lineitem; linear by construction, measured to confirm
+    "abc_xyz_part_classes",
 )
 
 
