@@ -1286,13 +1286,16 @@ FROM documents d LEFT JOIN pernode p USING (doc_id)
     "canonical-per-cluster or pairwise suppression is the right dedup "
     "policy. Compact-forward orientation counts each triangle exactly "
     "once with two equi-joins and no direction explosion — the "
-    "standard MapReduce triangle recipe — and since r9 the edges are "
-    "DEGREE-ordered (oriented from the (deg, id)-smaller endpoint), "
-    "capping any node's wedge fan-out at ~sqrt(2|E|)^2 so high-degree "
-    "hubs never build quadratic wedges; per-node counts are "
-    "orientation-independent, so the oracle keeps the simpler lo<hi "
-    "form. Edge list localCheckpointed: three scans of one "
-    "prefix-filtered candidate join, not three recomputations.",
+    "standard MapReduce triangle recipe — and since r9 edge lists "
+    "past 1M edges are DEGREE-ordered (oriented from the (deg, id)-"
+    "smaller endpoint), capping any node's wedge fan-out at "
+    "~sqrt(2|E|) so high-degree hubs never build quadratic wedges; "
+    "below the gate the lo<hi form runs as-is (the degree attach is "
+    "pure fixed overhead on small edge lists — measured ~2 s at "
+    "sf0.1). Per-node counts are orientation-independent, so both "
+    "branches and the oracle agree exactly. Edge list "
+    "localCheckpointed: the gate count and every wedge scan read one "
+    "materialized candidate join, not recomputations.",
 )
 def graph_triangle_count(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
@@ -1301,17 +1304,48 @@ def graph_triangle_count(spark, sf_dir):
         .select("doc1", "doc2")
         .localCheckpoint()
     )
-    # DEGREE-ordered orientation (r9): the lo<hi edge list builds
-    # wedges at whichever endpoint has the smaller ID — a high-degree
-    # hub with a small id fans out deg^2 wedges (the skew term the
-    # 100x rehearsal pays through one box's disk). Re-orienting every
+    # DEGREE-ordered orientation (r9), SIZE-GATED: the lo<hi edge list
+    # builds wedges at whichever endpoint has the smaller ID — a
+    # high-degree hub with a small id fans out deg^2 wedges, the skew
+    # term that kills hub-shaped graphs at scale. Re-orienting every
     # edge from the (deg, id)-smaller endpoint bounds each node's
     # out-degree by ~sqrt(2|E|) (a node of degree d has at most
     # 2|E|/d neighbors of degree >= d), the classic wedge-count cap.
     # Each triangle still materializes exactly once — its (deg, id)
     # orientation is acyclic (a total order) — and the per-node explode
     # is orientation-independent, so values are unchanged and the
-    # DuckDB oracle keeps its compact-forward form.
+    # DuckDB oracle keeps its compact-forward form. The gate
+    # (count() on the ALREADY-checkpointed edge list — a free metadata
+    # action, the broadcast_attach precedent): below 1M edges the
+    # worst-case lo<hi wedge volume is harmless and the degree attach
+    # is pure fixed job overhead (~2 s at sf0.1, measured); above it
+    # the skew cap is what survives a hub.
+    use_degree_order = e.count() >= 1_000_000
+    if not use_degree_order:
+        tri = (
+            e.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+            .join(
+                e.select(F.col("doc1").alias("b"), F.col("doc2").alias("c")),
+                "b",
+            )
+            .join(
+                e.select(F.col("doc1").alias("a"), F.col("doc2").alias("c")),
+                ["a", "c"],
+            )
+        )
+        pernode = (
+            tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        return (
+            docs.select("doc_id")
+            .join(pernode, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cnt", F.lit(0)).cast("long").alias("n_triangles"),
+            )
+        )
     deg = (
         e.select(F.col("doc1").alias("v"))
         .unionAll(e.select(F.col("doc2").alias("v")))
