@@ -86,7 +86,7 @@ def _stage_sliced(spark, factor: int, n_slices: int = 24) -> str:
     return out
 
 
-def _join_streams(spark, src_glob: str, watermark: str):
+def _join_streams(spark, src_glob: str, watermark: str, how: str = "inner"):
     purchases = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -110,7 +110,7 @@ def _join_streams(spark, src_glob: str, watermark: str):
             F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"),
             F.col("c_ts") <= F.col("p_ts"),
         ],
-        "inner",
+        how,
     ).select(
         purchases.user_id.alias("user_id"), "purchase_id", "click_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
@@ -162,6 +162,20 @@ def main() -> int:
         r.update(form="steady_1d_watermark", factor=fac, corpus_rows=n,
                  sec=round(time.time() - t0, 1))
         print("@@" + json.dumps(r), flush=True)
+
+        # outer variants: same state machine + a null-emission timer —
+        # the horizon bound must hold identically (measured, not argued
+        # by analogy).
+        for how in ("left_outer", "full_outer"):
+            t0 = time.time()
+            r = _run(
+                spark,
+                _join_streams(spark, glob, "1 day", how=how),
+                f"{how}{fac}",
+            )
+            r.update(form=f"steady_1d_{how}", factor=fac, corpus_rows=n,
+                     sec=round(time.time() - t0, 1))
+            print("@@" + json.dumps(r), flush=True)
     return 0
 
 
