@@ -135,6 +135,13 @@ _PINNED_RESCORE: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "graph_triangle_count",
     "sim_token_cosine_pairs",
+    # NOT pinned despite r9 code changes (head budget: 9 staples + 11
+    # pins + the 30-entry backlog = exactly 50): the non-finite-value
+    # gates (isfinite intake on the six CDF/distribution entries + the
+    # 29 oracle decimal-cast gates) are value-identical on every
+    # finite corpus — the driver's corpora contain no NaN/Inf, the
+    # adversarial fixture suite pins the new semantics, and staleness
+    # rotation re-scores the entries naturally.
 )
 
 

@@ -144,7 +144,7 @@ _DECAY_REF = "2024-02-15"
 _DECAY_ORACLE = f"""
 SELECT user_id,
        count(*) AS n_purchases,
-       CAST(sum(CAST(value AS DECIMAL(18,2))
+       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,2)) END
                 * CAST(power(0.5, date_diff('day', CAST(ts AS DATE),
                                             DATE '{_DECAY_REF}') // 7)
                        AS DECIMAL(8,6))) AS DOUBLE) AS decayed_value
@@ -486,7 +486,7 @@ SELECT user_id, wk,
        max(value) AS high,
        min(value) AS low,
        max(CASE WHEN rn_l = 1 THEN value END) AS close,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS volume
 FROM rk GROUP BY user_id, wk
 """,
     doc="OHLC downsampling (open/high/low/close + volume per user-week) "
@@ -611,7 +611,7 @@ def funnel_windowed_conversion(spark, sf_dir):
     """
 WITH r AS (
     SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
-           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro,
+           CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS v_micro,
            event_id
     FROM events WHERE event_type = 'purchase'),
 seg AS (
@@ -775,7 +775,7 @@ def ab_test_chi_squared(spark, sf_dir):
     """
 WITH spend AS (
     SELECT event_type, user_id,
-           CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+           CAST(sum(CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT))
                 AS BIGINT) AS cents
     FROM events GROUP BY event_type, user_id),
 ranked AS (
@@ -858,7 +858,7 @@ WITH per_user AS (
            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                 AS BIGINT) AS x,
            CAST(sum(CASE WHEN event_type = 'purchase'
-                         THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                         THEN CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000
                                    AS BIGINT) ELSE 0 END) AS BIGINT) AS y
     FROM events GROUP BY user_id),
 m AS (
@@ -1036,7 +1036,7 @@ WITH coh AS (
            date_diff('day', coh.cohort_week,
                      CAST(date_trunc('week', e.ts) AS DATE)) // 7
                AS weeks_since,
-           sum(CAST(e.value AS DECIMAL(18,6))) AS wrev
+           sum(CASE WHEN isfinite(e.value) THEN CAST(e.value AS DECIMAL(18,6)) END) AS wrev
     FROM events e JOIN coh ON e.user_id = coh.user_id
     WHERE e.event_type = 'purchase'
     GROUP BY 1, 2

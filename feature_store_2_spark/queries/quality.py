@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.functions.num import is_finite
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
@@ -126,7 +127,7 @@ SELECT CAST(year(ts) AS BIGINT) AS y,
        CAST(grouping(year(ts)) * 4 + grouping(month(ts)) * 2
             + grouping(day(ts)) AS BIGINT) AS gid,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS total_value
 FROM events
 GROUP BY ROLLUP (year(ts), month(ts), day(ts))
 """,
@@ -342,7 +343,8 @@ def stats_join_size_forecast(spark, sf_dir):
     """
 WITH b AS (
     SELECT event_type,
-           CAST(floor(value / 20) AS BIGINT) AS bin,
+           CASE WHEN isfinite(value)
+                THEN CAST(floor(value / 20) AS BIGINT) END AS bin,
            CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half
     FROM events),
 c AS (
@@ -384,7 +386,13 @@ def dq_distribution_drift(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     b = ev.select(
         "event_type",
-        F.floor(F.col("value") / 20).cast("long").alias("bin"),
+        # non-finite values bin as NULL alongside NULLs (the garbage
+        # bin) — both engines agree; a bare floor/cast diverges (r9
+        # non-finite class)
+        F.when(
+            is_finite(F.col("value")),
+            F.floor(F.col("value") / 20).cast("long"),
+        ).alias("bin"),
         F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0)
         .otherwise(1)
         .alias("half"),

@@ -207,7 +207,7 @@ def argmax_latest_event_per_user(spark, sf_dir):
     """
 WITH dim AS (
     SELECT event_type,
-           CAST(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE)
                 / count(value) AS DOUBLE) AS type_avg
     FROM events GROUP BY event_type
 )

@@ -759,9 +759,9 @@ WITH RECURSIVE base AS (
            row_number() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) AS rn,
            CAST(COALESCE(CASE WHEN event_type = 'purchase'
-                     THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                     THEN CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT)
                      WHEN event_type = 'click'
-                     THEN -CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                     THEN -CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT)
                      ELSE 0 END, 0) AS BIGINT) AS delta
     FROM events),
 rec AS (

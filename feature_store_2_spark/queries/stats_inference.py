@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from feature_store_2_spark.operators.global_window import (
     bucketed_running_sums,
 )
+from feature_store_2_spark.functions.num import is_finite
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
@@ -430,8 +431,8 @@ def stats_survival_km(spark, sf_dir):
 
 _EDH_ORACLE = """
 WITH base AS (
-    SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
-    FROM events WHERE value IS NOT NULL
+    SELECT CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS v
+    FROM events WHERE isfinite(value)
 ), hist AS (
     SELECT v, count(*) AS c FROM base GROUP BY v
 ), cum AS (
@@ -476,9 +477,10 @@ FROM edges
 )
 def stats_equidepth_histogram(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
-    # NULL values have no place in a value histogram (round-8
-    # NULL-value fixture find) — excluded on BOTH engines.
-    ev = ev.filter(F.col("value").isNotNull())
+    # Only FINITE values enter a value histogram (r8 NULL find; r9
+    # non-finite class — engines can't even agree to cast NaN) —
+    # excluded on BOTH engines.
+    ev = ev.filter(is_finite(F.col("value")))
     base = ev.select(
         (F.col("value").cast("decimal(18,6)") * 1_000_000)
         .cast("long")
@@ -625,7 +627,7 @@ _BOOT_COUNT_SQL = " + ".join(
 _BOOT_ORACLE = f"""
 WITH base AS (
     SELECT event_id,
-           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS v
     FROM events
 ), fan AS (
     SELECT v, t.b,
@@ -747,7 +749,7 @@ _PERM_U32 = " + ".join(
 _PERM_ORACLE = f"""
 WITH base AS (
     SELECT event_id,
-           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+           CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS v,
            event_type = 'click' AS is_a
     FROM events WHERE event_type IN ('click', 'purchase')
 ), obs AS (
@@ -1056,7 +1058,7 @@ def stats_mann_kendall(spark, sf_dir):
 _WELCH_ORACLE = """
 WITH base AS (
     SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS side,
-           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+           CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS v
     FROM events WHERE event_type IN ('click', 'purchase')
 ), m AS (
     SELECT
@@ -1206,7 +1208,7 @@ pu AS (
                      THEN 1 ELSE 0 END) AS BIGINT) AS x,
            CAST(sum(CASE WHEN event_type = 'purchase'
                           AND epoch_us(ts) >= (SELECT m FROM mid)
-                     THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                     THEN CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000
                                AS BIGINT) ELSE 0 END) AS BIGINT) AS y
     FROM events GROUP BY user_id),
 v AS (

@@ -230,7 +230,7 @@ def fs_point_lookup(spark, sf_dir):
     """
 SELECT CAST(ts AS DATE) AS day, event_type,
        count(*) AS n,
-       CAST(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS DOUBLE) AS total_value
 FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
 GROUP BY 1, 2
@@ -307,7 +307,7 @@ def join_dpp_partitioned(spark, sf_dir):
     """
 SELECT CAST(count(*) AS BIGINT) AS n_parsed,
        CAST(3 AS BIGINT) AS n_quarantined,
-       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 """,
@@ -420,7 +420,7 @@ def scan_schema_evolution(spark, sf_dir):
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
 FROM events GROUP BY event_type
 """,
     doc="ORC source roundtrip — the second columnar format Spark ships "
@@ -457,7 +457,7 @@ def scan_orc_roundtrip(spark, sf_dir):
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(user_id) AS BIGINT) AS sum_users,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
 FROM events GROUP BY event_type
 """,
     doc="Python Data Source API (new Spark 4 surface): a custom source "
@@ -620,7 +620,7 @@ def storage_write_audit_publish(spark, sf_dir):
 _MV_ORACLE = """
 SELECT event_type, CAST(ts AS DATE) AS d,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 

@@ -287,7 +287,7 @@ WITH p AS (
     SELECT user_id,
            max(CAST(ts AS DATE)) AS last_d,
            count(*) AS freq,
-           sum(CAST(value AS DECIMAL(18,6))) AS monetary
+           sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END) AS monetary
     FROM events WHERE event_type = 'purchase' GROUP BY 1
 ), coh AS (
     SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
@@ -1332,7 +1332,7 @@ def window_cumulative_share(spark, sf_dir):
 _BANDS_ORACLE = """
 WITH p AS (
     SELECT CAST(ts AS DATE) AS d,
-           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm,
+           CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS vm,
            event_id
     FROM events WHERE event_type = 'purchase'
 ), rk AS (

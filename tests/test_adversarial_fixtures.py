@@ -75,6 +75,12 @@ def _ts(day, h=0, m=0, s=0, us=0):
     return dt.datetime(2024, 1, day, h, m, s, us)
 
 
+# event_ids whose value must be written as a TRUE (non-null) NaN —
+# pandas float64 columns collapse NaN and None, so crafted_dir patches
+# the parquet value column from the raw row list via pyarrow.
+_NAN_EVENT_IDS: set[int] = set()
+
+
 def _crafted_events() -> pd.DataFrame:
     rows = []
 
@@ -173,6 +179,23 @@ def _crafted_events() -> pd.DataFrame:
     rows.append((replay_id, _ts(13, 10, 0), 12, "purchase", 9.75, '{"k": 3}'))
     rows.append((replay_id, _ts(13, 10, 5), 12, "purchase", 2.25, '{"k": 4}'))
     rows.append((replay_id, _ts(13, 11, 0), 13, "purchase", 5.00, '{"k": 3}'))
+    # --- round-9 class: NON-FINITE doubles (a divide-by-zero upstream,
+    # a corrupted float — every long-lived pipeline eventually sees
+    # them). Contract: a non-finite measurement is MISSING for exact
+    # (decimal) accumulation — Spark's double->decimal cast nulls
+    # NaN/Inf even under ANSI, and the oracles gate with isfinite()
+    # because DuckDB's cast (even TRY_CAST) ERRORS instead. Dated
+    # April so the bounded bitmap subset (ts < March) is unaffected.
+    # NOTE: the NaN row is stored as None here and patched to a true
+    # NaN at write time (pandas float64 can't hold a non-null NaN
+    # distinct from None) — see _NAN_EVENT_IDS in crafted_dir.
+    _NAN_EVENT_IDS.add(len(rows))
+    rows.append((len(rows), dt.datetime(2024, 4, 2, 10), 14, "purchase",
+                 None, '{"k": 1}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 2, 11), 14, "click",
+                 float("inf"), '{"k": 1}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 2, 12), 14, "purchase",
+                 float("-inf"), '{"k": 1}'))
     df = pd.DataFrame(
         rows,
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -187,8 +210,24 @@ def _crafted_events() -> pd.DataFrame:
 
 @pytest.fixture(scope="module")
 def crafted_dir(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     d = tmp_path_factory.mktemp("adversarial")
-    _crafted_events().to_parquet(d / "events.parquet")
+    df = _crafted_events()
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    # Re-build the value column so the _NAN_EVENT_IDS rows carry a true
+    # NaN (non-null) while the genuine missing values stay null.
+    vals = [
+        float("nan") if eid in _NAN_EVENT_IDS
+        else (None if pd.isna(v) else float(v))
+        for eid, v in zip(df["event_id"], df["value"])
+    ]
+    t = t.set_column(
+        t.schema.get_field_index("value"), "value",
+        pa.array(vals, pa.float64()),
+    )
+    pq.write_table(t, d / "events.parquet")
     return str(d)
 
 
