@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -187,7 +188,13 @@ def streaming_user_aggregates(
                     vals = rows[fnames[spec.field]].dropna()
                     distinct_sets[i].update(str(v) for v in vals)
                 else:  # SUM in exact integer cents
+                    # dropna AND drop non-finite: the batch path's
+                    # double->decimal cast nulls NaN/Inf (the r9
+                    # non-finite contract — a bad measurement is
+                    # MISSING); int(round(nan)) here would kill the
+                    # whole stream on one corrupted row instead.
                     vals = rows[fnames[spec.field]].dropna()
+                    vals = vals[np.isfinite(vals.astype(float))]
                     accs[i] += int(round(float(vals.sum()) * 100))
         new_state = []
         for i, spec in enumerate(specs):
