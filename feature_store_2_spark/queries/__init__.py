@@ -90,58 +90,38 @@ _STAPLES: tuple[str, ...] = (
 # never-scored FIFO — so the changed code earns a driver row the same
 # round it ships; remove a name once its fresh row lands.
 #
-# Round 9 pins. All 19 round-8 pins earned green r8 rows
-# (CORRECTNESS_r08.json: 50/50 green, zero err) and are cleared; with
-# the pin tier empty-ish, the head is staples + the full 30-entry
-# never-scored FIFO (the r8 verdict's ask #1: drain it to zero) + ~10
-# staleness slots. Names are appended here as round-9 code changes
-# ship (each needs a fresh driver row the same round).
+# Round 10 pins. All 11 round-9 pins earned green r9 rows
+# (CORRECTNESS_r09.json: 50/50 green, zero err) and are cleared. The
+# head is 9 staples + the pins below + the 9 never-scored round-9
+# registrations + ~25 staleness slots (the r9 verdict's ask #2: rotate
+# the oldest r1-r4 green rows back through the driver). Names are
+# appended here as round-10 code changes ship.
 _PINNED_RESCORE: tuple[str, ...] = (
-    # ADVICE r8 (medium): emb_knn_label_vote oracle votes CTE counted
-    # unlabeled neighbors as a NULL vote group while the engine filters
-    # them pre-vote; oracle now agrees (WHERE label IS NOT NULL).
-    "emb_knn_label_vote",
-    # r8 verdict ask #2: the last fixed-band ANN entry promoted onto
-    # srp_scored_params (query-filtered + broadcast band join replaces
-    # the 16-bucket hamming-1 multiprobe whose candidates were a
-    # constant ~31% corpus fraction per query).
-    "emb_lsh_ann_topk",
-    # r9 props-envelope fixture class (6 finds): try_cast/try_variant_
-    # get crash-proofing + the strict-integer field contract changed
-    # these two entries' semantics on hostile envelopes (fs_* pipeline
-    # consumers are covered by the fs_user_aggregates /
-    # fs_purchase_allowlist / stream_feature_grants staples).
-    "func_json_events",
+    # r10 ADVICE (medium): the variant oracle's DOUBLE branch now
+    # TRY_CASTs the trunc() result, so an out-of-int64 double like
+    # {"k": 1e30} degrades to NULL on both engines instead of crashing
+    # the DuckDB oracle.
     "func_variant_semistructured",
-    # r9 unicode fixture class: U+0130 lower() divergence — oracle
-    # mirror (representative: the fingerprint entry; fuzzy/incremental/
-    # curation share the recipe and rotate via staleness) + the
-    # collation entry's in-query ASCII scoping (semantic change).
+    # r10 ADVICE (low): the strict-integer k gate's oracle trim now
+    # strips the same [\x00-\x20\x7F] class Spark try_cast's trimAll
+    # strips (DuckDB trim() is space-only; '"\t12"' extracted 12 in
+    # Spark but NULL in the oracle). Shared via _AGG_CTE/_grants_cte;
+    # fs_user_aggregates / fs_purchase_allowlist /
+    # stream_feature_grants are staples and rescore anyway.
+    "func_json_events",
+    # r10 ADVICE (low): _spark_lower_sql now mirrors Java's conditional
+    # Final_Sigma rule (Σ at word end lowers to ς, U+03C2) with an RE2
+    # consume-and-restore rewrite, alongside the r9 U+0130 expansion.
+    # All four consumers of the mirror pinned.
     "doc_fingerprint_normalized",
-    "func_collation_case_insensitive",
-    # r9 NULL-tie ordering fix (fixture find): top-10 boundary NULLS
-    # FIRST pinned explicitly in the oracle.
-    "stats_key_skew_profile",
-    # r9 replay fixture class: both as-of relations uuid-dedup first
-    # (per-column min survivor) — replays are one logical event.
-    "udf_cogrouped_asof_join",
-    # r9 shuffle-width cuts (BENCH_NOTES 9b): the verify-stage 3-long
-    # expansion changed the scored plan of all 11 jaccard consumers
-    # (representative: dedup_ngram_jaccard); degree-ordered wedge
-    # orientation changed graph_triangle_count; hashed-word-key +
-    # smaller-side expansion changed sim_token_cosine_pairs. All
-    # value-identical (3-SF oracle sweeps green) — pinned so the
-    # changed plans earn driver rows this round.
-    "dedup_ngram_jaccard",
-    "graph_triangle_count",
-    "sim_token_cosine_pairs",
-    # NOT pinned despite r9 code changes (head budget: 9 staples + 11
-    # pins + the 30-entry backlog = exactly 50): the non-finite-value
-    # gates (isfinite intake on the six CDF/distribution entries + the
-    # 29 oracle decimal-cast gates) are value-identical on every
-    # finite corpus — the driver's corpora contain no NaN/Inf, the
-    # adversarial fixture suite pins the new semantics, and staleness
-    # rotation re-scores the entries naturally.
+    "doc_corpus_curation",
+    "dedup_fuzzy_levenshtein",
+    "dedup_incremental_new_docs",
+    # r10 fixture find: get_json_object re-renders scientific-notation
+    # JSON numbers ('1e30' -> '1.0E30') while DuckDB keeps the source
+    # text — the hashed k feature moved to the strict-integer contract
+    # with canonical rendering (semantic change, needs a fresh row).
+    "feat_hashing_trick",
 )
 
 

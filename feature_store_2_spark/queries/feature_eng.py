@@ -273,12 +273,26 @@ _HASH_FEAT_DIGIT = (
     f"'{_HEXD}') AS BIGINT) - 1)"
 )
 
+# The k feature follows the repo-wide strict-integer props contract
+# (r9): k participates only as a clean integer, rendered canonically
+# (CAST(BIGINT AS VARCHAR)) on both engines. Hashing the RAW extracted
+# text is not portable — Spark's get_json_object re-renders scientific
+# notation ('1e30' -> '1.0E30') while DuckDB preserves the source text
+# (r10 fixture find), so raw-text md5 buckets diverge cross-engine.
+_K_TRIMMED = (
+    "regexp_replace(json_extract_string(props, '$.k'), "
+    "'^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$', '', 'g')"
+)
+
 _HASHING_ORACLE = f"""
 WITH feats AS (
     SELECT user_id, 'et=' || event_type AS f FROM events
     UNION ALL
-    SELECT user_id, 'k=' || json_extract_string(props, '$.k') AS f
-    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    SELECT user_id,
+           'k=' || CAST(TRY_CAST({_K_TRIMMED} AS BIGINT) AS VARCHAR) AS f
+    FROM events
+    WHERE regexp_matches({_K_TRIMMED}, '^[+-]?[0-9]+$')
+      AND TRY_CAST({_K_TRIMMED} AS BIGINT) IS NOT NULL
 )
 SELECT user_id,
        {_HASH_FEAT_DIGIT} AS bucket,
@@ -297,13 +311,18 @@ GROUP BY user_id, bucket
     "(no fitted dictionary, new categories at serving time just "
     "hash somewhere) every large-scale linear/FM model uses. "
     "Bucket = first md5 hex digit, identical on both engines; "
-    "collisions are the accepted trade. Scale: explode to 2 "
+    "collisions are the accepted trade. The k feature is the "
+    "strict-integer contract value rendered canonically — hashing "
+    "the raw JSON text diverges cross-engine on scientific "
+    "notation (Spark get_json_object re-renders 1e30 as 1.0E30; "
+    "r10 fixture find). Scale: explode to 2 "
     "feature rows per event JVM-side, one hash agg on "
     "(user, bucket) with map-side combine; output is bounded by "
     "users x 16 — the dimensionality cap is the point.",
 )
 def feat_hashing_trick(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
+    k_long = F.get_json_object("props", "$.k").try_cast("long")
     feats = ev.select(
         "user_id",
         F.explode(
@@ -311,11 +330,8 @@ def feat_hashing_trick(spark, sf_dir):
                 F.array(
                     F.concat(F.lit("et="), F.col("event_type")),
                     F.when(
-                        F.get_json_object("props", "$.k").isNotNull(),
-                        F.concat(
-                            F.lit("k="),
-                            F.get_json_object("props", "$.k"),
-                        ),
+                        k_long.isNotNull(),
+                        F.concat(F.lit("k="), k_long.cast("string")),
                     ),
                 )
             )

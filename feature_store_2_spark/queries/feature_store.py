@@ -32,9 +32,11 @@ WITH dedup AS (
            -- the regex gate mirrors Spark try_cast's strict integer
            -- parse (DuckDB's bare TRY_CAST would round '1.5' to 2)
            min(CASE WHEN regexp_matches(
-                        trim(json_extract_string(props, '$.k')),
+                        regexp_replace(json_extract_string(props, '$.k'),
+                          '^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$', '', 'g'),
                         '^[+-]?[0-9]+$')
-                    THEN TRY_CAST(trim(json_extract_string(props, '$.k'))
+                    THEN TRY_CAST(regexp_replace(json_extract_string(props, '$.k'),
+                          '^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$', '', 'g')
                                   AS BIGINT) END) AS k,
            min(value) AS value
     FROM events
@@ -296,9 +298,11 @@ dedup_{suffix} AS (
     SELECT user_id, event_id,
            min(event_type) AS event_type,
            min(CASE WHEN regexp_matches(
-                        trim(json_extract_string(props, '$.k')),
+                        regexp_replace(json_extract_string(props, '$.k'),
+                          '^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$', '', 'g'),
                         '^[+-]?[0-9]+$')
-                    THEN TRY_CAST(trim(json_extract_string(props, '$.k'))
+                    THEN TRY_CAST(regexp_replace(json_extract_string(props, '$.k'),
+                          '^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$', '', 'g')
                                   AS BIGINT) END) AS k,
            min(value) AS value
     FROM events {where}

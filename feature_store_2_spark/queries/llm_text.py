@@ -153,14 +153,34 @@ def doc_quality_score(spark, sf_dir):
 
 
 # DuckDB mirror of Spark's lower(): Java implements the full Unicode
-# SpecialCasing lowercase table, whose only unconditional multi-char
-# entry is U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE -> i + U+0307;
-# DuckDB simple-maps it to a bare 'i' (r9 unicode fixture find). Every
-# oracle that lowercases document text pre-expands the char so both
-# engines agree on Spark's mapping. Applied AFTER any substr/slice so
-# the expansion can't shift character offsets relative to Spark.
+# SpecialCasing lowercase table \u2014 two entries diverge from DuckDB's
+# simple map (r9/r10 unicode fixture finds):
+#   1. U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE -> i + U+0307
+#      (unconditional multi-char; DuckDB gives a bare 'i');
+#   2. the conditional Final_Sigma rule: \u03a3 preceded by a cased letter
+#      (+ optional case-ignorables) and NOT followed by case-ignorables
+#      then a cased letter lowers to \u03c2 U+03C2 (DuckDB: always \u03c3 U+03C3).
+# The sigma rule is mirrored with an RE2 consume-and-restore rewrite
+# (RE2 has no lookarounds): the trailing class excludes BOTH letters
+# and case-ignorables so backtracking can't sneak an ignorable into
+# the boundary slot (\u0392\u039f\u03a3'\u0391 must stay \u03c3 while \u039f'\u03a3 becomes \u03c2) \u2014 verified
+# against Spark on a 35-case battery incl. apostrophes, combining
+# marks, digits and CJK neighbors (tests/test_adversarial_fixtures.py
+# unicode class). Case-ignorable approximation: combining marks +
+# apostrophe/right-quote/middle-dot/ano-teleia/modifier-apostrophe \u2014
+# the characters that plausibly appear inside words in real corpora.
+# Applied AFTER any substr/slice so the rewrite can't shift character
+# offsets relative to Spark.
+_CI = "\\p{M}\\x27\u2019\u00b7\u0387\u02bc"
+_CASED = "\\p{Lu}\\p{Ll}\\p{Lt}"
+_SIGMA_PAT = f"([{_CASED}][{_CI}]*)\u03a3([{_CI}]*($|[^\\p{{L}}{_CI}]))"
+
+
 def _spark_lower_sql(expr: str) -> str:
-    return f"lower(replace({expr}, '\u0130', 'i' || chr(775)))"
+    return (
+        f"lower(replace(regexp_replace({expr}, '{_SIGMA_PAT}', "
+        f"'\\1\u03c2\\2', 'g'), '\u0130', 'i' || chr(775)))"
+    )
 
 
 @register(

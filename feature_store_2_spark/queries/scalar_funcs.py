@@ -146,9 +146,11 @@ def func_array_embeddings(spark, sf_dir):
 WITH x AS (
     SELECT event_id,
            CASE WHEN regexp_matches(
-                    trim(json_extract_string(props, '$.k')),
+                    regexp_replace(json_extract_string(props, '$.k'),
+                          '^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$', '', 'g'),
                     '^[+-]?[0-9]+$')
-                THEN TRY_CAST(trim(json_extract_string(props, '$.k'))
+                THEN TRY_CAST(regexp_replace(json_extract_string(props, '$.k'),
+                          '^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$', '', 'g')
                               AS BIGINT) END AS k
     FROM events
 )
@@ -479,11 +481,11 @@ WITH x AS (
            CASE
              WHEN kt IN ('BIGINT', 'UBIGINT') THEN TRY_CAST(ks AS BIGINT)
              WHEN kt = 'DOUBLE'
-               THEN CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS BIGINT)
+               THEN TRY_CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS BIGINT)
              WHEN kt = 'BOOLEAN'
                THEN CASE WHEN ks = 'true' THEN 1 ELSE 0 END
-             WHEN kt = 'VARCHAR' AND regexp_matches(trim(ks), '^[+-]?[0-9]+$')
-               THEN TRY_CAST(trim(ks) AS BIGINT)
+             WHEN kt = 'VARCHAR' AND regexp_matches(regexp_replace(ks, '^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$', '', 'g'), '^[+-]?[0-9]+$')
+               THEN TRY_CAST(regexp_replace(ks, '^[\\x00-\\x20\\x7F]+|[\\x00-\\x20\\x7F]+$', '', 'g') AS BIGINT)
              ELSE NULL
            END AS k_val
     FROM x
@@ -502,7 +504,10 @@ FROM v
     "The oracle mirrors Spark's variant->bigint cast lattice per "
     "JSON type (integers pass through, doubles truncate toward "
     "zero, booleans map to 1/0, integer-literal strings parse, "
-    "everything else is NULL) via DuckDB json_type — so the typed "
+    "everything else is NULL) via DuckDB json_type; the DOUBLE branch "
+    "is TRY_CAST on the outside too, so an out-of-int64 magnitude "
+    "like 1e30 degrades to NULL in both engines instead of crashing "
+    "the oracle (r10 ADVICE find) — so the typed "
     "values plus an arithmetic use of them hash-match exactly, "
     "proving the variant decode value-faithful on hostile "
     "envelopes, not just parse-successful.",

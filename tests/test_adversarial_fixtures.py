@@ -168,6 +168,15 @@ def _crafted_events() -> pd.DataFrame:
                                           # case-sensitive in both)
     rows.append((len(rows), _ts(12, 9, 7), 11, "view", 1.0,
                  None))                   # NULL envelope entirely
+    rows.append((len(rows), _ts(12, 9, 8), 11, "view", 1.0,
+                 '{"k": 1e30}'))          # DOUBLE beyond int64 range —
+                                          # Spark try_variant_get NULLs
+                                          # the overflow; the oracle's
+                                          # DOUBLE branch must TRY_CAST
+                                          # the trunc() too or DuckDB
+                                          # throws (r10 ADVICE find)
+    rows.append((len(rows), _ts(12, 9, 9), 11, "view", 1.0,
+                 '{"k": -1e30}'))         # same, negative side
     # --- round-9 class: event_id REPLAY (at-least-once delivery).
     # The same uuid delivered twice for user 12 with CONFLICTING
     # payloads (value drifted between retries) — A5/A7 dedup must
@@ -349,6 +358,15 @@ def _crafted_documents() -> pd.DataFrame:
         # 22: zero-width space + NBSP between words — split(' ') must
         # NOT split on either in either engine (they are not U+0020).
         (22, "alpha\u200bbeta gamma\u00a0nbsp delta epsilon", "en", "src10"),
+        # --- round-10: Greek Final_Sigma conditional lowercase (the
+        # r10 ADVICE find \u2014 Spark lower('\u0392\u039f\u03a3') = \u03b2\u03bf\u03c2 with final \u03c2
+        # U+03C2, DuckDB = \u03b2\u03bf\u03c3 with \u03c3 U+03C3). Covers: word-final \u03a3
+        # (mapped), word-initial/medial \u03a3 (unmapped), \u03a3 before a digit
+        # (still final \u2014 a digit is not cased), \u03a3 followed by an
+        # apostrophe then a cased letter (NOT final: the ignorable is
+        # transparent, \u0392\u039f\u03a3'\u0391 lowers to \u03b2\u03bf\u03c3'\u03b1), and apostrophe-then-end
+        # (final: \u039f'\u03a3 -> \u03bf'\u03c2). _spark_lower_sql must reproduce all.
+        (23, "\u03a4\u0395\u039b\u039f\u03a3 \u03a3\u039f\u03a6\u0399\u0391 \u0391\u03a3\u03a3\u039f\u03a3 \u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 \u0391\u03a32 \u0392\u039f\u03a3'\u0391 \u039f'\u03a3 \u03c4\u03b5\u03bb\u03bf\u03c2", "el", "src11"),
     ]
     return pd.DataFrame(
         [
