@@ -122,6 +122,11 @@ _PINNED_RESCORE: tuple[str, ...] = (
     # text — the hashed k feature moved to the strict-integer contract
     # with canonical rendering (semantic change, needs a fresh row).
     "feat_hashing_trick",
+    # r10 (r8 verdict ask #7): stream_denial_rate promoted from
+    # rows-only to an EXACT oracle — chained stateful aggregations in
+    # append mode, watermark-closed windows only. New semantics, new
+    # schema, needs its first exact-gated driver row.
+    "stream_denial_rate",
 )
 
 

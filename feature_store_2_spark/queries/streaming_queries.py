@@ -9,9 +9,11 @@ out": the stateful path must reproduce the declarative pipeline exactly
 (uuid dedup, distinct sets, cent-exact sums).
 
 ``stream_denial_rate`` exercises the watermarked sliding-window breaker
-(A16/A17). It uses ``approx_count_distinct`` (exact distinct is
-unsupported in streaming aggs and unaffordable at 100 TB), so there is no
-exact SQL oracle — the driver records the rows-only check.
+(A16/A17) with EXACT distinct users (r10): two chained stateful
+aggregations in append mode replace the old HLL++ update-mode form, so
+only watermark-closed windows emit and the result is exactly
+oracle-checkable (the r8 verdict ask). The HLL++ serving-cadence
+variant survives as ``streaming_denial_rate`` in streaming/breaker.py.
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ from feature_store_2_spark.streaming import (
     read_notifications,
     run_grants_pipeline,
     run_grants_pipeline_merge,
-    streaming_denial_rate,
+    streaming_denial_rate_exact,
 )
 
 _GRANTS_ORACLE = (
@@ -430,11 +432,52 @@ def stream_stream_join(spark, sf_dir):
     return spark.table(name)
 
 
+_DENIAL_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+ex AS (
+    -- each event belongs to 2 sliding windows (10-min size / 5-min
+    -- slide): starts at floor(ts/5min)*5min and one slide earlier —
+    -- the same assignment Spark's window() makes
+    SELECT user_id, event_type, value,
+           (epoch_us(ts) // 300000000 - g.k) * 300000000 AS ws_us
+    FROM events, (SELECT unnest([0, 1]) AS k) g
+),
+f AS (
+    -- append-mode emission rule: a window emits exactly when the
+    -- terminal watermark (max ts - 10-min delay) passes its end —
+    -- the same rule stream_sessionize / stream_topk_trending pin
+    SELECT ex.* FROM ex, mx
+    WHERE ws_us + 600000000 <= epoch_us(mx.m) - 600000000
+),
+agg AS (
+    SELECT CAST(ws_us AS BIGINT) AS window_start_us, event_type,
+           count(DISTINCT user_id) AS total_users,
+           count(DISTINCT CASE WHEN value < 2.0 THEN user_id END)
+               AS denied_users
+    FROM f GROUP BY 1, 2
+)
+SELECT window_start_us, event_type, total_users, denied_users,
+       denied_users / nullif(total_users, 0) AS denial_rate,
+       denied_users / nullif(total_users, 0) > 0.05 AS circuit_open
+FROM agg
+"""
+
+
 @register(
     "stream_denial_rate",
-    None,  # approx_count_distinct => no exact oracle; rows-only check
+    _DENIAL_ORACLE,
     doc="watermarked 10-min/5-min sliding-window denial rate over the "
-    "event stream (A16/A17), HLL++ distincts",
+    "event stream (A16/A17) with EXACT distinct users — rows-only no "
+    "more (r10, the r8 verdict ask): count(DISTINCT) is unsupported "
+    "in a streaming agg, so it runs as two chained stateful "
+    "aggregations (collapse to (window, key, user) with bool_or of "
+    "denied, then count collapsed rows) in append mode, where only "
+    "watermark-closed windows emit. That emission rule is what makes "
+    "the stream exactly oracle-checkable: the batch oracle expands "
+    "each event into its 2 sliding windows and keeps windows whose "
+    "end precedes the terminal watermark. The HLL++ update-mode "
+    "variant (streaming_denial_rate) remains the serving-cadence / "
+    "unbounded-cardinality trade; this is the auditable twin.",
 )
 def stream_denial_rate(spark, sf_dir):
     root = _stage_events(spark, sf_dir)
@@ -442,15 +485,23 @@ def stream_denial_rate(spark, sf_dir):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     ).parquet(os.path.join(root, "events"))
-    rates = streaming_denial_rate(
+    rates = streaming_denial_rate_exact(
         stream, denied=F.col("value") < 2.0, slide="5 minutes"
     )
     name = "fs2_stream_denial_rate"
     with _stream_shuffle(spark):
         q = (
-            rates.writeStream.format("memory")
+            rates.select(
+                F.unix_micros("window_start").alias("window_start_us"),
+                "event_type",
+                "total_users",
+                "denied_users",
+                "denial_rate",
+                "circuit_open",
+            )
+            .writeStream.format("memory")
             .queryName(name)
-            .outputMode("update")
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )

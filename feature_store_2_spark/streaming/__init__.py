@@ -21,7 +21,10 @@ from feature_store_2_spark.streaming.pipeline import (
     run_grants_pipeline_merge,
     streaming_user_aggregates,
 )
-from feature_store_2_spark.streaming.breaker import streaming_denial_rate
+from feature_store_2_spark.streaming.breaker import (
+    streaming_denial_rate,
+    streaming_denial_rate_exact,
+)
 from feature_store_2_spark.streaming.grants_store import (
     has_grant,
     latest_circuit_open,
@@ -39,6 +42,7 @@ __all__ = [
     "run_grants_pipeline",
     "run_grants_pipeline_merge",
     "streaming_denial_rate",
+    "streaming_denial_rate_exact",
     "read_grants",
     "read_notifications",
     "route_notifications",

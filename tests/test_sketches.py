@@ -84,40 +84,47 @@ def test_approx_percentile_gk_rank_error_contract(spark, sf_dir):
 
 
 def test_stream_denial_rate_equals_batch_same_spec(spark, sf_dir):
-    """stream_denial_rate is rows-only at the driver (HLL has no DuckDB
-    analog), but HLL++ is deterministic and merge-order-independent, so
-    the streaming result must EQUAL a batch computation of the same
-    sliding-window + approx_count_distinct spec. Per (window, key) the
-    stream's final update is compared; HLL estimates are monotone
-    non-decreasing under inserts, so max-over-updates is the final
-    value even if the source split into multiple micro-batches
-    (r4 verdict item 7 — strictly stronger than the rows-only check)."""
+    """stream_denial_rate is EXACT since r10 (chained stateful
+    aggregations, append mode): each watermark-closed (window, key)
+    row emits exactly once and must EQUAL the batch exact-distinct
+    computation of the same spec restricted to closed windows — the
+    stream==batch equality pin on top of the DuckDB oracle, proving
+    the chained-state path (not just the SQL rendering) correct."""
     from feature_store_2_spark.queries import CATALOG
 
     q = next(q for q in CATALOG if q.name == "stream_denial_rate")
-    streamed = (
-        q.fn(spark, sf_dir)
-        .groupBy("window_start", "event_type")
-        .agg(
-            F.max("total_users").alias("total_users"),
-            F.max("denied_users").alias("denied_users"),
-        )
+    streamed = q.fn(spark, sf_dir).select(
+        "window_start_us", "event_type", "total_users", "denied_users"
     )
+    # append mode: no (window, key) may emit twice
+    n = streamed.count()
+    assert streamed.dropDuplicates(["window_start_us", "event_type"]).count() == n
     ev = load_table(spark, "events", sf_dir)
+    wm_end = ev.agg(
+        (F.unix_micros(F.max("ts")) - F.lit(600_000_000)).alias("wm")
+    ).collect()[0]["wm"]
     batch = (
         ev.withColumn("__denied", F.col("value") < 2.0)
         .groupBy(
             F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
         )
         .agg(
-            F.approx_count_distinct("user_id").alias("b_total"),
-            F.approx_count_distinct(
+            F.count_distinct("user_id").alias("b_total"),
+            F.count_distinct(
                 F.when(F.col("__denied"), F.col("user_id"))
             ).alias("b_denied"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "b_total", "b_denied")
+        .filter(F.unix_micros("w.end") <= F.lit(wm_end))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "b_total",
+            "b_denied",
+        )
     )
-    cmp = streamed.join(batch, ["window_start", "event_type"], "full_outer").collect()
+    cmp = streamed.join(
+        batch, ["window_start_us", "event_type"], "full_outer"
+    ).collect()
     assert cmp
     bad = [
         r
