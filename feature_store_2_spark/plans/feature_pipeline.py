@@ -42,9 +42,15 @@ from feature_store_2_spark.config import (
     RuleOperation,
 )
 
-# Exact accumulation type for SUM aggregates (input doubles carry 2
-# decimal digits; 38-total-digit decimal sums ~1e34 rows without overflow).
-_SUM_DECIMAL = "decimal(28,2)"
+# Exact intake type for SUM aggregates (input doubles carry 2 decimal
+# digits). DECIMAL(18,2), not wider (r10 hostile-magnitude class): both
+# streaming strategies keep cents in int64 state, so the pipeline-wide
+# SUM contract is "representable in DECIMAL(18,2)" (|value| < 1e16,
+# cents < 1e18 — always inside int64). Spark widens the SUM accumulator
+# to DECIMAL(28,2) automatically (~1e10 max-magnitude rows before a
+# LOUD ANSI overflow, never a wrap); values beyond the intake envelope
+# are MISSING, like NaN/Inf, on batch, both streams, and the oracle.
+_SUM_DECIMAL = "decimal(18,2)"
 
 
 def _field_col(field: str) -> Column:
@@ -115,8 +121,12 @@ def user_aggregates(events: DataFrame, config: EngineConfig = DEFAULT_CONFIG) ->
             aggs.append(F.countDistinct(F.when(is_type, fcol)).alias(spec.name))
         else:  # SUM — exact decimal accumulation, one cast back to double
             fcol = F.col(field_names[spec.field])
+            # try_cast (r10 hostile-magnitude class): a finite double
+            # beyond the _SUM_DECIMAL intake envelope would crash the
+            # whole job under ANSI. Contract: such a measurement is
+            # MISSING, like NaN/Inf (which the cast already NULLs).
             aggs.append(
-                F.sum(F.when(is_type, fcol.cast(_SUM_DECIMAL)))
+                F.sum(F.when(is_type, fcol.try_cast(_SUM_DECIMAL)))
                 .cast("double")
                 .alias(spec.name)
             )

@@ -127,6 +127,31 @@ _PINNED_RESCORE: tuple[str, ...] = (
     # append mode, watermark-closed windows only. New semantics, new
     # schema, needs its first exact-gated driver row.
     "stream_denial_rate",
+    # r10 hostile-magnitude fixture class: the grants pipeline's SUM
+    # intake narrowed to the shared DECIMAL(18,2) envelope (batch plan,
+    # Python state, JVM merge, oracle — all four aligned; plain casts
+    # were ANSI job-killers on one oversized row). The three staples
+    # cover the other consumers of _AGG_CTE.
+    "fs_feature_grants",
+    "stream_grants_multibatch",
+    "stream_grants_incremental_merge",
+    "stream_grant_notifications",
+    # r10 timestamp-pathology fixture class: future-dated purchases
+    # anti-decayed to inf (decay exponent now clamped at 0), and the
+    # trend x*x overflowed int32 day counts on multi-century spans
+    # (sufficient statistics now BIGINT end-to-end).
+    "feat_time_decay",
+    "ts_daily_trend_slope",
+    # r10 hostile-magnitude class, driver-visible changes: gini's
+    # integer ride-along columns moved to DOUBLE (wide decimals have
+    # no common pandas carrier) with DECIMAL(38,0)/HUGEINT internal
+    # lift; TWAP represents the same lift on the v*dt product. The
+    # ~25 other entries whose intake gates/oracles were touched are
+    # value-identical on every finite-and-representable corpus (the
+    # driver's included) — the adversarial fixture suite pins the new
+    # hostile-value semantics and staleness rotation rescores them.
+    "agg_gini_spend",
+    "window_time_weighted_avg",
 )
 
 

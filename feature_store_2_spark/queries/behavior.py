@@ -144,9 +144,10 @@ _DECAY_REF = "2024-02-15"
 _DECAY_ORACLE = f"""
 SELECT user_id,
        count(*) AS n_purchases,
-       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,2)) END
-                * CAST(power(0.5, date_diff('day', CAST(ts AS DATE),
-                                            DATE '{_DECAY_REF}') // 7)
+       CAST(sum(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DECIMAL(25,2)) END
+                * CAST(power(0.5, greatest(0,
+                         date_diff('day', CAST(ts AS DATE),
+                                   DATE '{_DECAY_REF}') // 7))
                        AS DECIMAL(8,6))) AS DOUBLE) AS decayed_value
 FROM events WHERE event_type = 'purchase' GROUP BY user_id
 """
@@ -168,8 +169,13 @@ FROM events WHERE event_type = 'purchase' GROUP BY user_id
 def feat_time_decay(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     days = F.datediff(F.lit(_DECAY_REF).cast("date"), F.to_date("ts"))
-    term = F.col("value").cast("decimal(18,2)") * F.pow(
-        F.lit(0.5), F.floor(days / 7)
+    # greatest(0, ...): a FUTURE-dated purchase (producer clock skew)
+    # would otherwise anti-decay — 0.5^-k explodes to inf at large skew
+    # (Spark's decimal cast nulls it, DuckDB's errors; r10 timestamp-
+    # pathology find). Contract: events from the future decay as if
+    # they happened at the reference instant (weight exactly 1).
+    term = F.col("value").try_cast("decimal(18,2)") * F.pow(
+        F.lit(0.5), F.greatest(F.lit(0), F.floor(days / 7))
     ).cast("decimal(8,6)")
     return (
         ev.filter(F.col("event_type") == "purchase")
@@ -486,7 +492,7 @@ SELECT user_id, wk,
        max(value) AS high,
        min(value) AS low,
        max(CASE WHEN rn_l = 1 THEN value END) AS close,
-       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS volume
+       CAST(sum(CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS volume
 FROM rk GROUP BY user_id, wk
 """,
     doc="OHLC downsampling (open/high/low/close + volume per user-week) "
@@ -523,7 +529,7 @@ def resample_weekly_ohlc(spark, sf_dir):
         F.max("value").alias("high"),
         F.min("value").alias("low"),
         F.max(F.when(F.col("rn_l") == 1, F.col("value"))).alias("close"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+        F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double").alias("volume"),
     )
 
 
@@ -611,7 +617,7 @@ def funnel_windowed_conversion(spark, sf_dir):
     """
 WITH r AS (
     SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
-           CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS v_micro,
+           CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000 AS BIGINT) AS v_micro,
            event_id
     FROM events WHERE event_type = 'purchase'),
 seg AS (
@@ -622,7 +628,10 @@ seg AS (
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_readings,
        CAST(sum(dt_ms) AS BIGINT) AS span_ms,
-       CAST(sum(v_micro * dt_ms) // sum(dt_ms) AS BIGINT) AS twap_micro
+       -- HUGEINT lift (r10 hostile-magnitude): v_micro reaches ~1e18
+       -- at the DECIMAL(18,6) envelope, so v*dt overflows int64
+       CAST(sum(CAST(v_micro AS HUGEINT) * dt_ms) // sum(dt_ms) AS BIGINT)
+           AS twap_micro
 FROM seg WHERE dt_ms IS NOT NULL AND dt_ms > 0
 GROUP BY user_id
 """,
@@ -649,7 +658,7 @@ def window_time_weighted_avg(spark, sf_dir):
         # truncates values the double can't represent exactly
         # (0.29 -> 289999), misstating "fixed-point value"; this is the
         # repo's standard micro-unit recipe (agg_gini_spend).
-        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        (F.col("value").try_cast("decimal(18,6)") * 1_000_000)
         .cast("long")
         .alias("v_micro"),
         "event_id",
@@ -666,10 +675,15 @@ def window_time_weighted_avg(spark, sf_dir):
         F.count("*").alias("n_readings"),
         F.sum("dt_ms").cast("long").alias("span_ms"),
         # true integer division (DIV), not float-divide-then-floor:
-        # numerators can exceed 2^53 where double division drifts
-        F.expr("CAST(sum(v_micro * dt_ms) DIV sum(dt_ms) AS BIGINT)").alias(
-            "twap_micro"
-        ),
+        # numerators can exceed 2^53 where double division drifts.
+        # DECIMAL(38,0) lift on the product (r10 hostile-magnitude):
+        # v_micro reaches ~1e18 at the intake envelope, so the bare
+        # int64 product was an ANSI job-killer; the quotient always
+        # fits BIGINT again (it is bounded by max v_micro).
+        F.expr(
+            "CAST(sum(CAST(v_micro AS DECIMAL(38,0)) * dt_ms)"
+            " DIV sum(dt_ms) AS BIGINT)"
+        ).alias("twap_micro"),
     )
 
 
@@ -775,7 +789,7 @@ def ab_test_chi_squared(spark, sf_dir):
     """
 WITH spend AS (
     SELECT event_type, user_id,
-           CAST(sum(CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT))
+           CAST(sum(CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000 AS BIGINT))
                 AS BIGINT) AS cents
     FROM events GROUP BY event_type, user_id),
 ranked AS (
@@ -785,12 +799,15 @@ ranked AS (
            CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
     FROM spend WHERE cents IS NOT NULL)
 SELECT event_type, min(n) AS n_users,
-       CAST(sum(cents) AS BIGINT) AS total_micro,
-       CAST(2 * sum(i * cents) - (min(n) + 1) * sum(cents) AS BIGINT)
+       CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS total_micro,
+       CAST(2 * sum(CAST(i AS HUGEINT) * cents)
+            - (min(n) + 1) * sum(CAST(cents AS HUGEINT)) AS DOUBLE)
            AS gini_num,
-       CAST(min(n) * sum(cents) AS BIGINT) AS gini_den,
-       CAST(2 * sum(i * cents) - (min(n) + 1) * sum(cents) AS DOUBLE)
-           / CAST(min(n) * sum(cents) AS DOUBLE) AS gini
+       CAST(min(n) * sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+           AS gini_den,
+       CAST(2 * sum(CAST(i AS HUGEINT) * cents)
+            - (min(n) + 1) * sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+           / CAST(min(n) * sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS gini
 FROM ranked GROUP BY event_type
 """,
     doc="Gini coefficient of per-user spend by event type — the "
@@ -808,7 +825,7 @@ FROM ranked GROUP BY event_type
 def agg_gini_spend(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     spend = ev.groupBy("event_type", "user_id").agg(
-        F.sum((F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long"))
+        F.sum((F.col("value").try_cast("decimal(18,6)") * 1_000_000).cast("long"))
         .cast("long")
         .alias("cents")
     )
@@ -828,24 +845,37 @@ def agg_gini_spend(spark, sf_dir):
     cum = hist.withColumn("c_thru", F.sum("c").over(wcum)).withColumn(
         "c_prev", F.col("c_thru") - F.col("c")
     )
-    # sum of ranks across the tie-run: c*C_prev + c(c+1)/2 (c(c+1) even)
+    # sum of ranks across the tie-run: c*C_prev + c(c+1)/2 (c(c+1) even).
+    # All rank x cents products in DECIMAL(38,0) (DuckDB HUGEINT twin) —
+    # at the DECIMAL(18,6) intake envelope a single user's cents reach
+    # ~1e18, and rank x cents blows past int64 at rank ~10 (r10
+    # hostile-magnitude find: the old BIGINT contrib was a loud ANSI
+    # crash). Outputs carry DECIMAL(38,0) for the same reason.
     rank_sum = F.col("c") * F.col("c_prev") + F.expr(
         "(c * (c + 1)) DIV 2"
     )
-    contrib = F.col("cents") * rank_sum
+    cents38 = F.col("cents").cast("decimal(38,0)")
+    contrib = cents38 * rank_sum
     agg = cum.groupBy("event_type").agg(
         F.sum("c").cast("long").alias("n_users"),
-        F.sum(F.col("cents") * F.col("c")).cast("long").alias("total_micro"),
-        F.sum(contrib).cast("long").alias("ix_sum"),
+        F.sum(cents38 * F.col("c")).cast("decimal(38,0)").alias("total_micro"),
+        F.sum(contrib).cast("decimal(38,0)").alias("ix_sum"),
     )
-    num = 2 * F.col("ix_sum") - (F.col("n_users") + 1) * F.col("total_micro")
+    num = (
+        2 * F.col("ix_sum") - (F.col("n_users") + 1) * F.col("total_micro")
+    )
     den = F.col("n_users") * F.col("total_micro")
+    # Diagnostic integer ride-alongs leave as DOUBLE (one exact-int ->
+    # double conversion each): pandas bridges render wide decimals as
+    # incompatible carriers (Spark object(Decimal) vs DuckDB float64),
+    # so the driver's dtype-sensitive hash needs the common type; the
+    # arithmetic itself stays exact in DECIMAL(38,0)/HUGEINT.
     return agg.select(
         "event_type",
         "n_users",
-        "total_micro",
-        num.cast("long").alias("gini_num"),
-        den.cast("long").alias("gini_den"),
+        F.col("total_micro").cast("double").alias("total_micro"),
+        num.cast("double").alias("gini_num"),
+        den.cast("double").alias("gini_den"),
         (num.cast("double") / den.cast("double")).alias("gini"),
     )
 
@@ -858,7 +888,7 @@ WITH per_user AS (
            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                 AS BIGINT) AS x,
            CAST(sum(CASE WHEN event_type = 'purchase'
-                         THEN CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000
+                         THEN CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000
                                    AS BIGINT) ELSE 0 END) AS BIGINT) AS y
     FROM events GROUP BY user_id),
 m AS (
@@ -906,7 +936,7 @@ def stats_ols_user_spend(spark, sf_dir):
         F.sum(
             F.when(
                 F.col("event_type") == "purchase",
-                (F.col("value").cast("decimal(18,6)") * 1_000_000).cast(
+                (F.col("value").try_cast("decimal(18,6)") * 1_000_000).cast(
                     "long"
                 ),
             ).otherwise(0)
@@ -1036,7 +1066,7 @@ WITH coh AS (
            date_diff('day', coh.cohort_week,
                      CAST(date_trunc('week', e.ts) AS DATE)) // 7
                AS weeks_since,
-           sum(CASE WHEN isfinite(e.value) THEN CAST(e.value AS DECIMAL(18,6)) END) AS wrev
+           sum(CASE WHEN isfinite(e.value) THEN TRY_CAST(e.value AS DECIMAL(18,6)) END) AS wrev
     FROM events e JOIN coh ON e.user_id = coh.user_id
     WHERE e.event_type = 'purchase'
     GROUP BY 1, 2
@@ -1088,7 +1118,7 @@ def cohort_ltv_curve(spark, sf_dir):
                 "div 7"
             ).alias("weeks_since"),
         )
-        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("wrev"))
+        .agg(F.sum(F.col("value").try_cast("decimal(18,6)")).alias("wrev"))
     )
     cum = wk.withColumn(
         "crev",

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from feature_store_2_spark.operators.global_window import (
     bucketed_running_sums,
 )
-from feature_store_2_spark.functions.num import is_finite
+from feature_store_2_spark.functions.num import is_exact_value, is_finite
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
@@ -35,10 +35,10 @@ _HEXD = "0123456789abcdef"
 def _v_micro(col: str = "value") -> F.Column:
     """DECIMAL(18,6) round-half-up micro-units (the agg_gini_spend
     recipe) — never floor-on-double."""
-    return (F.col(col).cast("decimal(18,6)") * 1_000_000).cast("long")
+    return (F.col(col).try_cast("decimal(18,6)") * 1_000_000).cast("long")
 
 
-_V_MICRO_SQL = "CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT)"
+_V_MICRO_SQL = "CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000 AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------
@@ -356,10 +356,10 @@ def feat_hashing_trick(spark, sf_dir):
 _KS_ORACLE = f"""
 WITH a AS (
     SELECT {_V_MICRO_SQL} AS v FROM events
-    WHERE event_type = 'click' AND isfinite(value)
+    WHERE event_type = 'click' AND (CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END IS NOT NULL)
 ), b AS (
     SELECT {_V_MICRO_SQL} AS v FROM events
-    WHERE event_type = 'purchase' AND isfinite(value)
+    WHERE event_type = 'purchase' AND (CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END IS NOT NULL)
 ), hist AS (
     SELECT v,
            sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
@@ -411,7 +411,7 @@ def stats_ks_test(spark, sf_dir):
     # DuckDB last — the round-8 NULL-value fixture find).
     sides = ev.filter(
         F.col("event_type").isin("click", "purchase")
-        & is_finite(F.col("value"))
+        & is_exact_value(F.col("value"))
     ).select(
         _v_micro().alias("v"),
         F.when(F.col("event_type") == "click", "a")
@@ -460,7 +460,7 @@ def stats_ks_test(spark, sf_dir):
 _QNORM_ORACLE = f"""
 WITH base AS (
     SELECT event_id, event_type, {_V_MICRO_SQL} AS v FROM events
-    WHERE isfinite(value)
+    WHERE (CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END IS NOT NULL)
 ), ranked AS (
     SELECT event_id, event_type,
            rank() OVER (PARTITION BY event_type ORDER BY v) AS r,
@@ -499,7 +499,7 @@ def feat_quantile_normalize(spark, sf_dir):
     # Only FINITE values rank (NULLs disagree on placement — the r8
     # find; NaN/Inf disagree on rank by design — the r9 non-finite
     # class): excluded on BOTH engines.
-    ev = ev.filter(is_finite(F.col("value")))
+    ev = ev.filter(is_exact_value(F.col("value")))
     base = ev.select("event_id", "event_type", _v_micro().alias("v"))
     hist = base.groupBy("event_type", "v").agg(
         F.count("*").alias("c")
@@ -621,7 +621,7 @@ _CONFORMAL_ORACLE = f"""
 WITH base AS (
     SELECT event_id, event_type, {_V_MICRO_SQL} AS v,
            {_CONF_PAR_SQL} AS par
-    FROM events WHERE isfinite(value)),
+    FROM events WHERE (CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END IS NOT NULL)),
 cal AS (SELECT * FROM base WHERE par = 0),
 tst AS (SELECT * FROM base WHERE par = 1),
 mu AS (SELECT event_type,
@@ -689,7 +689,7 @@ def eval_conformal_interval(spark, sf_dir):
         ).cast("long")
         - 1
     ) % 2
-    base = ev.filter(is_finite(F.col("value"))).select(
+    base = ev.filter(is_exact_value(F.col("value"))).select(
         "event_id", "event_type", _v_micro().alias("v"), par.alias("par")
     )
     cal = base.filter(F.col("par") == 0)

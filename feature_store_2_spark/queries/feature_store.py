@@ -48,8 +48,8 @@ agg AS (
         count(CASE WHEN event_type = 'error' THEN 1 END) AS total_error_flags,
         count(DISTINCT CASE WHEN event_type = 'signup' THEN k END) AS signup_distinct_ks,
         count(CASE WHEN event_type = 'signup' THEN 1 END) AS total_signups,
-        CAST(sum(CASE WHEN event_type = 'click' THEN CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END END) AS DOUBLE) AS total_click_amount,
-        CAST(sum(CASE WHEN event_type = 'purchase' THEN CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END END) AS DOUBLE) AS total_purchase_amount
+        CAST(sum(CASE WHEN event_type = 'click' THEN CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,2)) END END) AS DOUBLE) AS total_click_amount,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,2)) END END) AS DOUBLE) AS total_purchase_amount
     FROM dedup
     GROUP BY user_id
 ),
@@ -314,8 +314,8 @@ agg_{suffix} AS (
         count(CASE WHEN event_type = 'error' THEN 1 END) AS total_error_flags,
         count(DISTINCT CASE WHEN event_type = 'signup' THEN k END) AS signup_distinct_ks,
         count(CASE WHEN event_type = 'signup' THEN 1 END) AS total_signups,
-        CAST(sum(CASE WHEN event_type = 'click' THEN CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END END) AS DOUBLE) AS total_click_amount,
-        CAST(sum(CASE WHEN event_type = 'purchase' THEN CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END END) AS DOUBLE) AS total_purchase_amount
+        CAST(sum(CASE WHEN event_type = 'click' THEN CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,2)) END END) AS DOUBLE) AS total_click_amount,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,2)) END END) AS DOUBLE) AS total_purchase_amount
     FROM dedup_{suffix}
     GROUP BY user_id
 ),

@@ -13,13 +13,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from feature_store_2_spark.functions.num import is_finite
+from feature_store_2_spark.functions.num import is_exact_value, is_finite
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
 
 def dec(col: str, prec: str = "decimal(12,2)") -> F.Column:
-    return F.col(col).cast(prec)
+    # try_cast: the r10 hostile-magnitude contract (see relational.dec)
+    return F.col(col).try_cast(prec)
 
 
 @register(
@@ -127,7 +128,7 @@ SELECT CAST(year(ts) AS BIGINT) AS y,
        CAST(grouping(year(ts)) * 4 + grouping(month(ts)) * 2
             + grouping(day(ts)) AS BIGINT) AS gid,
        count(*) AS n_events,
-       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS total_value
+       CAST(sum(CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS total_value
 FROM events
 GROUP BY ROLLUP (year(ts), month(ts), day(ts))
 """,
@@ -343,7 +344,9 @@ def stats_join_size_forecast(spark, sf_dir):
     """
 WITH b AS (
     SELECT event_type,
-           CASE WHEN isfinite(value)
+           CASE WHEN (CASE WHEN isfinite(value)
+                           THEN TRY_CAST(value AS DECIMAL(18,6))
+                      END IS NOT NULL)
                 THEN CAST(floor(value / 20) AS BIGINT) END AS bin,
            CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half
     FROM events),
@@ -390,7 +393,7 @@ def dq_distribution_drift(spark, sf_dir):
         # bin) — both engines agree; a bare floor/cast diverges (r9
         # non-finite class)
         F.when(
-            is_finite(F.col("value")),
+            is_exact_value(F.col("value")),
             F.floor(F.col("value") / 20).cast("long"),
         ).alias("bin"),
         F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0)

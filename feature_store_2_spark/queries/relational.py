@@ -16,8 +16,18 @@ from feature_store_2_spark.sources.tables import load_table
 
 
 def dec(col: str, prec: str = "decimal(12,2)") -> F.Column:
-    """Exact 2-decimal reading of a money/quantity double."""
-    return F.col(col).cast(prec)
+    """Exact 2-decimal reading of a money/quantity double.
+
+    try_cast (r10 hostile-magnitude class): under Spark 4's ANSI
+    default a finite double beyond the decimal's headroom turns a
+    plain cast into a whole-job crash on one corrupt row. The repo
+    contract is per-site: a value participates iff it is finite AND
+    representable in the entry's declared precision — otherwise it is
+    MISSING, exactly like NaN/Inf (DuckDB twin: isfinite() gate +
+    TRY_CAST, which NULLs overflow the same way). On curated columns
+    (TPC-H money/quantity) try_cast is value-identical to cast.
+    """
+    return F.col(col).try_cast(prec)
 
 
 @register(

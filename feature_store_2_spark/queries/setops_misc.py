@@ -207,7 +207,7 @@ def argmax_latest_event_per_user(spark, sf_dir):
     """
 WITH dim AS (
     SELECT event_type,
-           CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(28,2)) END) AS DOUBLE)
                 / count(value) AS DOUBLE) AS type_avg
     FROM events GROUP BY event_type
 )
@@ -229,7 +229,7 @@ def join_salted_skew(spark, sf_dir):
     # identical double.
     dim = ev.groupBy("event_type").agg(
         (
-            F.sum(F.col("value").cast("decimal(28,2)")).cast("double")
+            F.sum(F.col("value").try_cast("decimal(28,2)")).cast("double")
             / F.count("value")
         )
         .cast("double")

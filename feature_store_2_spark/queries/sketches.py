@@ -759,9 +759,9 @@ WITH RECURSIVE base AS (
            row_number() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) AS rn,
            CAST(COALESCE(CASE WHEN event_type = 'purchase'
-                     THEN CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT)
+                     THEN CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000 AS BIGINT)
                      WHEN event_type = 'click'
-                     THEN -CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT)
+                     THEN -CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000 AS BIGINT)
                      ELSE 0 END, 0) AS BIGINT) AS delta
     FROM events),
 rec AS (
@@ -805,11 +805,11 @@ def window_clamped_running_balance(spark, sf_dir):
         "ts",
         F.when(
             F.col("event_type") == "purchase",
-            (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long"),
+            (F.col("value").try_cast("decimal(18,6)") * 1_000_000).cast("long"),
         )
         .when(
             F.col("event_type") == "click",
-            -(F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long"),
+            -(F.col("value").try_cast("decimal(18,6)") * 1_000_000).cast("long"),
         )
         .otherwise(F.lit(0))
         .alias("delta"),

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from feature_store_2_spark.operators.global_window import (
     bucketed_running_sums,
 )
-from feature_store_2_spark.functions.num import is_finite
+from feature_store_2_spark.functions.num import is_exact_value, is_finite
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
@@ -431,8 +431,8 @@ def stats_survival_km(spark, sf_dir):
 
 _EDH_ORACLE = """
 WITH base AS (
-    SELECT CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS v
-    FROM events WHERE isfinite(value)
+    SELECT CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000 AS BIGINT) AS v
+    FROM events WHERE (CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END IS NOT NULL)
 ), hist AS (
     SELECT v, count(*) AS c FROM base GROUP BY v
 ), cum AS (
@@ -480,9 +480,9 @@ def stats_equidepth_histogram(spark, sf_dir):
     # Only FINITE values enter a value histogram (r8 NULL find; r9
     # non-finite class — engines can't even agree to cast NaN) —
     # excluded on BOTH engines.
-    ev = ev.filter(is_finite(F.col("value")))
+    ev = ev.filter(is_exact_value(F.col("value")))
     base = ev.select(
-        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        (F.col("value").try_cast("decimal(18,6)") * 1_000_000)
         .cast("long")
         .alias("v")
     )
@@ -627,7 +627,7 @@ _BOOT_COUNT_SQL = " + ".join(
 _BOOT_ORACLE = f"""
 WITH base AS (
     SELECT event_id,
-           CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS v
+           CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000 AS BIGINT) AS v
     FROM events
 ), fan AS (
     SELECT v, t.b,
@@ -682,7 +682,7 @@ def stats_poisson_bootstrap(spark, sf_dir):
     base = _spread_for_fanout(
         ev.select(
             "event_id",
-            (F.col("value").cast("decimal(18,6)") * 1_000_000)
+            (F.col("value").try_cast("decimal(18,6)") * 1_000_000)
             .cast("long")
             .alias("v"),
         )
@@ -749,7 +749,7 @@ _PERM_U32 = " + ".join(
 _PERM_ORACLE = f"""
 WITH base AS (
     SELECT event_id,
-           CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS v,
+           CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000 AS BIGINT) AS v,
            event_type = 'click' AS is_a
     FROM events WHERE event_type IN ('click', 'purchase')
 ), obs AS (
@@ -827,7 +827,7 @@ def stats_permutation_test(spark, sf_dir):
             F.col("event_type").isin("click", "purchase")
         ).select(
             "event_id",
-            (F.col("value").cast("decimal(18,6)") * 1_000_000)
+            (F.col("value").try_cast("decimal(18,6)") * 1_000_000)
             .cast("long")
             .alias("v"),
             (F.col("event_type") == "click").alias("is_a"),
@@ -1058,7 +1058,7 @@ def stats_mann_kendall(spark, sf_dir):
 _WELCH_ORACLE = """
 WITH base AS (
     SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS side,
-           CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS v
+           CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000 AS BIGINT) AS v
     FROM events WHERE event_type IN ('click', 'purchase')
 ), m AS (
     SELECT
@@ -1119,7 +1119,7 @@ FROM v
 )
 def stats_welch_ttest(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
-    v = (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long")
+    v = (F.col("value").try_cast("decimal(18,6)") * 1_000_000).cast("long")
     side_a = F.col("event_type") == "click"
     base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         side_a.alias("is_a"), v.alias("v")
@@ -1208,7 +1208,7 @@ pu AS (
                      THEN 1 ELSE 0 END) AS BIGINT) AS x,
            CAST(sum(CASE WHEN event_type = 'purchase'
                           AND epoch_us(ts) >= (SELECT m FROM mid)
-                     THEN CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000
+                     THEN CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000
                                AS BIGINT) ELSE 0 END) AS BIGINT) AS y
     FROM events GROUP BY user_id),
 v AS (
@@ -1298,7 +1298,7 @@ def stats_cuped_adjustment(spark, sf_dir):
                 F.when(
                     (F.col("event_type") == "purchase")
                     & (F.unix_micros("ts") >= F.col("m")),
-                    (F.col("value").cast("decimal(18,6)") * 1_000_000).cast(
+                    (F.col("value").try_cast("decimal(18,6)") * 1_000_000).cast(
                         "long"
                     ),
                 ).otherwise(0)

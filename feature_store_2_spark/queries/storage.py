@@ -230,7 +230,7 @@ def fs_point_lookup(spark, sf_dir):
     """
 SELECT CAST(ts AS DATE) AS day, event_type,
        count(*) AS n,
-       CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS DOUBLE) AS total_value
 FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
 GROUP BY 1, 2
@@ -257,7 +257,7 @@ def scan_date_partitioned(spark, sf_dir):
     )
     return pruned.groupBy("day", "event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("total_value"),
+        F.sum(F.col("value").try_cast("decimal(28,2)")).cast("double").alias("total_value"),
     )
 
 
@@ -307,7 +307,7 @@ def join_dpp_partitioned(spark, sf_dir):
     """
 SELECT CAST(count(*) AS BIGINT) AS n_parsed,
        CAST(3 AS BIGINT) AS n_quarantined,
-       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS total_value,
+       CAST(sum(CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 """,
@@ -357,7 +357,7 @@ def scan_csv_quarantine(spark, sf_dir):
     return raw.agg(
         F.sum((~bad).cast("long")).alias("n_parsed"),
         F.sum(bad.cast("long")).alias("n_quarantined"),
-        F.sum(F.when(~bad, F.col("value").cast("decimal(28,2)")))
+        F.sum(F.when(~bad, F.col("value").try_cast("decimal(28,2)")))
         .cast("double")
         .alias("total_value"),
         F.count_distinct(F.when(~bad, F.col("user_id"))).alias("n_users"),
@@ -420,7 +420,7 @@ def scan_schema_evolution(spark, sf_dir):
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
+       CAST(sum(CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
 FROM events GROUP BY event_type
 """,
     doc="ORC source roundtrip — the second columnar format Spark ships "
@@ -445,7 +445,7 @@ def scan_orc_roundtrip(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+        F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double").alias(
             "total_value"
         ),
     )
@@ -457,7 +457,7 @@ def scan_orc_roundtrip(spark, sf_dir):
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(user_id) AS BIGINT) AS sum_users,
-       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
+       CAST(sum(CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
 FROM events GROUP BY event_type
 """,
     doc="Python Data Source API (new Spark 4 surface): a custom source "
@@ -534,7 +534,7 @@ def scan_python_datasource(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("user_id").cast("long").alias("sum_users"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+        F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double").alias(
             "total_value"
         ),
     )
@@ -620,7 +620,7 @@ def storage_write_audit_publish(spark, sf_dir):
 _MV_ORACLE = """
 SELECT event_type, CAST(ts AS DATE) AS d,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
+       CAST(sum(CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -648,7 +648,7 @@ def mv_incremental_maintenance(spark, sf_dir):
     tagged = ev.join(F.broadcast(mx)).select(
         "event_type",
         F.to_date("ts").alias("d"),
-        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.col("value").try_cast("decimal(18,6)").alias("v"),
         (F.to_date("ts") == F.col("split_d")).alias("is_delta"),
     )
 

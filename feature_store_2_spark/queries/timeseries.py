@@ -287,7 +287,7 @@ WITH p AS (
     SELECT user_id,
            max(CAST(ts AS DATE)) AS last_d,
            count(*) AS freq,
-           sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END) AS monetary
+           sum(CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS monetary
     FROM events WHERE event_type = 'purchase' GROUP BY 1
 ), coh AS (
     SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
@@ -345,7 +345,7 @@ def rfm_segmentation(spark, sf_dir):
         .agg(
             F.max(F.to_date("ts")).alias("last_d"),
             F.count("*").alias("freq"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary"),
+            F.sum(F.col("value").try_cast("decimal(18,6)")).alias("monetary"),
         )
     )
     coh = ev.groupBy("user_id").agg(
@@ -883,7 +883,10 @@ WITH daily AS (
     FROM events GROUP BY 1, 2
 ), base AS (
     SELECT event_type, d, c,
-           date_diff('day', min(d) OVER (PARTITION BY event_type), d) AS x
+           -- BIGINT x (r10 timestamp-pathology find): a multi-century
+           -- corpus span makes x*x overflow 32-bit day counts
+           CAST(date_diff('day', min(d) OVER (PARTITION BY event_type),
+                          d) AS BIGINT) AS x
     FROM daily
 ), s AS (
     SELECT event_type,
@@ -923,11 +926,15 @@ def ts_daily_trend_slope(spark, sf_dir):
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count("*").alias("c"))
+    # cast to long (r10 timestamp-pathology find): datediff returns
+    # int32, and x*x overflows it — an ANSI job-killer — once the
+    # corpus spans > ~46k days' worth of x; sufficient statistics must
+    # accumulate in BIGINT end-to-end.
     base = daily.withColumn(
         "x",
         F.datediff(
             F.col("d"), F.min("d").over(W.partitionBy("event_type"))
-        ),
+        ).cast("long"),
     )
     s = base.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -1332,9 +1339,9 @@ def window_cumulative_share(spark, sf_dir):
 _BANDS_ORACLE = """
 WITH p AS (
     SELECT CAST(ts AS DATE) AS d,
-           CAST(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END * 1000000 AS BIGINT) AS vm,
+           CAST(CASE WHEN isfinite(value) THEN CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) END * 1000000 AS BIGINT) AS vm,
            event_id
-    FROM events WHERE event_type = 'purchase'
+    FROM events WHERE event_type = 'purchase' AND (CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END IS NOT NULL)
 ), rk AS (
     SELECT d, vm,
            row_number() OVER (PARTITION BY d ORDER BY vm, event_id) AS r,
@@ -1370,10 +1377,18 @@ FROM rk GROUP BY d
     "conditional agg per day partition.",
 )
 def ts_value_band_profile(spark, sf_dir):
+    from feature_store_2_spark.functions.num import is_exact_value
+
     ev = load_table(spark, "events", sf_dir)
-    p = ev.filter(F.col("event_type") == "purchase").select(
+    # is_exact_value (r10): an unrepresentable magnitude has no place
+    # in a rank-picked quantile — NULL vm rows rank differently on the
+    # two engines, so they are excluded at intake like NaN/Inf.
+    p = ev.filter(
+        (F.col("event_type") == "purchase")
+        & is_exact_value(F.col("value"))
+    ).select(
         F.to_date("ts").alias("d"),
-        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        (F.col("value").try_cast("decimal(18,6)") * 1_000_000)
         .cast("long")
         .alias("vm"),
         "event_id",

@@ -24,7 +24,8 @@ from feature_store_2_spark.sources.tables import load_table
 
 
 def dec(col: str, prec: str = "decimal(12,2)") -> F.Column:
-    return F.col(col).cast(prec)
+    # try_cast: the r10 hostile-magnitude contract (see relational.dec)
+    return F.col(col).try_cast(prec)
 
 
 _REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"

@@ -18,7 +18,7 @@ from feature_store_2_spark.operators.global_window import (
     bucketed_row_number,
     ntile_from_row_number,
 )
-from feature_store_2_spark.functions.num import is_finite
+from feature_store_2_spark.functions.num import is_exact_value, is_finite
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.queries.relational import dec
 from feature_store_2_spark.sources.tables import load_table
@@ -71,7 +71,7 @@ def window_lag_value_delta(spark, sf_dir):
     "window_running_spend",
     """
 SELECT event_id, user_id,
-       CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(12,2)) END)
+       CAST(sum(CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(12,2)) END)
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS cum_spend
@@ -306,7 +306,7 @@ def agg_grouping_sets(spark, sf_dir):
 SELECT event_type,
        count(*) AS n_total,
        count(CASE WHEN value > 10 THEN 1 END) AS n_high,
-       CAST(sum(CASE WHEN value > 10 THEN CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(12,2)) END END) AS DOUBLE) AS sum_high,
+       CAST(sum(CASE WHEN value > 10 THEN CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(12,2)) END END) AS DOUBLE) AS sum_high,
        count(CASE WHEN value > 10 THEN 1 END) / count(*) AS share_high
 FROM events
 GROUP BY event_type
@@ -801,7 +801,7 @@ def func_transpose_metrics(spark, sf_dir):
 _PYTH_MEANS_ORACLE = """
 WITH p AS (
     SELECT event_type, CAST(value AS DOUBLE) AS v
-    FROM events WHERE isfinite(value) AND value > 0
+    FROM events WHERE (CASE WHEN isfinite(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END IS NOT NULL) AND value > 0
 ), m AS (
     SELECT event_type,
            count(*) AS n,
@@ -835,7 +835,7 @@ FROM m
 )
 def agg_pythagorean_means(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
-    p = ev.filter(is_finite(F.col("value")) & (F.col("value") > 0)).select(
+    p = ev.filter(is_exact_value(F.col("value")) & (F.col("value") > 0)).select(
         "event_type", F.col("value").cast("double").alias("v")
     )
     m = p.groupBy("event_type").agg(

@@ -188,13 +188,24 @@ def streaming_user_aggregates(
                     vals = rows[fnames[spec.field]].dropna()
                     distinct_sets[i].update(str(v) for v in vals)
                 else:  # SUM in exact integer cents
-                    # dropna AND drop non-finite: the batch path's
-                    # double->decimal cast nulls NaN/Inf (the r9
-                    # non-finite contract — a bad measurement is
-                    # MISSING); int(round(nan)) here would kill the
-                    # whole stream on one corrupted row instead.
+                    # dropna AND drop non-finite AND drop magnitudes
+                    # beyond the intake envelope: the batch path's
+                    # double->decimal try_cast nulls NaN/Inf (r9
+                    # non-finite contract) and overflow (r10
+                    # hostile-magnitude contract — a measurement that
+                    # can't be represented is MISSING); int(round(nan))
+                    # or an out-of-envelope int64 cents write here
+                    # would kill the whole stream on one corrupted row
+                    # instead. 1e16 = the DECIMAL(18,2) intake envelope
+                    # shared with the batch plan and the JVM merge
+                    # strategy (cents < 1e18 always fit the int64
+                    # state; an accumulated |sum| past ~9.2e18 cents
+                    # still fails LOUDLY at the state write — the
+                    # streaming twin of ANSI decimal-agg overflow,
+                    # never a wrap.)
                     vals = rows[fnames[spec.field]].dropna()
-                    vals = vals[np.isfinite(vals.astype(float))]
+                    fv = vals.astype(float)
+                    vals = vals[np.isfinite(fv) & (np.abs(fv) < 1e16)]
                     accs[i] += int(round(float(vals.sum()) * 100))
         new_state = []
         for i, spec in enumerate(specs):
@@ -349,8 +360,11 @@ def _delta_aggregates(
                 ).alias(spec.name)
             )
         else:  # SUM — exact integer cents (cent-aligned by DECIMAL cast)
+            # try_cast: the DECIMAL(18,2) intake envelope (see
+            # _SUM_DECIMAL) — an unrepresentable magnitude is MISSING,
+            # and the *100 cents value then always fits the long.
             cents = (
-                F.col(field_names[spec.field]).cast(_SUM_DECIMAL) * 100
+                F.col(field_names[spec.field]).try_cast(_SUM_DECIMAL) * 100
             ).cast("long")
             aggs.append(F.sum(F.when(is_type, cents)).alias(spec.name))
     return deduped.groupBy("user_id").agg(*aggs)

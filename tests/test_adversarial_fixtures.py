@@ -205,6 +205,33 @@ def _crafted_events() -> pd.DataFrame:
                  float("inf"), '{"k": 1}'))
     rows.append((len(rows), dt.datetime(2024, 4, 2, 12), 14, "purchase",
                  float("-inf"), '{"k": 1}'))
+    # --- round-10 class: hostile FINITE magnitudes (a unit-conversion
+    # bug upstream, a corrupted mantissa — finite, so isfinite() gates
+    # pass them). Contract: a value not representable in the entry's
+    # declared decimal precision is MISSING, like NaN/Inf — Spark
+    # try_cast and DuckDB TRY_CAST both NULL the overflow; a plain
+    # cast under Spark 4's ANSI default kills the whole job on ONE
+    # such row (the r10 job-killer class these rows pin shut).
+    # 9.9e11 fits DECIMAL(18,6) (max ~1e12) and must be KEPT exactly;
+    # 5e12 exceeds (18,6) but fits (28,2) — per-site thresholds;
+    # +-1e30 exceeds every accumulator. Dated April (bitmap subset
+    # unaffected), user 15 so no earlier user's aggregates move.
+    rows.append((len(rows), dt.datetime(2024, 4, 3, 9), 15, "purchase",
+                 9.9e11, '{"k": 2}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 3, 10), 15, "click",
+                 5.0e12, '{"k": 2}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 3, 11), 15, "purchase",
+                 1e30, '{"k": 2}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 3, 12), 15, "click",
+                 -1e30, '{"k": 2}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 3, 13), 15, "purchase",
+                 4.25, '{"k": 2}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 3, 14), 15, "click",
+                 5.0e17, '{"k": 2}'))  # beyond the grants pipeline's
+                                       # DECIMAL(18,2) SUM envelope
+                                       # (|v| < 1e16) but inside
+                                       # (28,2) — pins the per-site
+                                       # threshold boundary
     df = pd.DataFrame(
         rows,
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -913,3 +940,103 @@ def test_stream_denial_rate_crafted_pin(spark, crafted_dir):
     exp = _canon(con.execute(q.oracle).fetchdf())
     assert list(got1.columns) == list(exp.columns)
     pd.testing.assert_frame_equal(got1, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 class: timestamp pathologies (separate fixture — the main
+# crafted corpus stays a realistic ~1-year span; these rows stretch the
+# calendar surface from 1777 to 2262)
+# ---------------------------------------------------------------------------
+
+# Entries excluded from the pathological-timestamp sweep, each with the
+# reason (populate as triage discovers by-design guards):
+TS_PATH_EXCLUDED = {
+    # 64-day single-word bitmap guard raises BY DESIGN on this span
+    # (same reason as the main fixture's exclusion)
+    "agg_activity_bitmap",
+    "stream_activity_bitmap",
+} | EXCLUDED
+
+
+def _pathological_ts_events() -> pd.DataFrame:
+    """Events whose timestamps sit on the calendar's trap doors.
+
+    Every row is inside the parquet TIMESTAMP(NANOS) envelope
+    (1677-09-21 .. 2262-04-11) with >= 40 days of headroom below the
+    upper bound so +30-day/+1-month interval arithmetic in entries
+    cannot overflow the ns carrier either engine hands to pandas.
+    """
+    rows = []
+
+    def add(ts, uid, et, val=1.0, props='{"k": 1}'):
+        rows.append((len(rows), ts, uid, et, val, props))
+
+    # pre-epoch: negative epoch exercises every floor-vs-truncate
+    # division in epoch//bucket window math; sub-second fractions on a
+    # negative epoch are the classic rounding trap
+    add(dt.datetime(1969, 12, 31, 23, 59, 59, 123456), 1, "view")
+    add(dt.datetime(1969, 7, 20, 2, 56, 0), 1, "click", 3.5)
+    add(dt.datetime(1970, 1, 1, 0, 0, 0), 1, "purchase", 10.0)  # epoch 0
+    # ISO-week year mismatch at the epoch boundary: Mon 1969-12-29 is
+    # ISO 1970-W01 while its calendar year is 1969
+    add(dt.datetime(1969, 12, 29, 8), 2, "signup")
+    # leap day (+ the 23:59:59.999999 microsecond edge) and the
+    # following day — date_trunc/add_months clamping fodder
+    add(dt.datetime(2024, 2, 29, 12, 0), 3, "purchase", 5.0)
+    add(dt.datetime(2024, 2, 29, 23, 59, 59, 999999), 3, "click", 1.0)
+    add(dt.datetime(2024, 3, 1, 0, 0), 3, "view")
+    # ISO week 53 of 2020: Dec 31 and Jan 1 share ISO 2020-W53; the
+    # following Monday is 2021-W01
+    add(dt.datetime(2020, 12, 31, 8), 4, "view")
+    add(dt.datetime(2021, 1, 1, 9), 4, "click", 2.0)
+    add(dt.datetime(2021, 1, 4, 9), 4, "view")
+    # DST transition instants (stored naive-UTC; the tz-conversion
+    # surface must agree on civil renderings): US spring-forward gap
+    # (02:30 EST does not exist in America/New_York on 2024-03-10),
+    # US fall-back repeat, EU spring-forward
+    add(dt.datetime(2024, 3, 10, 7, 30), 5, "view")
+    add(dt.datetime(2024, 11, 3, 5, 30), 5, "view")
+    add(dt.datetime(2024, 3, 31, 1, 30), 5, "click", 4.0)
+    # deep past / far future inside the ns envelope (pre-Gregorian-
+    # reform proleptic dates stay OUT by design — both engines use the
+    # proleptic Gregorian calendar but parquet writers disagree about
+    # the hybrid-Julian rebase below 1582)
+    add(dt.datetime(1777, 7, 4, 12, 0), 6, "signup")
+    add(dt.datetime(2262, 1, 1, 0, 0), 6, "view")
+    add(dt.datetime(2262, 2, 28, 23, 0), 6, "purchase", 7.25)
+    # same-microsecond ties across users at an hour boundary (window
+    # assignment + dedup tie-breaks at the exact bucket edge)
+    t = dt.datetime(2024, 6, 1, 10, 0, 0)
+    add(t, 7, "view")
+    add(t, 8, "view")
+    add(t, 7, "click", 0.5)
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    df["user_id"] = df["user_id"].astype("Int64")
+    return df
+
+
+@pytest.fixture(scope="module")
+def ts_pathology_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ts_pathology")
+    _pathological_ts_events().to_parquet(d / "events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in ENTRIES if n not in TS_PATH_EXCLUDED]
+)
+def test_ts_pathology_fixture_matches_oracle(spark, ts_pathology_dir, name):
+    q = _BY[name]
+    got = _canon(q.fn(spark, ts_pathology_dir).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{ts_pathology_dir}/events.parquet')"
+    )
+    exp = _canon(con.execute(q.oracle).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
