@@ -437,9 +437,15 @@ WITH mx AS (SELECT max(ts) AS m FROM events),
 ex AS (
     -- each event belongs to 2 sliding windows (10-min size / 5-min
     -- slide): starts at floor(ts/5min)*5min and one slide earlier —
-    -- the same assignment Spark's window() makes
+    -- the same assignment Spark's window() makes. Floor via the
+    -- positive-mod identity, NOT '//': DuckDB's integer '//'
+    -- truncates toward zero (-7 // 3 = -2) while Spark's window
+    -- assignment floors, so a bare '//' mis-buckets pre-epoch
+    -- timestamps (r10 timestamp-pathology find).
     SELECT user_id, event_type, value,
-           (epoch_us(ts) // 300000000 - g.k) * 300000000 AS ws_us
+           epoch_us(ts)
+             - ((epoch_us(ts) % 300000000) + 300000000) % 300000000
+             - g.k * 300000000 AS ws_us
     FROM events, (SELECT unnest([0, 1]) AS k) g
 ),
 f AS (
@@ -448,6 +454,12 @@ f AS (
     -- the same rule stream_sessionize / stream_topk_trending pin
     SELECT ex.* FROM ex, mx
     WHERE ws_us + 600000000 <= epoch_us(mx.m) - 600000000
+      -- Spark's event-time watermark INITIALIZES at epoch 0, so a
+      -- window that is already expired at the first batch (end <= 0,
+      -- i.e. wholly pre-1970) is dropped as late data and never
+      -- emitted (r10 timestamp-pathology find, pinned by
+      -- test_stream_denial_rate_ts_pathology_pin)
+      AND ws_us + 600000000 > 0
 ),
 agg AS (
     SELECT CAST(ws_us AS BIGINT) AS window_start_us, event_type,

@@ -1040,3 +1040,23 @@ def test_ts_pathology_fixture_matches_oracle(spark, ts_pathology_dir, name):
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), (len(got), len(exp))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_stream_denial_rate_ts_pathology_pin(spark, ts_pathology_dir):
+    """The exact streaming breaker on the pathological-timestamp
+    fixture (stream entries are excluded from the parametrized sweep):
+    pre-epoch events exercise the floor-vs-truncate window-assignment
+    divergence — DuckDB's integer '//' truncates toward zero while
+    Spark's window() floors, so the oracle must bucket via the
+    positive-mod identity (r10 find)."""
+    q = _BY["stream_denial_rate"]
+    got = _canon(q.fn(spark, ts_pathology_dir).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{ts_pathology_dir}/events.parquet')"
+    )
+    exp = _canon(con.execute(q.oracle).fetchdf())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
