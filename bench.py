@@ -249,9 +249,23 @@ def main() -> None:
         out["errors"] = sorted(errors)
     # Overridable so test runs (the crash-semantics pin) can't clobber
     # the committed artifact from the last real sf0.1 run.
-    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH")
+    if not detail_path:
+        root_dir = os.path.dirname(os.path.abspath(__file__))
+        canonical = os.path.join(root_dir, "BENCH_DETAIL.json")
+        # The COMMITTED detail artifact is canonical — the builder's
+        # quiet min-of-N run on an idle box (r10 policy, closing the
+        # r9 hygiene item: the driver's per-round run used to silently
+        # overwrite it with contention-skewed numbers). Ad-hoc and
+        # driver runs land in BENCH_DETAIL.last.json; set
+        # SPARK_GRAFT_COMMIT_DETAIL=1 to refresh the canonical file.
+        if (
+            os.environ.get("SPARK_GRAFT_COMMIT_DETAIL") == "1"
+            or not os.path.exists(canonical)
+        ):
+            detail_path = canonical
+        else:
+            detail_path = os.path.join(root_dir, "BENCH_DETAIL.last.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
