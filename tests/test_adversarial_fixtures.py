@@ -1060,3 +1060,66 @@ def test_stream_denial_rate_ts_pathology_pin(spark, ts_pathology_dir):
     assert list(got.columns) == list(exp.columns)
     assert len(got) == len(exp), (len(got), len(exp))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# Streaming entries on the pathological-timestamp fixture. Spark's
+# event-time watermark INITIALIZES at epoch 0, so pre-1970 event-time
+# data is late BY CONSTRUCTION on the first batch — but how much is
+# dropped is operator-specific (all three rules measured, r10):
+#   - "row":     row-keyed state (dropDuplicatesWithinWatermark, the
+#                grants pipelines, stream-stream join inputs) drops
+#                rows with ts <= epoch (strict survivor cut);
+#   - "window":  tumbling-window aggregations drop whole WINDOWS with
+#                end <= epoch — pre-epoch rows can't reach a later
+#                window because epoch-aligned tumbling windows never
+#                straddle 0, so a row cut at ts >= epoch is equivalent;
+#   - "session": session windows keep a session (INCLUDING its
+#                pre-epoch member rows) iff the merged session's end
+#                reaches >= epoch — expressed as a filter on the
+#                oracle's session_end_us output column.
+# Entries not listed are unaffected (their pre-epoch contributions are
+# already invisible in the oracle's output shape) and must match the
+# unrestricted oracle.
+STREAM_TS_PATHOLOGY_RULE = {
+    "stream_dedup_events": "row",
+    "stream_feature_grants": "row",
+    "stream_grants_multibatch": "row",
+    "stream_grants_incremental_merge": "row",
+    "stream_stream_left_outer": "row",
+    "stream_stream_full_outer": "row",
+    "stream_topk_trending": "window",
+    "stream_throttle_first_per_window": "window",
+    "stream_sessionize": "session",
+}
+
+
+@pytest.mark.parametrize("name", _streaming_events_entries())
+def test_streaming_ts_pathology_envelope(spark, ts_pathology_dir, name):
+    q = _BY[name]
+    got = _canon(q.fn(spark, ts_pathology_dir).toPandas())
+    con = duckdb.connect()
+    rule = STREAM_TS_PATHOLOGY_RULE.get(name)
+    if rule == "row":
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{ts_pathology_dir}/events.parquet') "
+            "WHERE ts > TIMESTAMP '1970-01-01'"
+        )
+    elif rule == "window":
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{ts_pathology_dir}/events.parquet') "
+            "WHERE ts >= TIMESTAMP '1970-01-01'"
+        )
+    else:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{ts_pathology_dir}/events.parquet')"
+        )
+    exp = con.execute(q.oracle).fetchdf()
+    if rule == "session":
+        exp = exp[exp["session_end_us"] >= 0]
+    exp = _canon(exp)
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
