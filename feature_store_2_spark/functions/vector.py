@@ -54,3 +54,42 @@ def cosine_from_parts(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
         F.sqrt(norm2_a.cast("double")) * F.sqrt(norm2_b.cast("double")),
         F.lit(0.0),
     )
+
+
+# Per-vector envelope for exact quantized math (r10 non-finite /
+# hostile-magnitude embeddings class): sum(x^2) < 2^13 guarantees
+# EVERY quantized BIGINT accumulator in the operator surface stays
+# under 2^63 — norms sum((x*2^24)^2) < 2^61, dots by Cauchy-Schwarz,
+# and squared DISTANCES sum((a_i-b_i)^2) <= 2*(|a|^2+|b|^2) < 2^63
+# (the distance form is the binding constraint — a 2^15 norm-only
+# bound still let the kNN/hard-negative dist2 overflow, found by this
+# fixture class). A vector that violates it — or carries a NULL / NaN
+# / +-Inf component, which floor(x * 2^24) turns into an ANSI crash —
+# does not exist for vector math, exactly like the r8 NULL-embedding
+# contract. SQL twin (DuckDB): ``embedding IS NOT NULL AND
+# len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+# AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) *
+# CAST(x AS DOUBLE))) < 8192.0``. The norm gate sums in DOUBLE with
+# per-component double squares on both engines (exact for the
+# integer/half-valued component magnitudes real encoders emit near
+# the boundary; IEEE-identical fold order left-to-right).
+VEC_NORM2_BOUND = 8192.0
+
+
+def vector_exact(arr: Column | str) -> Column:
+    """True iff the vector exists and is usable for exact quantized
+    math: non-NULL, every component non-NULL and finite, and squared
+    L2 norm inside the 2^13 envelope (see VEC_NORM2_BOUND)."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    bad = F.exists(
+        arr,
+        lambda x: x.isNull()
+        | F.isnan(x)
+        | (F.abs(x) == F.lit(float("inf"))),
+    )
+    n2 = F.aggregate(
+        F.transform(arr, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return arr.isNotNull() & ~bad & (n2 < F.lit(VEC_NORM2_BOUND))

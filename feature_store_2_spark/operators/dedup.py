@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.functions.vector import (
+    vector_exact,
     cosine_from_parts,
     qdot,
     qnorm2,
@@ -677,7 +678,7 @@ def embedding_srp_near_pairs(
     hash-gateable despite being approximate."""
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
     # NULL embeddings do not exist for vector math (operator contract).
-    emb = emb.filter(F.col(vec_col).isNotNull())
+    emb = emb.filter(vector_exact(F.col(vec_col)))
     base = (
         # Spread the (compact, few-file) corpus BEFORE the 32-projection
         # signature expression — same explicit-count repartition as the
@@ -781,7 +782,7 @@ def embedding_srp_knn_join(
 
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
     # NULL embeddings do not exist for vector math (operator contract).
-    emb = emb.filter(F.col(vec_col).isNotNull())
+    emb = emb.filter(vector_exact(F.col(vec_col)))
     base = (
         emb.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("v"))

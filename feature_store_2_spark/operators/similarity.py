@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from feature_store_2_spark.operators.cache import track_persist as _track_persist
 from feature_store_2_spark.functions.vector import (
+    vector_exact,
     cosine_from_parts,
     qdot,
     qnorm2,
@@ -34,7 +35,7 @@ def _prepare(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # exist for vector math — filtered at every operator boundary
     # (round-8 NULL-embedding fixture class).
     q = quantize(F.col(vec_col))
-    return emb.filter(F.col(vec_col).isNotNull()).select(
+    return emb.filter(vector_exact(F.col(vec_col))).select(
         F.col(id_col), q.alias("qvec"), qnorm2(q).alias("qn2")
     )
 
@@ -422,6 +423,9 @@ def matryoshka_topk(
     tie-breaks, so the pipeline is deterministic end-to-end and
     oracle-gateable despite being an approximation of brute force.
     """
+    # vector_exact (r10): same intake contract as _prepare — a NaN/Inf
+    # component or out-of-envelope magnitude must not reach quantize.
+    emb = emb.filter(vector_exact(F.col(vec_col)))
     q_all = quantize(F.col(vec_col))
     q_pre = F.slice(q_all, 1, prefix_dims)
     cand = emb.select(
@@ -488,7 +492,7 @@ def embedding_covariance_partials(emb: DataFrame, vec_col: str = "embedding") ->
 
     # NULL embeddings contribute nothing to the moments (and an
     # inhomogeneous batch crashes np.array) — operator-boundary filter.
-    qdf = emb.filter(F.col(vec_col).isNotNull()).select(
+    qdf = emb.filter(vector_exact(F.col(vec_col))).select(
         quantize(F.col(vec_col)).alias("qv")
     )
 

@@ -152,6 +152,15 @@ _PINNED_RESCORE: tuple[str, ...] = (
     # hostile-value semantics and staleness rotation rescores them.
     "agg_gini_spend",
     "window_time_weighted_avg",
+    # r10 non-finite-embeddings class: the vector_exact intake gate
+    # (NULL/NaN/Inf components + the 2^13 norm envelope that keeps
+    # every quantized accumulator — incl. kNN squared DISTANCES —
+    # inside int64) landed at every vector boundary; these two
+    # represent the newly-gated private intakes (the rest ride
+    # _prepare and are value-identical on the unit-normalized driver
+    # corpus, fixture-pinned).
+    "dedup_embedding_cosine",
+    "emb_matryoshka_rerank",
 )
 
 

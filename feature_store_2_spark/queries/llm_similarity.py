@@ -14,7 +14,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from feature_store_2_spark.functions.vector import QUANT_SCALE, qnorm2, quantize
+from feature_store_2_spark.functions.vector import (
+    QUANT_SCALE,
+    qnorm2,
+    quantize,
+    vector_exact,
+)
 from feature_store_2_spark.operators.dedup import (
     SRP_SCORED_MAX_BAND_BITS,
     SRP_SCORED_OCCUPANCY,
@@ -40,7 +45,7 @@ _SRP_LOOKUP_ROWS = srp_scored_lookup_rows()
     "emb_norms",
     f"""
 WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 n AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2_q
       FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id)
 SELECT vec_id, n2_q, sqrt(CAST(n2_q AS DOUBLE)) / {QUANT_SCALE} AS l2_norm
@@ -51,7 +56,7 @@ FROM n
 def emb_norms(spark, sf_dir):
     # NULL embeddings do not exist for vector math (operator contract).
     e = load_table(spark, "embeddings", sf_dir).filter(
-        F.col("embedding").isNotNull()
+        vector_exact("embedding")
     )
     q = quantize("embedding")
     n2 = qnorm2(q)
@@ -66,7 +71,7 @@ def emb_norms(spark, sf_dir):
     "emb_cosine_topk",
     f"""
 WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
           FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
 pairs AS (
@@ -102,7 +107,7 @@ def emb_cosine_topk(spark, sf_dir):
 
 _IVF_ORACLE = f"""
 WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -182,7 +187,7 @@ prm AS (
                    FROM generate_series(4, {SRP_SCORED_MAX_BAND_BITS}) k(k)
                    WHERE (CAST(1 AS BIGINT) << k.k) * {SRP_SCORED_OCCUPANCY}
                          >= (SELECT count(*) FROM embeddings
-                             WHERE embedding IS NOT NULL))),
+                             WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0))),
 r AS (
     SELECT h.h AS h, i.i AS i,
            CASE WHEN ascii(substr(md5(CAST(h.h AS VARCHAR) || ':' ||
@@ -193,7 +198,7 @@ r AS (
     WHERE h.h < (SELECT n_bits FROM prm)
 ),
 qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 bits AS (
     SELECT q.vec_id, r.h,
            CASE WHEN sum(r.s * q.v[r.i]) >= 0 THEN 1 ELSE 0 END AS bit
@@ -366,7 +371,7 @@ def emb_lsh_ann_topk(spark, sf_dir):
     "emb_centroid_assign",
     f"""
 WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -394,7 +399,7 @@ def emb_centroid_assign(spark, sf_dir):
 
 _SILH_ORACLE = f"""
 WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -494,7 +499,8 @@ def eval_silhouette_simplified(spark, sf_dir):
 WITH mx AS (
     SELECT vec_id, embedding,
            list_max(list_transform(embedding, x -> abs(x))) AS m
-    FROM embeddings),
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 qq AS (
     SELECT vec_id, CAST(m AS DOUBLE) AS scale,
            list_transform(embedding, x ->
@@ -520,7 +526,12 @@ FROM qq
     "codegen projection: zero shuffles at any corpus size",
 )
 def emb_quantize_int8(spark, sf_dir):
-    e = load_table(spark, "embeddings", sf_dir)
+    # vector_exact even though int8 quantization self-normalizes: ONE
+    # uniform vector-usability contract across the surface (r10) — a
+    # NaN/Inf component otherwise crashes the floor() on both engines.
+    e = load_table(spark, "embeddings", sf_dir).filter(
+        vector_exact("embedding")
+    )
     emb = F.col("embedding")
     m = F.array_max(F.transform(emb, lambda x: F.abs(x)))
     qv = F.transform(
@@ -558,7 +569,7 @@ def _kmeans_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS) -> str:
     parts = [
         f"""
 WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 sel AS (
     SELECT vec_id,
            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
@@ -632,7 +643,7 @@ _MRL_PRE, _MRL_M, _MRL_K = 16, 20, 5
     "emb_matryoshka_rerank",
     f"""
 WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
           FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
 tnorms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
@@ -774,7 +785,7 @@ _PQ_K = 16       # codebook entries per subspace
 # subspace x codebook entry). One source of truth — both oracles embed
 # this block, mirroring the Spark-side _pq_subspace_dists kernel.
 _PQ_DIST_CTE = f"""WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 cb AS (SELECT vec_id AS j, v FROM qv WHERE vec_id < {_PQ_K}),
 d AS (
     SELECT q.vec_id, s.s, c.j,
@@ -845,7 +856,7 @@ def _pq_subspace_dists(spark, sf_dir):
 
     e = _lt(spark, "embeddings", sf_dir)
     # NULL embeddings do not exist for vector math (operator contract).
-    qv = e.filter(F.col("embedding").isNotNull()).select(
+    qv = e.filter(vector_exact("embedding")).select(
         "vec_id", quantize("embedding").alias("v")
     )
     subs = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
@@ -985,7 +996,7 @@ _OUTLIER_N = 20
 
 _OUTLIER_ORACLE = f"""
 WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -1053,7 +1064,7 @@ _HN_NQ = 20
 
 _HARD_NEG_ORACLE = f"""
 WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 pair AS (
     SELECT q.vec_id AS query_id, q.label AS q_label,
            c.vec_id AS hard_neg_id, c.label AS neg_label,
@@ -1334,7 +1345,7 @@ _QS2 = float(QUANT_SCALE) * float(QUANT_SCALE)
 
 _COV_ORACLE = f"""
 WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 x AS (SELECT vec_id, i.i AS i, v[i.i] AS q
       FROM qv CROSS JOIN generate_series(1, {DIM}) i(i)),
 s1 AS (SELECT i, CAST(sum(q) AS DECIMAL(38,0)) AS s FROM x GROUP BY i),
@@ -1343,7 +1354,7 @@ s2 AS (SELECT a.i AS ai, b.i AS bi,
        FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
        GROUP BY 1, 2),
 n AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n FROM embeddings
-     WHERE embedding IS NOT NULL)
+     WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0)
 SELECT CAST(s2.ai - 1 AS INT) AS i, CAST(s2.bi - 1 AS INT) AS j,
        CAST(CAST(n.n * s2.s2 - sa.s * sb.s AS VARCHAR) AS DOUBLE)
            / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)) / {_QS2!r} AS cov
@@ -1404,7 +1415,7 @@ def emb_covariance_matrix(spark, sf_dir):
 _ANN_RECALL_ORACLE = f"""
 WITH knn AS ({_KNN_JOIN_ORACLE}),
 qv2 AS (SELECT vec_id, {_QV} AS v FROM embeddings
-        WHERE embedding IS NOT NULL),
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 nn2 AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
         FROM qv2 CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
 p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1557,7 +1568,7 @@ WITH {_SRP_ADAPTIVE_CTES},
 bucket AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS c
            FROM bands GROUP BY 1, 2)
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-        WHERE embedding IS NOT NULL) AS n_vectors,
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0) AS n_vectors,
        CAST((SELECT band_bits FROM prm) AS BIGINT) AS band_bits,
        CAST((SELECT n_bits FROM prm) // (SELECT band_bits FROM prm)
             AS BIGINT) AS n_bands,
@@ -1596,7 +1607,7 @@ def ann_adaptive_sizing_audit(spark, sf_dir):
     # excluded from the corpus count n (the sizing input) AND the
     # signature pass, mirroring the oracle's IS NOT NULL.
     e = load_table(spark, "embeddings", sf_dir).filter(
-        F.col("embedding").isNotNull()
+        vector_exact("embedding")
     )
     n = e.count()
     n_bits, band_bits = srp_scored_params(n)

@@ -15,6 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.functions.vector import (
+    vector_exact,
     QUANT_SCALE,
     cosine_from_parts,
     qdot,
@@ -372,7 +373,8 @@ _EMB_DIM = 64
 @register(
     "dedup_embedding_cosine",
     f"""
-WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
 norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
           FROM qv CROSS JOIN generate_series(1, {_EMB_DIM}) i(i) GROUP BY vec_id),
 pairs AS (
@@ -397,6 +399,9 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DO
 def dedup_embedding_cosine(spark, sf_dir):
     e = (
         load_table(spark, "embeddings", sf_dir)
+        # vector_exact (r10): the all-pairs exact path would otherwise
+        # crash on one NaN component or out-of-envelope magnitude
+        .filter(vector_exact("embedding"))
         .select("vec_id", quantize("embedding").alias("v"))
         .withColumn("n2", qnorm2(F.col("v")))
         .transform(_track_persist)  # both sides of the pair join read it

@@ -467,7 +467,9 @@ def _crafted_embeddings() -> pd.DataFrame:
         (2, vec(lambda j: (j % 7) - 3), 2),             # dup of 3
         (3, vec(lambda j: (j % 7) - 3), 3),
         (4, vec(lambda j: -((j % 7) - 3)), 4),          # antipodal to 3
-        (5, vec(lambda j: ((j % 7) - 3) * 8), 5),       # scaled copy of 3
+        # scale x4, not x8: norm^2 = 4096 stays inside the 2^13
+        # vector_exact envelope (r10) while keeping cosine = 1 to row 3
+        (5, vec(lambda j: ((j % 7) - 3) * 4), 5),
         (6, vec(lambda j: 0.5 if j % 3 == 0 else 0), 6),  # halves
     ]
     for i in range(7, 40):
@@ -477,6 +479,24 @@ def _crafted_embeddings() -> pd.DataFrame:
     # and must not crash quantize/dot kernels.
     rows.append((40, None, 3))
     rows.append((41, vec(lambda j: 1 if j < 2 else 0), None))
+    # --- round-10 class: non-finite / hostile-magnitude COMPONENTS (a
+    # corrupted mantissa, an overflowed normalization — the vector is
+    # non-NULL, so the r8 NULL gate passes it straight into
+    # floor(x * 2^24), an ANSI job-killer on NaN and a silent BIGINT
+    # hazard at big magnitudes). Contract: a vector with any
+    # NULL/NaN/Inf component or squared norm outside the 2^15 envelope
+    # (functions/vector.vector_exact) does not exist for vector math.
+    rows.append((42, [float("nan") if j == 5 else 1.0 for j in range(dim)], 2))
+    rows.append((43, [float("inf") if j == 0 else 0.5 for j in range(dim)], 4))
+    rows.append((44, [float("-inf") if j == 63 else 0.0 for j in range(dim)], 5))
+    rows.append((45, [None if j == 31 else 2.0 for j in range(dim)], 6))
+    rows.append((46, [1e30 if j == 7 else 1.0 for j in range(dim)], 7))
+    # all-|50| vector: finite everywhere but norm^2 = 160000 > 32768 —
+    # the envelope violation with no non-finite component
+    rows.append((47, vec(lambda j: 50 if j % 2 == 0 else -50), 8))
+    # near-envelope KEEPER: all-|10| gives norm^2 = 6400 < 8192 —
+    # must survive the gate and carry exact quantized math
+    rows.append((48, vec(lambda j: 10 if j % 2 == 0 else -10), 9))
     return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
 
 
