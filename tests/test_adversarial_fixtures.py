@@ -608,6 +608,18 @@ def _crafted_relational(d):
             (3, 2, "F", 300.25, ts(1996, 1, 2), "3-MEDIUM"),  # same day
             (4, 3, "P", 10.0, ts(2001, 8, 1), "1-URGENT"),    # max date
             (5, 2, "O", 0.0, ts(1995, 1, 1), "2-HIGH"),       # no lineitems
+            # --- round-10 class-8 extension: calendar pathologies on
+            # the ORDER-DATE surface (the events-side sweep can't reach
+            # the orders-reading date entries — add_months/last_day/
+            # weekofyear/date_diff corners must agree here too)
+            (6, 1, "F", 20.0, ts(1969, 7, 20), "4-NOT SPECI"),  # pre-epoch
+            (7, 2, "O", 30.0, ts(1996, 2, 29), "2-HIGH"),       # leap day
+            (8, 3, "P", 40.0, ts(2262, 1, 15), "5-LOW"),        # ns-envelope
+            (9, 1, "O", 50.0, ts(1998, 12, 31), "3-MEDIUM"),    # ISO W53
+            (10, 2, "F", 60.0, ts(1777, 1, 31), "1-URGENT"),    # deep past;
+                                                                # +1 month
+                                                                # clamps to
+                                                                # Feb 28
         ],
         columns=[
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -621,6 +633,10 @@ def _crafted_relational(d):
             (2, 1, 2, 1, 2.0, 75.5, 0.05, 0.0, "N", "O", ts(1998, 6, 15)),
             (3, 2, 1, 1, 25.0, 300.25, 0.0, 0.05, "A", "F", ts(1996, 1, 2)),
             (4, 1, 1, 1, 1.0, 10.0, 0.1, 0.1, "N", "O", ts(2001, 11, 4)),
+            # ship dates riding the pathological orders (pre-epoch and
+            # far-future receipt/commit windows)
+            (6, 1, 1, 1, 3.0, 20.0, 0.0, 0.0, "A", "F", ts(1969, 8, 1)),
+            (8, 2, 2, 1, 4.0, 40.0, 0.05, 0.0, "N", "O", ts(2262, 2, 1)),
         ],
         columns=[
             "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
