@@ -465,3 +465,110 @@ def test_srp_adaptive_params_invariants(n, threshold, occ, recall):
         n * 10, threshold, target_occupancy=occ, recall=recall
     )
     assert bb2 >= band_bits
+
+
+def test_exact_value_gate_agrees_cross_engine(spark):
+    """The r10 hostile-magnitude intake gates must agree ROW-BY-ROW
+    between Spark (is_exact_value / try_cast) and the DuckDB oracle
+    spelling (isfinite CASE + TRY_CAST) over a hostile double battery:
+    boundary magnitudes around the DECIMAL(18,6) envelope, subnormals,
+    signed zeros, huge/tiny powers of ten, and the non-finite trio.
+    A single disagreeing point would silently shift every distribution
+    operator's population on corrupted data."""
+    import duckdb
+
+    from feature_store_2_spark.functions.num import is_exact_value
+
+    vals = [0.0, -0.0, 1.0, -1.0, 0.015, 123.456789, 1e-20, -1e-20,
+            5e-324, 2.2250738585072014e-308,      # subnormal / min normal
+            999999999999.5, -999999999999.5,      # just inside
+            999999999999.999999,                   # boundary rounding
+            1e12, -1e12, 1.0000000000001e12,       # at/over the envelope
+            5e12, 9.9e15, 1e16, 9.2e18, 1e30, -1e30, 1.7e308,
+            float("nan"), float("inf"), float("-inf"), None]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i int, value double")
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select(
+            "i", is_exact_value(F.col("value")).alias("ok")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = {
+        i: bool(ok) if ok is not None else None
+        for i, ok in con.execute(
+            "SELECT i, (CASE WHEN isfinite(value) THEN "
+            "TRY_CAST(value AS DECIMAL(18,6)) END IS NOT NULL) FROM t"
+        ).fetchall()
+    }
+    bad = {
+        i: (vals[i], got[i], exp[i])
+        for i in got
+        if bool(got[i]) != bool(exp[i])
+    }
+    assert not bad, bad
+
+
+def test_vector_exact_gate_agrees_cross_engine(spark):
+    """vector_exact vs its documented SQL twin over hostile vectors:
+    NaN/Inf/NULL components, the all-|10| keeper, the norm-envelope
+    boundary (sum x^2 == 8192 exactly must be EXCLUDED on both — the
+    bound is strict), and NULL vectors."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from feature_store_2_spark.functions.vector import vector_exact
+
+    dim = 64
+    def full(v):
+        return [float(v)] * dim
+    vecs = [
+        full(1.0),                                   # keeper
+        full(10.0),                                  # norm 6400, keeper
+        [float("nan")] + full(0.0)[1:],              # NaN component
+        [float("inf")] + full(0.0)[1:],              # Inf component
+        [None] + full(0.0)[1:],                      # NULL component
+        full(50.0),                                  # envelope violation
+        # exactly on the bound: 64 * 11.3137...^2? use sqrt(128): each
+        # component sqrt(8192/64) = sqrt(128); float32 rounds it, so
+        # pin the EXACT boundary with integer components instead:
+        # 8192 = 64 * 128 -> no integer x with x^2 = 128; use a sparse
+        # exact hit: 2 components of 64.0 -> sum = 8192 exactly
+        [64.0, 64.0] + full(0.0)[2:],                # == bound: excluded
+        [64.0, 63.0] + full(0.0)[2:],                # just under: kept
+        None,                                        # NULL vector
+    ]
+    d = tempfile.mkdtemp(prefix="vecgate_")
+    t = pa.table({
+        "i": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    pq.write_table(t, os.path.join(d, "v.parquet"))
+    df = spark.read.parquet(os.path.join(d, "v.parquet"))
+    got = {
+        r["i"]: bool(r["ok"])
+        for r in df.select(
+            "i", vector_exact("embedding").alias("ok")
+        ).fillna({"ok": False}).collect()
+    }
+    con = duckdb.connect()
+    exp = {
+        i: bool(ok) if ok is not None else False
+        for i, ok in con.execute(
+            "SELECT i, (embedding IS NOT NULL AND "
+            "len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
+            " AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) *"
+            " CAST(x AS DOUBLE))) < 8192.0) FROM "
+            f"read_parquet('{d}/v.parquet')"
+        ).fetchall()
+    }
+    assert got == exp, {i: (got[i], exp[i]) for i in got if got[i] != exp[i]}
+    # the keepers/violations land where the contract says
+    assert got[0] and got[1] and got[7]
+    assert not any(got[i] for i in (2, 3, 4, 5, 6, 8))
