@@ -32,6 +32,7 @@ executors and checkpointed (RocksDB state store in prod config).
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Iterator
 
 import numpy as np
@@ -55,6 +56,36 @@ from feature_store_2_spark.streaming.grants_store import (
     append_notifications,
     grant_changes,
 )
+
+
+_CENT = Decimal("0.01")
+
+
+def _cents_sum(values: np.ndarray) -> int:
+    """Exact integer-cents sum of finite doubles, converting EACH value
+    with the same rounding as the batch plan's / JVM-merge's
+    ``try_cast(DECIMAL(18,2))`` (plans/feature_pipeline.py:127-131,
+    _aggregate_deltas below): Spark renders the double with its
+    shortest round-trip string (Java ``Double.toString``; Python
+    ``repr`` produces the identical digits) and rounds HALF_UP to two
+    decimals — measured to agree with DuckDB's double->DECIMAL(18,2)
+    cast on every boundary case (0.615, 1.005, 2.675, ...) below
+    |v| ~ 2^53/100, so the oracle sees the same cents (above that
+    band DuckDB multiplies by 10^scale in double and loses ulps — see
+    test_cents_mirror_agrees_three_ways). Per-value conversion
+    (round-then-sum, not the pre-r11 sum-then-round) makes the
+    accumulator an exact int64 add: results are independent of
+    micro-batch slicing and stay exact through the (9e13, 1e16)
+    magnitude band where float cents arithmetic loses ulps. Reference
+    tie: the A7 dedup-sum appends raw per-event amounts
+    (models/aggregate.py:55-57,67-68); the cents quantization is this
+    repo's shared decimal intake envelope."""
+    total = 0
+    for v in values.tolist():
+        total += int(
+            Decimal(repr(v)).quantize(_CENT, rounding=ROUND_HALF_UP).scaleb(2)
+        )
+    return total
 
 
 def read_event_stream(
@@ -204,9 +235,9 @@ def streaming_user_aggregates(
                     # streaming twin of ANSI decimal-agg overflow,
                     # never a wrap.)
                     vals = rows[fnames[spec.field]].dropna()
-                    fv = vals.astype(float)
-                    vals = vals[np.isfinite(fv) & (np.abs(fv) < 1e16)]
-                    accs[i] += int(round(float(vals.sum()) * 100))
+                    fv = vals.astype(float).to_numpy()
+                    fv = fv[np.isfinite(fv) & (np.abs(fv) < 1e16)]
+                    accs[i] += _cents_sum(fv)
         new_state = []
         for i, spec in enumerate(specs):
             if spec.type is AggregateType.DISTINCT_COUNT:
@@ -242,6 +273,7 @@ def run_grants_pipeline(
     config: EngineConfig = DEFAULT_CONFIG,
     subscribers: dict[str, tuple[str, ...]] | None = DEFAULT_SUBSCRIBERS,
     shuffle_partitions: int | None = None,
+    max_files_per_trigger: int = 1 << 20,
 ) -> None:
     """End-to-end streaming run: ingest all currently-available event
     files (``availableNow`` trigger — incremental, resumes from the
@@ -268,7 +300,9 @@ def run_grants_pipeline(
     if shuffle_partitions is not None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    aggs = streaming_user_aggregates(read_event_stream(spark, events_path), config)
+    aggs = streaming_user_aggregates(
+        read_event_stream(spark, events_path, max_files_per_trigger), config
+    )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()

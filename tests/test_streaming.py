@@ -424,3 +424,97 @@ def test_merge_pipeline_exactly_once_on_batch_replay(spark, tmp_path):
     )
     assert has_grant(spark, grants_dir, 2, "message") is True
     assert agg_state() == {(1, 2, 500), (2, 0, 100)}
+
+
+CENTS_CONFIG = EngineConfig(
+    aggregates=(
+        AggregateSpec("spend", "purchase", AggregateType.SUM, "value"),
+    ),
+    rules=(
+        RuleSpec("has_spend", ("spend",), RuleOperation.VALUE,
+                 RuleCondition.GREATER_THAN, 0),
+    ),
+    features=(FeatureSpec("member", ("has_spend",)),),
+)
+
+
+def test_streaming_sum_cents_slicing_independent(spark, tmp_path):
+    """Fixture class 11a pins for the r10 verdict's #1 find: the Python
+    keyed-state SUM path must convert EACH value to cents (HALF_UP on
+    the shortest decimal rendering, mirroring the batch plan's
+    try_cast(DECIMAL(18,2))) BEFORE accumulating — never sum raw floats
+    and round once per micro-batch. Three consequences pinned here on
+    non-cent-aligned amounts:
+      (a) stream == batch: three 0.004 purchases are 0+0+0 = 0 cents in
+          both (the pre-r11 float path said round(1.2) = 1 cent and
+          GRANTED has_spend);
+      (b) slicing independence: one-file-per-trigger replay equals the
+          single-batch replay row-for-row (the float path gave
+          slicing-dependent cents for the same events);
+      (c) exactness past 2^53 cents: a (9e13, 1e16)-band amount plus a
+          sub-cent amount accumulate exactly in int64 (float cents lose
+          ulps there), again equal to batch.
+    """
+    batch_rows = [
+        # user 1: three sub-cent purchases -> 0 cents, NO grant
+        (1, 1, "purchase", 0.004),
+        (2, 1, "purchase", 0.004),
+        (3, 1, "purchase", 0.004),
+        # user 2: half-up boundary family -> 1 + 62 + 268 = 331 cents
+        (4, 2, "purchase", 0.005),
+        (5, 2, "purchase", 0.615),
+        (6, 2, "purchase", 2.675),
+        # user 3: big-band magnitude + sub-cent follower (the float
+        # path's ulp-loss shape); stored double of the literal is
+        # 98000000000000.06 -> 9800000000000006 cents + 0
+        (7, 3, "purchase", 98000000000000.07),
+        (8, 3, "purchase", 0.004),
+        # user 4: 0.0045 rounds HALF_UP at scale 2 on the SHORTEST
+        # RENDERING '0.0045' -> 0.00 (not the two-step 0.005 -> 0.01)
+        (9, 4, "purchase", 0.0045),
+    ]
+
+    def run(slice_files: bool, sub: str):
+        root = tmp_path / sub
+        events_dir, grants_dir, notes_dir, ckpt = (
+            str(root / "events"), str(root / "grants"),
+            str(root / "notifications"), str(root / "checkpoint"),
+        )
+        if slice_files:
+            # one row per file, ascending mtimes -> one-row micro-batches
+            import os as _os
+            import time as _time
+            for k, row in enumerate(batch_rows):
+                _write_events(spark, events_dir, [row])
+            parts = sorted(
+                p for p in _os.listdir(events_dir) if p.startswith("part-")
+            )
+            base = int(_time.time())
+            for k, p in enumerate(parts):
+                fp = _os.path.join(events_dir, p)
+                _os.utime(fp, (base + k, base + k))
+        else:
+            _write_events(spark, events_dir, batch_rows)
+        run_grants_pipeline(
+            spark, events_dir, grants_dir, notes_dir, ckpt, CENTS_CONFIG,
+            shuffle_partitions=4,
+            max_files_per_trigger=1 if slice_files else 1 << 20,
+        )
+        snap = grants_snapshot(spark, grants_dir).orderBy("user_id", "feature")
+        return [tuple(r) for r in snap.collect()], events_dir
+
+    got_sliced, events_dir = run(True, "sliced")
+    got_single, _ = run(False, "single")
+    assert got_sliced == got_single  # (b) slicing independence
+
+    batch = [
+        tuple(r)
+        for r in feature_grants_long(
+            spark.read.parquet(events_dir), CENTS_CONFIG
+        ).orderBy("user_id", "feature").collect()
+    ]
+    assert got_sliced == batch  # (a)+(c) stream == batch
+    grants = {u: g for u, _f, g in got_sliced}
+    assert grants[1] is False   # 0.004*3 -> 0 cents, not > 0
+    assert grants[4] is False   # 0.0045 -> 0.00
+    assert grants[2] is True and grants[3] is True
