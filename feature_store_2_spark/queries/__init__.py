@@ -97,70 +97,55 @@ _STAPLES: tuple[str, ...] = (
 # the oldest r1-r4 green rows back through the driver). Names are
 # appended here as round-10 code changes ship.
 _PINNED_RESCORE: tuple[str, ...] = (
-    # r10 ADVICE (medium): the variant oracle's DOUBLE branch now
-    # TRY_CASTs the trunc() result, so an out-of-int64 double like
-    # {"k": 1e30} degrades to NULL on both engines instead of crashing
-    # the DuckDB oracle.
-    "func_variant_semistructured",
-    # r10 ADVICE (low): the strict-integer k gate's oracle trim now
-    # strips the same [\x00-\x20\x7F] class Spark try_cast's trimAll
-    # strips (DuckDB trim() is space-only; '"\t12"' extracted 12 in
-    # Spark but NULL in the oracle). Shared via _AGG_CTE/_grants_cte;
-    # fs_user_aggregates / fs_purchase_allowlist /
-    # stream_feature_grants are staples and rescore anyway.
-    "func_json_events",
-    # r10 ADVICE (low): _spark_lower_sql now mirrors Java's conditional
-    # Final_Sigma rule (Σ at word end lowers to ς, U+03C2) with an RE2
-    # consume-and-restore rewrite, alongside the r9 U+0130 expansion.
-    # All four consumers of the mirror pinned.
-    "doc_fingerprint_normalized",
-    "doc_corpus_curation",
-    "dedup_fuzzy_levenshtein",
-    "dedup_incremental_new_docs",
-    # r10 fixture find: get_json_object re-renders scientific-notation
-    # JSON numbers ('1e30' -> '1.0E30') while DuckDB keeps the source
-    # text — the hashed k feature moved to the strict-integer contract
-    # with canonical rendering (semantic change, needs a fresh row).
-    "feat_hashing_trick",
-    # r10 (r8 verdict ask #7): stream_denial_rate promoted from
-    # rows-only to an EXACT oracle — chained stateful aggregations in
-    # append mode, watermark-closed windows only. New semantics, new
-    # schema, needs its first exact-gated driver row.
-    "stream_denial_rate",
-    # r10 hostile-magnitude fixture class: the grants pipeline's SUM
-    # intake narrowed to the shared DECIMAL(18,2) envelope (batch plan,
-    # Python state, JVM merge, oracle — all four aligned; plain casts
-    # were ANSI job-killers on one oversized row). The three staples
-    # cover the other consumers of _AGG_CTE.
-    "fs_feature_grants",
+    # Round 11 pins. All 22 round-10 pins earned green r10 rows
+    # (CORRECTNESS_r10.json: 48/50 green + the 2 by-design rows-only)
+    # and are cleared.
+    #
+    # r10 verdict #1 (the streaming SUM cents contract): the Python
+    # keyed-state path now converts EACH value to cents with the same
+    # shortest-repr HALF_UP rounding as the batch plan's
+    # try_cast(DECIMAL(18,2)) before accumulating (_cents_sum,
+    # streaming/pipeline.py) — round-then-sum, slicing-independent,
+    # exact past 2^53 cents. stream_feature_grants is a staple and
+    # rescores anyway; these are the other run_grants_pipeline
+    # consumers plus the (unchanged but contract-sharing) JVM-merge
+    # twin the verdict asked rescored alongside.
     "stream_grants_multibatch",
     "stream_grants_incremental_merge",
     "stream_grant_notifications",
-    # r10 timestamp-pathology fixture class: future-dated purchases
-    # anti-decayed to inf (decay exponent now clamped at 0), and the
-    # trend x*x overflowed int32 day counts on multi-century spans
-    # (sufficient statistics now BIGINT end-to-end).
-    "feat_time_decay",
-    "ts_daily_trend_slope",
-    # r10 hostile-magnitude class, driver-visible changes: gini's
-    # integer ride-along columns moved to DOUBLE (wide decimals have
-    # no common pandas carrier) with DECIMAL(38,0)/HUGEINT internal
-    # lift; TWAP represents the same lift on the v*dt product. The
-    # ~25 other entries whose intake gates/oracles were touched are
-    # value-identical on every finite-and-representable corpus (the
-    # driver's included) — the adversarial fixture suite pins the new
-    # hostile-value semantics and staleness rotation rescores them.
-    "agg_gini_spend",
-    "window_time_weighted_avg",
-    # r10 non-finite-embeddings class: the vector_exact intake gate
-    # (NULL/NaN/Inf components + the 2^13 norm envelope that keeps
-    # every quantized accumulator — incl. kNN squared DISTANCES —
-    # inside int64) landed at every vector boundary; these two
-    # represent the newly-gated private intakes (the rest ride
-    # _prepare and are value-identical on the unit-normalized driver
-    # corpus, fixture-pinned).
+    # r10 verdict #4: sketch_approx_percentiles promoted from
+    # rows-only to an EXACT rank-certification oracle (GK values out
+    # of the output, QuantileSummaries floor/ceil rank window + an
+    # in-bound boolean in). New semantics, new schema, needs its
+    # first exact-gated driver row.
+    "sketch_approx_percentiles",
+    # r10 ADVICE (vector envelope slop): VEC_NORM2_BOUND shaved
+    # 8192 -> 8191 so the strict int64 guarantee covers floor()
+    # quantization slop; all vector oracles updated in lockstep.
+    # Value-identical on the unit-normalized driver corpus (norms ~1)
+    # — these two represent the gated family (the boundary fixtures
+    # pin the 8190/8191/8192 points cross-engine).
     "dedup_embedding_cosine",
-    "emb_matryoshka_rerank",
+    "emb_kmeans_fit",
+    # r11 fixture-class-11b scale-killer finds (1M-char single-token
+    # doc): the PII email regex RFC-bounded (Java O(len^2) backtracking
+    # on the unbounded greedy class — one core pegged an hour) and the
+    # BPE pair expansion moved from per-position substr (UTF8String
+    # prefix re-scan, O(len^2)) to split-once char-array zip, with the
+    # oracle on the matching inline list_transform shape.
+    "doc_pii_scan",
+    "vocab_bpe_merge_step",
+    # r11 fixture-class-11b cross-engine finds: single-active-day
+    # event types made the OLS denominator 0 (ANSI job-killer ->
+    # nullif, both sides); from_xml trims the XML whitespace class at
+    # text edges (contract moved to the trimmed fixpoint); Java's $
+    # matches before a final newline (alpha-word anchor moved to
+    # \A..\z); the JSONL oracle moved from concatenation to DuckDB's
+    # native to_json (real escaping pinned byte-identical).
+    "ts_daily_trend_slope",
+    "func_xml_events",
+    "doc_gopher_quality_flags",
+    "doc_export_jsonl",
 )
 
 

@@ -194,7 +194,7 @@ def doc_stratified_sample(spark, sf_dir):
 
 
 _PII = {
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "email": r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}",
     "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
@@ -453,4 +453,97 @@ def dedup_source_overlap_matrix(spark, sf_dir):
         F.count("*").alias("n_dup_pairs"),
         F.countDistinct("da").alias("n_docs_a"),
         F.countDistinct("db").alias("n_docs_b"),
+    )
+
+
+# Eight deterministic wire shapes for the synthetic URL column (driven
+# by doc_id % 8) — uppercase scheme/host, ports, userinfo, query,
+# fragment, mobile/www prefixes, protocol-relative, bare host — the
+# mess a real crawl manifest carries. Built identically in both
+# engines so the CANONICALIZATION (not the synthesis) is what the
+# oracle checks.
+_URL_BLOCKLIST = ("src0.example.com", "src13.example.com")
+
+
+def _url_sql(dialect: str) -> str:
+    """One CASE expression rendering the synthetic url; identical text
+    works in Spark SQL and DuckDB (both support || and CASE)."""
+    d = "CAST(doc_id AS VARCHAR)" if dialect == "duck" else "CAST(doc_id AS STRING)"
+    up = "upper(source)"
+    return f"""CASE doc_id % 8
+  WHEN 0 THEN 'https://www.' || source || '.example.com/p/' || {d}
+  WHEN 1 THEN 'HTTP://' || {up} || '.Example.COM/p/' || {d} || '/'
+  WHEN 2 THEN 'https://' || source || '.example.com:443/p/' || {d} || '?utm_source=feed&ref=x'
+  WHEN 3 THEN 'http://' || source || '.example.com:80/p/' || {d} || '#frag'
+  WHEN 4 THEN 'https://m.' || source || '.example.com/p/' || {d}
+  WHEN 5 THEN '//' || source || '.example.com/p/' || {d}
+  WHEN 6 THEN 'https://user:pw@' || source || '.example.com/p/' || {d}
+  ELSE source || '.example.com/p/' || {d} || '/index.html'
+END"""
+
+
+@register(
+    "doc_url_canonicalize_blocklist",
+    f"""
+WITH u AS (SELECT doc_id, lower({_url_sql('duck')}) AS url FROM documents),
+s AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(url,
+                 '^[a-z][a-z0-9+.-]*://', ''), '^//', ''),
+                 '^[^/@]*@', '') AS hp
+      FROM u),
+hostpath AS (
+    SELECT doc_id, url,
+           regexp_replace(regexp_replace(
+               regexp_extract(hp, '^([^/?#]*)', 1),
+               ':[0-9]+$', ''), '^(www|m)\\.', '') AS host,
+           regexp_replace(regexp_replace(
+               regexp_extract(hp, '^[^/?#]*([^?#]*)', 1),
+               '/index\\.html$', ''), '/+$', '') AS path
+    FROM s)
+SELECT doc_id, url, host, host || path AS canonical_url,
+       host IN {repr(_URL_BLOCKLIST)} AS blocked
+FROM hostpath
+""",
+    doc="URL/domain canonicalization + blocklist filter — the curation "
+    "front door every crawl pipeline runs before dedup (otherwise "
+    "http/https, www., ports, utm params and fragments make the same "
+    "page look like eight pages). The url is synthesized "
+    "deterministically from (source, doc_id) in BOTH engines (the "
+    "corpus carries no url column), then canonicalized: lowercase, "
+    "strip scheme / protocol-relative prefix / userinfo, strip port, "
+    "strip www./m. subdomain, drop query+fragment, drop /index.html "
+    "and trailing slashes; blocked = host on the blocklist (broadcast "
+    "at scale — a blocklist is always small). Every regex is ANCHORED "
+    "so it matches at most once — the portable subset, since Spark's "
+    "regexp_replace is replace-ALL while DuckDB's default is "
+    "replace-first. Zero shuffle: one narrow projection pass.",
+)
+def doc_url_canonicalize_blocklist(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    url = F.lower(F.expr(_url_sql("spark")))
+    hp = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://", ""), r"^//", ""
+        ),
+        r"^[^/@]*@",
+        "",
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(hp, r"^([^/?#]*)", 1), r":[0-9]+$", ""),
+        r"^(www|m)\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(hp, r"^[^/?#]*([^?#]*)", 1), r"/index\.html$", ""
+        ),
+        r"/+$",
+        "",
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        host.alias("host"),
+        F.concat(host, path).alias("canonical_url"),
+        host.isin(*_URL_BLOCKLIST).alias("blocked"),
     )

@@ -16,10 +16,13 @@ from pyspark.sql import functions as F
 
 from feature_store_2_spark.functions.vector import (
     QUANT_SCALE,
+    cosine_from_parts,
+    qdot,
     qnorm2,
     quantize,
     vector_exact,
 )
+from feature_store_2_spark.operators.cache import track_persist as _track_persist
 from feature_store_2_spark.operators.dedup import (
     SRP_SCORED_MAX_BAND_BITS,
     SRP_SCORED_OCCUPANCY,
@@ -45,7 +48,7 @@ _SRP_LOOKUP_ROWS = srp_scored_lookup_rows()
     "emb_norms",
     f"""
 WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 n AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2_q
       FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id)
 SELECT vec_id, n2_q, sqrt(CAST(n2_q AS DOUBLE)) / {QUANT_SCALE} AS l2_norm
@@ -71,7 +74,7 @@ def emb_norms(spark, sf_dir):
     "emb_cosine_topk",
     f"""
 WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
           FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
 pairs AS (
@@ -107,7 +110,7 @@ def emb_cosine_topk(spark, sf_dir):
 
 _IVF_ORACLE = f"""
 WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -187,7 +190,7 @@ prm AS (
                    FROM generate_series(4, {SRP_SCORED_MAX_BAND_BITS}) k(k)
                    WHERE (CAST(1 AS BIGINT) << k.k) * {SRP_SCORED_OCCUPANCY}
                          >= (SELECT count(*) FROM embeddings
-                             WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0))),
+                             WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0))),
 r AS (
     SELECT h.h AS h, i.i AS i,
            CASE WHEN ascii(substr(md5(CAST(h.h AS VARCHAR) || ':' ||
@@ -198,7 +201,7 @@ r AS (
     WHERE h.h < (SELECT n_bits FROM prm)
 ),
 qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 bits AS (
     SELECT q.vec_id, r.h,
            CASE WHEN sum(r.s * q.v[r.i]) >= 0 THEN 1 ELSE 0 END AS bit
@@ -371,7 +374,7 @@ def emb_lsh_ann_topk(spark, sf_dir):
     "emb_centroid_assign",
     f"""
 WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -399,7 +402,7 @@ def emb_centroid_assign(spark, sf_dir):
 
 _SILH_ORACLE = f"""
 WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -500,7 +503,7 @@ WITH mx AS (
     SELECT vec_id, embedding,
            list_max(list_transform(embedding, x -> abs(x))) AS m
     FROM embeddings
-    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 qq AS (
     SELECT vec_id, CAST(m AS DOUBLE) AS scale,
            list_transform(embedding, x ->
@@ -569,7 +572,7 @@ def _kmeans_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS) -> str:
     parts = [
         f"""
 WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 sel AS (
     SELECT vec_id,
            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
@@ -643,7 +646,7 @@ _MRL_PRE, _MRL_M, _MRL_K = 16, 20, 5
     "emb_matryoshka_rerank",
     f"""
 WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
           FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
 tnorms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
@@ -785,7 +788,7 @@ _PQ_K = 16       # codebook entries per subspace
 # subspace x codebook entry). One source of truth — both oracles embed
 # this block, mirroring the Spark-side _pq_subspace_dists kernel.
 _PQ_DIST_CTE = f"""WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 cb AS (SELECT vec_id AS j, v FROM qv WHERE vec_id < {_PQ_K}),
 d AS (
     SELECT q.vec_id, s.s, c.j,
@@ -996,7 +999,7 @@ _OUTLIER_N = 20
 
 _OUTLIER_ORACLE = f"""
 WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 sums AS (
     SELECT label AS c_label, i.i AS d,
            CAST(sum(v[i.i]) AS BIGINT) AS s, count(*) AS cnt
@@ -1064,7 +1067,7 @@ _HN_NQ = 20
 
 _HARD_NEG_ORACLE = f"""
 WITH qv AS (SELECT vec_id, label, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 pair AS (
     SELECT q.vec_id AS query_id, q.label AS q_label,
            c.vec_id AS hard_neg_id, c.label AS neg_label,
@@ -1345,7 +1348,7 @@ _QS2 = float(QUANT_SCALE) * float(QUANT_SCALE)
 
 _COV_ORACLE = f"""
 WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 x AS (SELECT vec_id, i.i AS i, v[i.i] AS q
       FROM qv CROSS JOIN generate_series(1, {DIM}) i(i)),
 s1 AS (SELECT i, CAST(sum(q) AS DECIMAL(38,0)) AS s FROM x GROUP BY i),
@@ -1354,7 +1357,7 @@ s2 AS (SELECT a.i AS ai, b.i AS bi,
        FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
        GROUP BY 1, 2),
 n AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n FROM embeddings
-     WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0)
+     WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0)
 SELECT CAST(s2.ai - 1 AS INT) AS i, CAST(s2.bi - 1 AS INT) AS j,
        CAST(CAST(n.n * s2.s2 - sa.s * sb.s AS VARCHAR) AS DOUBLE)
            / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)) / {_QS2!r} AS cov
@@ -1415,7 +1418,7 @@ def emb_covariance_matrix(spark, sf_dir):
 _ANN_RECALL_ORACLE = f"""
 WITH knn AS ({_KNN_JOIN_ORACLE}),
 qv2 AS (SELECT vec_id, {_QV} AS v FROM embeddings
-        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 nn2 AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
         FROM qv2 CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
 p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1568,7 +1571,7 @@ WITH {_SRP_ADAPTIVE_CTES},
 bucket AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS c
            FROM bands GROUP BY 1, 2)
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0) AS n_vectors,
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0) AS n_vectors,
        CAST((SELECT band_bits FROM prm) AS BIGINT) AS band_bits,
        CAST((SELECT n_bits FROM prm) // (SELECT band_bits FROM prm)
             AS BIGINT) AS n_bands,
@@ -1638,4 +1641,96 @@ def ann_adaptive_sizing_audit(spark, sf_dir):
         F.sum(F.expr("c * (c - 1) div 2"))
         .cast("long")
         .alias("candidate_pairs"),
+    )
+
+
+_SEMD_TAU = 0.35
+
+
+@register(
+    "dedup_semantic_clusters",
+    f"""
+WITH assign AS ({{KMEANS}}),
+qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
+norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
+          FROM qv CROSS JOIN generate_series(1, {DIM}) i(i) GROUP BY vec_id),
+pairs AS (
+    SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cluster,
+           CAST(sum(qa.v[i.i] * qb.v[i.i]) AS BIGINT) AS dot
+    FROM assign a JOIN assign b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN qv qa ON qa.vec_id = a.vec_id
+    JOIN qv qb ON qb.vec_id = b.vec_id
+    CROSS JOIN generate_series(1, {DIM}) i(i)
+    GROUP BY 1, 2, 3),
+dropped AS (
+    SELECT DISTINCT drop_id
+    FROM pairs
+    JOIN norms na ON keep_id = na.vec_id
+    JOIN norms nb ON drop_id = nb.vec_id
+    WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          >= {_SEMD_TAU})
+SELECT a.vec_id, a.cluster, d.drop_id IS NULL AS is_kept
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.drop_id
+""".replace("{KMEANS}", _kmeans_oracle()),
+    doc="SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): k-means "
+    f"clusters the corpus (the oracle-checked emb_kmeans_fit, k={_KM_K}), "
+    "then near-duplicate search runs ONLY WITHIN each cluster — "
+    f"intra-cluster exact quantized cosine >= {_SEMD_TAU}, keep the "
+    "min-id representative of each epsilon-neighborhood (greedy keep: "
+    "a vector is dropped iff a smaller-id same-cluster vector sits "
+    "within the threshold). Cost is sum over clusters of |c|^2, "
+    "controlled by k (production sizes k ~ n/target_cluster so "
+    "per-cluster all-pairs stays bounded — the paper runs 50k clusters "
+    "over LAION); cross-cluster near-pairs are missed BY DESIGN (the "
+    "approximation SemDeDup trades for never running corpus x corpus). "
+    "Oracle nests the unrolled-Lloyd k-means CTE chain and reproduces "
+    "the identical clusters, pairs, and keep set.",
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    from feature_store_2_spark.operators.similarity import kmeans_fit
+
+    e = load_table(spark, "embeddings", sf_dir)
+    assign = kmeans_fit(e, k=_KM_K, max_iter=_KM_ROUNDS).select(
+        "vec_id", "cluster"
+    )
+    q = (
+        e.filter(vector_exact("embedding"))
+        .select("vec_id", quantize("embedding").alias("v"))
+        .withColumn("n2", qnorm2(F.col("v")))
+        .join(assign, "vec_id")
+        .transform(_track_persist)  # both sides of the pair join read it
+    )
+    a = q.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("cluster").alias("ca"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("drop_id"),
+        F.col("cluster").alias("cb"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    cos = cosine_from_parts(
+        qdot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb")) & (F.col("keep_id") < F.col("drop_id")),
+        )
+        .filter(cos >= _SEMD_TAU)
+        .select("drop_id")
+        .distinct()
+    )
+    return (
+        q.select("vec_id", "cluster")
+        .join(dropped, q.vec_id == dropped.drop_id, "left")
+        .select(
+            "vec_id", "cluster", F.col("drop_id").isNull().alias("is_kept")
+        )
     )

@@ -2831,3 +2831,137 @@ def graph_degree_distribution(spark, sf_dir):
         F.count("*").alias("n_nodes"),
         F.sum("degree").cast("long").alias("n_edge_endpoints"),
     )
+
+
+@register(
+    "doc_line_dedup_clean",
+    """
+WITH lines AS (
+    SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    WHERE text IS NOT NULL),
+cleaned AS (
+    SELECT doc_id, ls,
+           list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+    FROM lines)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(ls) - len(kept) AS BIGINT) AS n_dup_lines,
+       array_to_string(kept, chr(10)) AS cleaned_text
+FROM cleaned
+""",
+    doc="WITHIN-DOCUMENT line-level dedup TRANSFORM (the C4 cleaning "
+    "step, Raffel et al. 2020 — doc_repetition_stats MEASURES "
+    "repetition, this entry EMITS the cleaned text): split on newline, "
+    "keep only the FIRST occurrence of each repeated line (order "
+    "preserved), reassemble, and report line counts. Pure per-row "
+    "array compute — zero shuffle, embarrassingly parallel at 100 TB "
+    "(the first-occurrence scan is O(lines^2) per doc, bounded by "
+    "document length, never corpus size). The keep-first rule is the "
+    "engine-portable contract: Spark array_position == DuckDB "
+    "list_position (both 1-based first match; Spark's filter lambda "
+    "index is 0-based, DuckDB's 1-based — the oracle and the plan "
+    "each use their own convention). Single-line corpora (the driver "
+    "tables) pass through unchanged; the multi-line hazards live in "
+    "the crafted docs fixture (duplicate lines, zero-width look-alike "
+    "lines, empty lines between duplicates).",
+)
+def doc_line_dedup_clean(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    ls = F.split(F.col("text"), "\n", -1)
+    kept = F.filter(
+        ls, lambda x, i: F.array_position(ls, x) == i + F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        F.size(ls).cast("long").alias("n_lines"),
+        (F.size(ls) - F.size(kept)).cast("long").alias("n_dup_lines"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+    )
+
+
+def _minhash_incremental_oracle() -> str:
+    p = (1 << 61) - 1
+    mins = ", ".join(
+        f"min((h1 + {seed} * h2) % {p}) AS h{seed}"
+        for seed in range(N_MINHASHES)
+    )
+    rows = N_MINHASHES // N_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || '_' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + " AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+, halves AS (SELECT doc_id, {_fold14(1)} AS h1, {_fold14(15)} AS h2 FROM sh),
+sig AS (SELECT doc_id, {mins} FROM halves GROUP BY doc_id),
+bands AS ({band_selects}),
+idx AS (SELECT DISTINCT band_idx, band_key, doc_id FROM bands
+        WHERE doc_id % 5 <> 0),
+probe AS (SELECT DISTINCT band_idx, band_key, doc_id FROM bands
+          WHERE doc_id % 5 = 0)
+SELECT p.doc_id AS new_doc, i.doc_id AS corpus_doc,
+       count(*) AS n_shared_bands
+FROM probe p JOIN idx i
+  ON p.band_idx = i.band_idx AND p.band_key = i.band_key
+GROUP BY 1, 2
+"""
+    )
+
+
+@register(
+    "dedup_minhash_index_incremental",
+    _minhash_incremental_oracle(),
+    doc="INCREMENTAL MinHash-LSH index maintenance — the LSH twin of "
+    "dedup_incremental_new_docs (which is exact-fingerprint only): "
+    "the standing corpus (doc_id%5<>0 stands in for it) keeps a "
+    "STORED band index (band_idx, band_key, doc_id — written once, "
+    "appended per batch at 100 TB); today's batch (doc_id%5=0) is "
+    "shingled/minhashed FRESH and its bands PROBED against the index "
+    "with an equi-join on (band_idx, band_key). Cost scales with the "
+    "batch: only new docs are hashed, the probe side is batch-sized "
+    "(AQE broadcasts it when small), and the index side is never "
+    "re-hashed or self-joined — near-dup candidates against all of "
+    "history without ever re-deduping history against itself. Same "
+    "Kirsch-Mitzenmacher 16-hash/4-band family as dedup_minhash_lsh, "
+    "so the oracle reproduces signatures exactly.",
+)
+def dedup_minhash_index_incremental(spark, sf_dir):
+    from feature_store_2_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, "documents", sf_dir)
+    sig = minhash_signatures(docs)
+    rows_per_band = N_MINHASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    idx = bands.filter(F.col("doc_id") % 5 != 0).withColumnRenamed(
+        "doc_id", "corpus_doc"
+    )
+    probe = bands.filter(F.col("doc_id") % 5 == 0).withColumnRenamed(
+        "doc_id", "new_doc"
+    )
+    # no forced broadcast: the probe side is batch-sized (often small,
+    # but a big backfill day isn't), so AQE picks broadcast-vs-shuffle
+    # from the measured batch size at runtime.
+    return (
+        probe.join(idx, ["band_idx", "band_key"])
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )

@@ -1,9 +1,11 @@
 """Sketch-based approximate aggregates (the 100 TB substitutes for exact
-distinct/quantile shuffles). Approximation algorithms differ across
-engines, so these carry no value-exact oracle — the driver records the
-rows-only check — but each has an exact twin in the catalog
-(agg_distinct_exact, agg_median_quantiles) and a pytest bound check
-(tests/test_sketches.py) against the exact answer.
+distinct/quantile shuffles). Engine-internal approximation layouts
+(HLL++) carry no value-exact oracle — the driver records the rows-only
+check — but each has an exact twin in the catalog (agg_distinct_exact,
+agg_median_quantiles) and a pytest bound check (tests/test_sketches.py)
+against the exact answer. GK percentiles were promoted to an EXACT
+rank-certification oracle in r11 (see sketch_approx_percentiles); CMS
+and Bloom are integer-exact cross-engine from the start.
 """
 
 from __future__ import annotations
@@ -32,22 +34,104 @@ def sketch_hll_users_per_type(spark, sf_dir):
     )
 
 
+_GK_ACC = 10000
+# (label, numerator, denominator): quantiles as exact fractions so every
+# window bound below is pure BIGINT arithmetic — no 0.9*n double slop.
+_GK_QUANTILES = (("p50", 1, 2), ("p90", 9, 10))
+
+
 @register(
     "sketch_approx_percentiles",
-    None,
-    doc="approx_percentile (Greenwald-Khanna) per return flag (vs exact "
-    "twin agg_median_quantiles)",
+    f"""
+WITH g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1)
+SELECT l_returnflag, quantile, n,
+       CAST(((num * {_GK_ACC} - den) * n) // (den * {_GK_ACC})
+            AS BIGINT) AS rank_lo,
+       CAST(((num * {_GK_ACC} + den) * n + den * {_GK_ACC} - 1)
+            // (den * {_GK_ACC}) AS BIGINT) AS rank_hi,
+       TRUE AS in_bound
+FROM g CROSS JOIN (VALUES ('p50', 1, 2), ('p90', 9, 10))
+     AS t(quantile, num, den)
+""",
+    doc="approx_percentile (Greenwald-Khanna) per return flag, promoted "
+    "from rows-only to an EXACT oracle via RANK-BOUND CERTIFICATION "
+    "(the r10 verdict's ask #4 — the stream_denial_rate move): the GK "
+    "VALUE itself is approximation-valued and stays out of the output "
+    "(its element-of-group + rank-error contract is pytest-pinned, "
+    "tests/test_sketches.py), but the CONTRACT is checkable — Spark "
+    "computes each returned value's exact below/at-or-below counts "
+    "against the group and certifies the QuantileSummaries guarantee "
+    "floor((q-eps)*n) <= rank(v) <= ceil((q+eps)*n) with eps = "
+    "1/accuracy (count(<=v) against the floor, count(<v) against the "
+    "ceil — the floor/ceil discreteness is part of Spark's documented "
+    "bound and a plain +-eps*n window is measurably one row too "
+    "tight); all arithmetic is integer via the (num, den) quantile "
+    "fractions. The oracle independently computes the same rank "
+    "window (rank_lo, rank_hi) and asserts the certification holds "
+    "(in_bound TRUE). A GK merge-order wobble can move the value but "
+    "never the boolean — any contract violation hash-mismatches. The "
+    "certify pass is one broadcast of the 3-row GK table back over "
+    "the scan: no extra shuffle.",
 )
 def sketch_approx_percentiles(spark, sf_dir):
-    li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "approx_median_price"
-        ),
-        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias(
-            "approx_p90_price"
-        ),
+    from functools import reduce
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_extendedprice"
     )
+    gk = li.groupBy("l_returnflag").agg(
+        *[
+            F.approx_percentile(
+                "l_extendedprice", F.lit(num / den), F.lit(_GK_ACC)
+            ).alias(f"v_{qn}")
+            for qn, num, den in _GK_QUANTILES
+        ]
+    )
+    j = li.join(F.broadcast(gk), "l_returnflag")
+    stats = j.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            c
+            for qn, _, _ in _GK_QUANTILES
+            for c in (
+                F.sum(
+                    F.when(
+                        F.col("l_extendedprice") < F.col(f"v_{qn}"), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"lt_{qn}"),
+                F.sum(
+                    F.when(
+                        F.col("l_extendedprice") <= F.col(f"v_{qn}"), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"le_{qn}"),
+            )
+        ],
+    )
+    parts = []
+    for qn, num, den in _GK_QUANTILES:
+        scale = num * _GK_ACC - den, num * _GK_ACC + den, den * _GK_ACC
+        lo_num, hi_num, denom = scale
+        rank_lo = F.expr(f"({lo_num} * n) div {denom}")
+        rank_hi = F.expr(f"({hi_num} * n + {denom} - 1) div {denom}")
+        parts.append(
+            stats.select(
+                "l_returnflag",
+                F.lit(qn).alias("quantile"),
+                "n",
+                rank_lo.cast("long").alias("rank_lo"),
+                rank_hi.cast("long").alias("rank_hi"),
+                (
+                    (F.col(f"le_{qn}") >= rank_lo)
+                    & (F.col(f"lt_{qn}") <= rank_hi)
+                ).alias("in_bound"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), parts)
 
 
 @register(

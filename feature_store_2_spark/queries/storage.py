@@ -703,3 +703,115 @@ def mv_incremental_maintenance(spark, sf_dir):
         )
     )
     return merged
+
+
+_SNAPDIFF_ORACLE = """
+WITH fp AS (SELECT doc_id, md5(text) AS f1, md5('v2:' || text) AS f2
+            FROM documents WHERE text IS NOT NULL),
+v1 AS (SELECT doc_id, f1 AS fingerprint FROM fp WHERE doc_id % 7 <> 0),
+v2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 = 0 THEN f2
+                ELSE f1 END AS fingerprint
+    FROM fp
+    WHERE NOT (doc_id % 7 <> 0 AND doc_id % 3 <> 0 AND doc_id % 11 = 0))
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       a.fingerprint AS old_fingerprint,
+       b.fingerprint AS new_fingerprint
+FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+   OR a.fingerprint <> b.fingerprint
+"""
+
+
+@register(
+    "corpus_snapshot_diff",
+    _SNAPDIFF_ORACLE,
+    doc="PER-SNAPSHOT CORPUS DIFF via the sharded store's time travel "
+    "(Delta CDF analog for the documents pipeline, the r10 verdict's "
+    "registration ask (e)): yesterday's fingerprint snapshot (docs "
+    "with doc_id%7<>0, md5(text)) is MERGEd into the store and its "
+    "version pinned; today's crawl then lands as one MERGE (adds: "
+    "doc_id%7=0; re-crawled content changes: doc_id%3=0 rows get a "
+    "new fingerprint) plus one MERGE-DELETE (doc_id%11=0 rows purged) "
+    "— exactly the add/change/forget batch mix a daily corpus refresh "
+    "ships. The entry time-travels to the pinned version and "
+    "full-outer-diffs it against the head: (doc_id, added|removed|"
+    "changed, old/new fingerprint). Store writes rewrite only touched "
+    "shards; the diff join is fingerprint-narrow and prunes to the "
+    "changed keys at 100 TB (unchanged rows leave the join early). "
+    "Oracle recomputes both snapshots set-theoretically from raw "
+    "documents.",
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    root = tempfile.mkdtemp(prefix="fs2_snapdiff_")
+    store = os.path.join(root, "fingerprints")
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.md5("text").alias("f1"),
+            F.md5(F.concat(F.lit("v2:"), F.col("text"))).alias("f2"),
+        )
+    )
+    keys = ("doc_id",)
+    v1_rows = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.col("f1").alias("fingerprint")
+    )
+    sharded_store.upsert(v1_rows, store, keys, "doc_id", retain_versions=8)
+    v_old = sharded_store.current_version(store)
+    delta = (
+        d.filter(
+            (F.col("doc_id") % 7 == 0)
+            | ((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 3 == 0))
+        ).select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 3 == 0),
+                F.col("f2"),
+            )
+            .otherwise(F.col("f1"))
+            .alias("fingerprint"),
+        )
+    )
+    sharded_store.upsert(delta, store, keys, "doc_id", retain_versions=8)
+    gone = d.filter(
+        (F.col("doc_id") % 7 != 0)
+        & (F.col("doc_id") % 3 != 0)
+        & (F.col("doc_id") % 11 == 0)
+    ).select("doc_id")
+    sharded_store.delete_keys(gone, store, keys, "doc_id", retain_versions=8)
+    old = (
+        sharded_store.read_store(spark, store, at_version=v_old)
+        .drop(sharded_store.SHARD_COL)
+        .select(
+            F.col("doc_id").alias("o_id"),
+            F.col("fingerprint").alias("old_fingerprint"),
+        )
+    )
+    new = (
+        sharded_store.read_store(spark, store)
+        .drop(sharded_store.SHARD_COL)
+        .select(
+            F.col("doc_id").alias("n_id"),
+            F.col("fingerprint").alias("new_fingerprint"),
+        )
+    )
+    j = old.join(new, old.o_id == new.n_id, "full_outer")
+    return j.select(
+        F.coalesce("o_id", "n_id").alias("doc_id"),
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+        "old_fingerprint",
+        "new_fingerprint",
+    ).filter(
+        F.col("o_id").isNull()
+        | F.col("n_id").isNull()
+        | (F.col("old_fingerprint") != F.col("new_fingerprint"))
+    )
