@@ -57,29 +57,38 @@ def cosine_from_parts(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
 
 
 # Per-vector envelope for exact quantized math (r10 non-finite /
-# hostile-magnitude embeddings class): sum(x^2) < 2^13 guarantees
+# hostile-magnitude embeddings class): sum(x^2) < 8191 guarantees
 # EVERY quantized BIGINT accumulator in the operator surface stays
-# under 2^63 — norms sum((x*2^24)^2) < 2^61, dots by Cauchy-Schwarz,
-# and squared DISTANCES sum((a_i-b_i)^2) <= 2*(|a|^2+|b|^2) < 2^63
-# (the distance form is the binding constraint — a 2^15 norm-only
-# bound still let the kNN/hard-negative dist2 overflow, found by this
-# fixture class). A vector that violates it — or carries a NULL / NaN
-# / +-Inf component, which floor(x * 2^24) turns into an ANSI crash —
-# does not exist for vector math, exactly like the r8 NULL-embedding
+# under 2^63 — norms sum(floor(x*2^24)^2) < 2^61, dots by
+# Cauchy-Schwarz, and squared DISTANCES sum((qa_i-qb_i)^2) <=
+# 2*(|qa|^2+|qb|^2) < 2^63 (the distance form is the binding
+# constraint — a 2^15 norm-only bound still let the kNN/hard-negative
+# dist2 overflow, found by that fixture class). The bound is 8191,
+# ONE unit under the real-math 2^13 limit, to absorb floor()
+# quantization slop (r10 ADVICE): floor(x*2^24) errs by < 1 per
+# component, so a quantized distance can exceed its real-math value
+# by < 4*2^24*sum|a_i - b_i| + 4*dim <= ~1e11 at dim 64 — two
+# antipodal vectors both at norm^2 = 8192-epsilon could push the
+# real-math bound's zero margin past 2^63. At 8191 the margin is
+# 2*(2^13 - 8191)*2*2^48 = 4*2^48 ~ 1.1e15 >> the slop, so the
+# strict-inequality guarantee genuinely covers rounding. A vector
+# that violates the envelope — or carries a NULL / NaN / +-Inf
+# component, which floor(x * 2^24) turns into an ANSI crash — does
+# not exist for vector math, exactly like the r8 NULL-embedding
 # contract. SQL twin (DuckDB): ``embedding IS NOT NULL AND
 # len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
 # AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) *
-# CAST(x AS DOUBLE))) < 8192.0``. The norm gate sums in DOUBLE with
+# CAST(x AS DOUBLE))) < 8191.0``. The norm gate sums in DOUBLE with
 # per-component double squares on both engines (exact for the
 # integer/half-valued component magnitudes real encoders emit near
 # the boundary; IEEE-identical fold order left-to-right).
-VEC_NORM2_BOUND = 8192.0
+VEC_NORM2_BOUND = 8191.0
 
 
 def vector_exact(arr: Column | str) -> Column:
     """True iff the vector exists and is usable for exact quantized
     math: non-NULL, every component non-NULL and finite, and squared
-    L2 norm inside the 2^13 envelope (see VEC_NORM2_BOUND)."""
+    L2 norm inside the slop-shaved 2^13 envelope (VEC_NORM2_BOUND)."""
     arr = F.col(arr) if isinstance(arr, str) else arr
     bad = F.exists(
         arr,

@@ -251,7 +251,13 @@ def gopher_quality_flags(
         .cast("long")
         .alias("n_stop"),
         F.coalesce(
-            F.sum(F.when(F.col("word").rlike("^[a-z]+$"), F.col("c"))),
+            # \A..\z, not ^..$ (r11 multi-line-token fixture find):
+            # Java's $ also matches BEFORE a final line terminator, so
+            # a space-delimited token like 'beta\n' counted as
+            # alphabetic in Spark while DuckDB's regexp_full_match
+            # (RE2, true full-text) said no. \A/\z anchor to the text
+            # ends in both engines.
+            F.sum(F.when(F.col("word").rlike("\\A[a-z]+\\z"), F.col("c"))),
             F.lit(0),
         )
         .cast("long")

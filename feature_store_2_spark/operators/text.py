@@ -92,12 +92,23 @@ def normalized_fingerprint(text: Column | str) -> Column:
 
 
 # --- PII detection / redaction ------------------------------------------
+#
+# Quantifiers are BOUNDED (RFC 5321: local part <= 64, domain <= 255,
+# TLD <= 24) — not just for correctness: an UNBOUNDED greedy class with
+# a required char after it ([A-Za-z0-9._%+-]+@) is O(len^2) in Java's
+# backtracking regex on text that feeds the class but never yields the
+# required char (a 1M-char single-token doc pegged one core for an
+# HOUR — fixture class 11b find, r11; DuckDB's RE2 is linear and never
+# showed it). Bounding the repeat caps the per-position backtrack at
+# the bound, restoring O(bound * len). A local part longer than 64
+# matches only its trailing 64 chars (leftmost-first in BOTH engines),
+# which is the RFC-invalid edge and pinned in tests.
 # Patterns restricted to the Java-regex / RE2 common subset (no
 # lookaround, no backrefs) so Spark's regexp_* and DuckDB's regexp_*
 # compile them identically — the cross-engine determinism requirement
 # for the oracle gate. Ordered dict: redaction applies in this order.
 PII_PATTERNS: dict[str, str] = {
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "email": r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}",
     "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",

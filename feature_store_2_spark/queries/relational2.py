@@ -374,7 +374,7 @@ _EMB_DIM = 64
     "dedup_embedding_cosine",
     f"""
 WITH qv AS (SELECT vec_id, {_QV} AS v FROM embeddings
-       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8192.0),
+       WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 8191.0),
 norms AS (SELECT vec_id, CAST(sum(v[i.i] * v[i.i]) AS BIGINT) AS n2
           FROM qv CROSS JOIN generate_series(1, {_EMB_DIM}) i(i) GROUP BY vec_id),
 pairs AS (

@@ -899,10 +899,13 @@ WITH daily AS (
 )
 SELECT event_type,
        CAST(n AS INT) AS n_days,
+       -- nullif (r11 hostile-key fixture find): a type active on ONE
+       -- day has den = 0 — slope is undefined, and Spark's ANSI `/`
+       -- would kill the whole job on that one group
        CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS slope,
        CAST(sy * sxx - sx * sxy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+           / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS intercept
 FROM s
 """
 
@@ -943,8 +946,14 @@ def ts_daily_trend_slope(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("c")).alias("sxy"),
     )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
+    # nullif (r11 hostile-key fixture find): one single-active-day
+    # event type makes den = 0 and ANSI division kills the JOB, not
+    # the row — undefined regressions must be NULL, like the oracle.
+    den = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        ),
+        F.lit(0.0),
     )
     return s.select(
         "event_type",

@@ -273,9 +273,19 @@ def search_inverted_index(spark, sf_dir):
 WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
 wc AS (SELECT word, count(*) AS c FROM tok
        WHERE len(word) >= 2 GROUP BY word),
+-- split each word to a char LIST once and build the pair list with
+-- an inline list_transform + unnest (the shingle-CTE idiom): cs[i] is
+-- O(1) while substr(word, i, 1) re-scans the prefix per position
+-- (O(len^2) per word — the r11 1M-char-token fixture hung Spark's
+-- UTF8String on exactly this shape), and a LATERAL unnest would carry
+-- the full cs list on every exploded row (61 GB on the same fixture).
+-- Both engines' split==substr semantics probed cross-engine in the
+-- r11 BENCH_NOTES, incl. astral/NFD chars.
+wcs AS (SELECT word, c, string_split(word, '') AS cs FROM wc),
 pairs AS (
-    SELECT substr(word, i, 1) || '|' || substr(word, i + 1, 1) AS pair, c
-    FROM wc, unnest(generate_series(1, len(word) - 1)) AS t(i)),
+    SELECT unnest(list_transform(generate_series(1, len(cs) - 1),
+                  i -> cs[i] || '|' || cs[i + 1])) AS pair, c
+    FROM wcs),
 agg AS (SELECT pair, CAST(sum(c) AS BIGINT) AS pair_n
         FROM pairs GROUP BY pair)
 SELECT pair, pair_n FROM agg
@@ -299,22 +309,17 @@ def vocab_bpe_merge_step(spark, sf_dir):
         .groupBy("word")
         .agg(F.count("*").alias("c"))
     )
-    # substring with a column position needs SQL substr(word, i, 1)
-    pairs = (
-        wc.select(
-            "word",
-            "c",
-            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
-        )
-        .select(
-            F.concat_ws(
-                "|",
-                F.expr("substr(word, i, 1)"),
-                F.expr("substr(word, i + 1, 1)"),
-            ).alias("pair"),
-            "c",
-        )
+    # Split to a char array ONCE and zip adjacent slices: element
+    # access is O(1), where per-position substr(word, i, 1) re-scans
+    # the prefix (UTF8String.substring is O(i)) — O(len^2) per word,
+    # an hour on the 11b fixture's 1M-char single token.
+    chars = F.split(F.col("word"), "")
+    pair_arr = F.zip_with(
+        F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0))),
+        F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws("|", a, b),
     )
+    pairs = wc.select(F.explode(pair_arr).alias("pair"), "c")
     return (
         pairs.groupBy("pair")
         .agg(F.sum("c").cast("long").alias("pair_n"))
@@ -613,8 +618,8 @@ def doc_tokenize_to_ids(spark, sf_dir):
     """
 SELECT doc_id,
        '{"doc_id":' || doc_id
-           || ',"lang":' || coalesce('"' || lang || '"', 'null')
-           || ',"text":' || coalesce('"' || text || '"', 'null')
+           || ',"lang":' || coalesce(to_json(lang)::VARCHAR, 'null')
+           || ',"text":' || coalesce(to_json(text)::VARCHAR, 'null')
            || '}' AS record
 FROM documents
 """,
@@ -624,10 +629,12 @@ FROM documents
     "string by concatenation, so Spark's JSON rendering itself is "
     "pinned (field order, compact separators, no stray whitespace) — "
     "the guarantee an export job needs before a downstream tokenizer "
-    "consumes the files. The no-escaping-needed precondition (no "
-    "quotes/backslashes/control chars in the corpus) is itself "
-    "asserted by the companion pytest on crafted rows covering the "
-    "ESCAPED path. Zero shuffles, pure codegen projection.",
+    "consumes the files. String fields go through each engine's native "
+    "JSON renderer (Spark Jackson vs DuckDB to_json) — measured "
+    "byte-identical escaping across newline/quote/backslash/tab/"
+    "control-\\u00XX/raw-unicode (r11: the multi-line fixture doc "
+    "retired the old no-escaping-needed concatenation oracle, which "
+    "emitted raw newlines). Zero shuffles, pure codegen projection.",
 )
 def doc_export_jsonl(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)

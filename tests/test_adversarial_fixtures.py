@@ -232,6 +232,68 @@ def _crafted_events() -> pd.DataFrame:
                                        # (|v| < 1e16) but inside
                                        # (28,2) — pins the per-site
                                        # threshold boundary
+    # --- round-11 class (11a): NON-CENT-ALIGNED amounts and cents
+    # magnitudes past 2^53 (the r10 verdict's latent streaming-SUM
+    # find). Contract: EVERY double->decimal intake rounds the value's
+    # shortest round-trip decimal rendering HALF_UP at the declared
+    # scale — Spark's cast (Double.toString + setScale HALF_UP), DuckDB
+    # TRY_CAST, and the Python keyed-state path's per-value _cents_sum
+    # mirror all measured to agree, including on the binary-vs-decimal
+    # traps (0.615's double is 0.61499..., yet all three give 0.62).
+    # Round-THEN-sum per value also makes the streaming accumulator an
+    # exact int64 add: micro-batch-slicing independent, and still exact
+    # at 98000000000000.07 (stored double's shortest repr is ...06 —
+    # both engines quantize THAT) where float cents (9.8e15 > 2^53)
+    # lose ulps. Magnitudes whose double x100 is inexact (e.g.
+    # 91000000000000.25) stay OUT of this fixture: DuckDB's cast
+    # multiplies in double there and genuinely diverges from Spark —
+    # the Spark-only band is pinned in test_properties
+    # (test_cents_mirror_agrees_three_ways) and test_streaming instead.
+    # 0.0045 rounds to 0.00 at scale 2 — SUM unchanged, COUNT moves.
+    # Dated April (bitmap subset unaffected), fresh user 16.
+    rows.append((len(rows), dt.datetime(2024, 4, 4, 9), 16, "purchase",
+                 0.004, '{"k": 4}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 4, 10), 16, "purchase",
+                 0.005, '{"k": 4}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 4, 11), 16, "purchase",
+                 0.615, '{"k": 4}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 4, 12), 16, "purchase",
+                 2.675, '{"k": 4}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 4, 13), 16, "purchase",
+                 98000000000000.07, '{"k": 4}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 4, 14), 16, "purchase",
+                 0.0045, '{"k": 4}'))
+    rows.append((len(rows), dt.datetime(2024, 4, 4, 15), 16, "click",
+                 1.005, '{"k": 4}'))
+    # --- round-11 class (11b): HOSTILE GROUPING/JOIN KEYS on the
+    # event_type dispatch surface (A4). Contract: string keys are BYTE
+    # sequences — neither engine normalizes, case-folds, or strips
+    # invisibles, so NFC "café" and NFD "café" are DIFFERENT groups,
+    # zero-width/bidi variants of "click" are DIFFERENT from "click"
+    # (and thus IGNORED by the grants dispatch, whose config names are
+    # plain ASCII), and case-collision keys stay distinct; ordering on
+    # these keys is UTF-8 binary == code-point order in Spark, DuckDB,
+    # and the harness's pandas sort alike. (The reference's user_id is
+    # the other key surface, but it is BIGINT in this schema — unicode
+    # user-id hazards cannot arise by construction.) Dated April
+    # (bitmap subset unaffected), fresh user 17.
+    _t11b = dt.datetime(2024, 4, 5, 9)
+    for k, etype in enumerate([
+        "café_click",          # NFC: precomposed U+00E9
+        "café_click",         # NFD: e + combining acute
+        "cli​ck",              # zero-width space inside
+        "‮click",              # bidi RLO prefix
+        "click‍",              # zero-width joiner suffix
+        "Purchase",                 # case-collision with the real key
+        "PURCHASE",
+        "purchase ",                # trailing space
+    ]):
+        rows.append((len(rows), _t11b + dt.timedelta(minutes=k), 17,
+                     etype, 1.0 + k, '{"k": 5}'))
+    # the genuine key, same user, so per-type aggregates must separate
+    # it from all eight impostors above
+    rows.append((len(rows), _t11b + dt.timedelta(hours=1), 17,
+                 "purchase", 2.0, '{"k": 5}'))
     df = pd.DataFrame(
         rows,
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -394,6 +456,38 @@ def _crafted_documents() -> pd.DataFrame:
         # transparent, \u0392\u039f\u03a3'\u0391 lowers to \u03b2\u03bf\u03c3'\u03b1), and apostrophe-then-end
         # (final: \u039f'\u03a3 -> \u03bf'\u03c2). _spark_lower_sql must reproduce all.
         (23, "\u03a4\u0395\u039b\u039f\u03a3 \u03a3\u039f\u03a6\u0399\u0391 \u0391\u03a3\u03a3\u039f\u03a3 \u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 \u0391\u03a32 \u0392\u039f\u03a3'\u0391 \u039f'\u03a3 \u03c4\u03b5\u03bb\u03bf\u03c2", "el", "src11"),
+        # --- round-11 class (11b): hostile GROUPING KEYS + degenerate
+        # token shape. 24/25: the SAME visual source in NFC vs NFD \u2014
+        # `source` is a grouping/join key (domain profiles, the
+        # cross-source dup matrix, train splits): neither engine
+        # normalizes keys, so these must be DIFFERENT groups
+        # everywhere, exactly like the doc-text rule of 18/19.
+        (24, "nfc source body words alpha beta", "en", "caf\u00e9.example"),
+        (25, "nfd source body words alpha beta", "en",
+         "cafe\u0301.example"),
+        # 26: zero-width space inside the source key (a copy-paste
+        # artifact in a crawl manifest) \u2014 distinct from 'src0' + a
+        # case-collision key for good measure.
+        (26, "zws source body words gamma delta", "en", "src\u200b0"),
+        (27, "case source body words gamma delta", "en", "SRC0"),
+        # 28: a 1M-char SINGLE-TOKEN document (no spaces at all): the
+        # whitespace tokenizer must yield exactly one 1M-char token,
+        # the 3-gram shingler must yield ZERO shingles (len(w)-2 <= 0
+        # guard on both engines), length/entropy/fingerprint paths
+        # must survive a megabyte-scale string value, and
+        # length-banded dedup (fuzzy levenshtein) must prune it to
+        # zero candidates (no similar-length partner) rather than
+        # attempt a 1e12-cell DP.
+        (28, "q" * 1_000_000, "en", "src12"),
+        # 29: MULTI-LINE text with duplicate lines (the
+        # doc_line_dedup_clean transform's real work — every other doc
+        # in this corpus is single-line and passes through unchanged):
+        # an exact dup, a dup separated by a blank line, repeated
+        # blank lines, a trailing newline (split keeps the empty last
+        # element in BOTH engines), and a near-dup line differing only
+        # by a zero-width space (must NOT collapse).
+        (29, "alpha beta\ngamma\n\nalpha beta\n\ngamma\nal​pha beta\n",
+         "en", "src12"),
     ]
     return pd.DataFrame(
         [
@@ -484,14 +578,14 @@ def _crafted_embeddings() -> pd.DataFrame:
     # non-NULL, so the r8 NULL gate passes it straight into
     # floor(x * 2^24), an ANSI job-killer on NaN and a silent BIGINT
     # hazard at big magnitudes). Contract: a vector with any
-    # NULL/NaN/Inf component or squared norm outside the 2^15 envelope
+    # NULL/NaN/Inf component or squared norm outside the 2^13 envelope
     # (functions/vector.vector_exact) does not exist for vector math.
     rows.append((42, [float("nan") if j == 5 else 1.0 for j in range(dim)], 2))
     rows.append((43, [float("inf") if j == 0 else 0.5 for j in range(dim)], 4))
     rows.append((44, [float("-inf") if j == 63 else 0.0 for j in range(dim)], 5))
     rows.append((45, [None if j == 31 else 2.0 for j in range(dim)], 6))
     rows.append((46, [1e30 if j == 7 else 1.0 for j in range(dim)], 7))
-    # all-|50| vector: finite everywhere but norm^2 = 160000 > 32768 —
+    # all-|50| vector: finite everywhere but norm^2 = 160000 > 8192 —
     # the envelope violation with no non-finite component
     rows.append((47, vec(lambda j: 50 if j % 2 == 0 else -50), 8))
     # near-envelope KEEPER: all-|10| gives norm^2 = 6400 < 8192 —
@@ -894,8 +988,9 @@ def test_bitmap_entries_on_bounded_fixture(spark, crafted_bounded_dir, name):
 # Rows-only entries: crafted-fixture determinism pins (r7 verdict ask #8)
 # ---------------------------------------------------------------------------
 #
-# The four oracle-less entries (HLL / Greenwald-Khanna sketches have no
-# DuckDB analog) are the only catalog members outside the cross-engine
+# The two remaining oracle-less entries (HLL sketches have no DuckDB
+# analog; GK percentiles were promoted to an exact rank-certification
+# oracle in r11) are the only catalog members outside the cross-engine
 # net. On the crafted fixtures every group's cardinality sits far below
 # the sketch sparse-mode thresholds, so the sketches are EXACT there —
 # pin run-to-run determinism AND equality with the exact computation on
@@ -929,18 +1024,38 @@ def test_rows_only_hll_entries_crafted_pin(spark, crafted_dir, name):
 
 
 def test_rows_only_percentiles_crafted_pin(spark, crafted_rel_dir):
+    """r11: sketch_approx_percentiles was promoted to an exact
+    rank-certification oracle (so the cross-engine sweep now covers it
+    on this fixture automatically); this pin keeps the VALUE-level GK
+    checks the old rows-only pin carried — element-of-group + rank
+    contract for the raw approx_percentile values, which stay out of
+    the (approximation-free) entry output by design — and asserts the
+    entry certifies in_bound on the crafted shapes."""
+    from pyspark.sql import functions as F
+
+    from feature_store_2_spark.sources.tables import load_table
+
     q = _BY["sketch_approx_percentiles"]
     got1 = _canon(q.fn(spark, crafted_rel_dir).toPandas())
     got2 = _canon(q.fn(spark, crafted_rel_dir).toPandas())
     pd.testing.assert_frame_equal(got1, got2)  # determinism
-    from feature_store_2_spark.sources.tables import load_table
+    assert got1["in_bound"].astype(bool).all()
 
-    li = load_table(spark, "lineitem", crafted_rel_dir).toPandas()
+    li_df = load_table(spark, "lineitem", crafted_rel_dir)
+    gk = li_df.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("approx_median_price"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.9), F.lit(10000)
+        ).alias("approx_p90_price"),
+    )
+    li = li_df.toPandas()
     by_flag = {
         flag: sorted(g["l_extendedprice"].astype(float))
         for flag, g in li.groupby("l_returnflag")
     }
-    for r in q.fn(spark, crafted_rel_dir).collect():
+    for r in gk.collect():
         vals = by_flag[r["l_returnflag"]]
         n = len(vals)
         for col, qq in (

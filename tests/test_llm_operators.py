@@ -493,3 +493,44 @@ def test_zipf_profile_rank_contiguous_and_mass_monotone(spark, sf_dir):
         .count()
     )
     assert ppms[-1] == sum(freqs) * 1_000_000 // total
+
+
+def test_pii_email_regex_linear_on_hostile_text(spark):
+    """r11 fixture-class-11b find: the UNBOUNDED email pattern
+    ([A-Za-z0-9._%+-]+@...) was O(len^2) in Java's backtracking regex
+    on a 1M-char single-token doc (greedy class eats to EOL, '@' never
+    comes, find() restarts at every position — one core pegged for an
+    hour); DuckDB's RE2 is linear and never showed it. The quantifiers
+    are now RFC-bounded ({1,64} local, {1,255} domain, {2,24} TLD),
+    which caps per-position backtracking. Pins: (a) the hostile doc
+    completes in seconds, (b) counts still agree with DuckDB on it and
+    on the >64-char local part (both engines match the TRAILING 64
+    chars, leftmost-first), (c) the positive cases above still hold."""
+    import time
+
+    import duckdb
+
+    from feature_store_2_spark.operators.text import PII_PATTERNS, pii_count
+
+    rows = [
+        (1, "q" * 1_000_000),                       # the hour-long case
+        (2, "x" * 100 + "@example.com tail"),       # >64 local part
+        (3, "a" * 300 + "@" + "b" * 300 + ".com"),  # >255 domain
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.time()
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", pii_count("text", "email").alias("n")
+        ).collect()
+    }
+    assert time.time() - t0 < 60, "email regex went super-linear again"
+    con = duckdb.connect()
+    for i, t in rows:
+        d = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))",
+            [t, PII_PATTERNS["email"]],
+        ).fetchone()[0]
+        assert d == out[i], (i, d, out[i])
+    assert out[1] == 0 and out[2] == 1

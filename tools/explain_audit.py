@@ -283,6 +283,9 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/quality.py", "thr"): "5-row ROC threshold spine",
     ("queries/quality.py", "anchor"): "1-row max-date scalar aggregate",
     ("queries/quality.py", "g"): "1-row high-water-mark scalar aggregate",
+    ("queries/sketches.py", "gk"): (
+        "per-group GK value table (one row per l_returnflag, <= 3 rows)"
+    ),
     ("queries/feature_store.py", "bounds"): (
         "1-row midpoint-cut scalar aggregate (integer-micros corpus split)"
     ),
