@@ -257,12 +257,12 @@ def main() -> None:
         # quiet min-of-N run on an idle box (r10 policy, closing the
         # r9 hygiene item: the driver's per-round run used to silently
         # overwrite it with contention-skewed numbers). Ad-hoc and
-        # driver runs land in BENCH_DETAIL.last.json; set
-        # SPARK_GRAFT_COMMIT_DETAIL=1 to refresh the canonical file.
-        if (
-            os.environ.get("SPARK_GRAFT_COMMIT_DETAIL") == "1"
-            or not os.path.exists(canonical)
-        ):
+        # driver runs ALWAYS land in BENCH_DETAIL.last.json — even on
+        # a fresh/cleaned tree where the canonical file is absent (the
+        # r10 ADVICE gap: absence used to route the first ad-hoc run
+        # into the canonical path with contention-skewed numbers).
+        # ONLY SPARK_GRAFT_COMMIT_DETAIL=1 writes the canonical file.
+        if os.environ.get("SPARK_GRAFT_COMMIT_DETAIL") == "1":
             detail_path = canonical
         else:
             detail_path = os.path.join(root_dir, "BENCH_DETAIL.last.json")

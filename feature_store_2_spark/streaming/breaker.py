@@ -28,6 +28,15 @@ sliding windows. Two variants:
   cardinality the exact batch distinct would shuffle, spread over the
   window's lifetime — affordable when windows are short; the HLL
   variant remains the long-window/unbounded-cardinality trade.
+
+Crossover threshold (measured, r11 — SCALING.md "Exact-vs-HLL breaker
+crossover", tools/breaker_crossover.py): level-1 state ~= (active
+users per window) x (window/slide overlapping windows). At the
+reference's 10 min/5 min shape that was 0.18x input; at 24 h/2 h over
+a 50k-user population it reached 2.3x input (every (user, window)
+pair resident) while the HLL variant held 28 constant-size rows. Run
+the exact form while (window/slide) x users-per-window stays well
+under event volume; switch to HLL or lengthen the slide past that.
 """
 
 from __future__ import annotations
