@@ -37,6 +37,10 @@ from feature_store_2_spark.functions.vector import (
     qnorm2,
     quantize,
 )
+from feature_store_2_spark.operators.sizing import (
+    adaptive_partitions,
+    plan_size_bytes,
+)
 from feature_store_2_spark.operators.text import tokens
 from feature_store_2_spark.operators.cache import track_persist as _track_persist
 
@@ -77,8 +81,13 @@ def shingle_exploded(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     # rows across the cluster first is one cheap shuffle. The explicit
     # partition count matters: compressed docs look tiny to AQE, which
     # would coalesce a bare repartition(col) back to ~1 partition even
-    # though the post-explode CPU work is large.
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # though the post-explode CPU work is large. The count is derived
+    # from input size (operators/sizing.py): small corpora stop paying
+    # defaultParallelism near-empty tasks per downstream stage (the
+    # persisted shingle frame pins its partition count for every
+    # consumer), large corpora saturate at defaultParallelism exactly
+    # as before.
+    n_parts = adaptive_partitions(docs)
     return docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
@@ -134,6 +143,20 @@ def ngram_jaccard_pairs(
     return _jaccard_from_common(common, sizes, threshold, id_col)
 
 
+# Docs-relation size gate for the broadcast verify inside
+# ngram_jaccard_pairs_prefix: ~32 MB of raw text produces a few hundred
+# MB of broadcast hash arrays (8 B per shingle + array framing) — the
+# upper end of the guide's comfortable broadcast budget. Catalyst's
+# estimate is driver-side metadata; unknown sizes fall back to the
+# (always-correct) expansion path.
+VERIFY_BROADCAST_MAX_DOC_BYTES = 32 << 20
+
+
+def _verify_fits_broadcast(docs: DataFrame) -> bool:
+    est = plan_size_bytes(docs)
+    return est is not None and 0 < est <= VERIFY_BROADCAST_MAX_DOC_BYTES
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -182,7 +205,12 @@ def ngram_jaccard_pairs_prefix(
         .withColumn("rn", rn)
         .join(sizes, id_col)
         .filter(F.col("rn") <= prefix_len)
-        .select(F.col(id_col).alias("doc_a"), "shingle")
+        .select(
+            F.col(id_col).alias("doc_a"),
+            "shingle",
+            F.col("rn").alias("rn_a"),
+            F.col("n_sh").alias("sa"),
+        )
     )
     # PREFIX x PREFIX, not prefix x full (PPJoin, Xiao et al. WWW'08):
     # take the smallest common token s* under the global (df, shingle)
@@ -200,14 +228,51 @@ def ngram_jaccard_pairs_prefix(
     # free — the index side shrinks, no output changes (verify is
     # exact), and the join's worst case drops from sum(pdf*df) to
     # sum(pdf^2).
-    pref_b = pref.select(F.col("doc_a").alias("doc_b"), "shingle")
+    #
+    # r11, POSITIONAL + LENGTH filtering ON THE JOIN ROWS (the second
+    # "P" of PPJoin), map-side before the dedup exchange. Each joined
+    # row knows both docs' sizes and the common token's rank in each
+    # doc's full (df, shingle)-sorted list, which gives two exact
+    # prune rules for J >= t  <=>  c >= alpha := ceil(t*(sa+sb)/(1+t)):
+    #   * length (Arasu/Bayardo): t*max(sa,sb) <= c <= min(sa,sb) —
+    #     previously applied later via two size joins, now free here;
+    #   * positional (Xiao et al.): for the SMALLEST common token s*
+    #     (which the prefix theorem guarantees is one of these rows),
+    #     every common token is >= s* in the global order, so
+    #     c <= 1 + min(sa - rn_a, sb - rn_b). A true pair therefore
+    #     keeps at least its s* row; rows of spuriously-shared frequent
+    #     prefix tokens fail the bound and never reach the shuffle.
+    # Both bounds are upper bounds on c, so no true pair is lost
+    # (candidates stay deterministic-complete; verify is exact).
+    # Measured at sf0.1: 409,103 -> 124,979 distinct candidates (-69.5%).
+    pref_b = pref.select(
+        F.col("doc_a").alias("doc_b"),
+        "shingle",
+        F.col("rn_a").alias("rn_b"),
+        F.col("sa").alias("sb"),
+    )
+    alpha = F.ceil(
+        F.lit(threshold) * (F.col("sa") + F.col("sb")) / F.lit(1.0 + threshold)
+        - F.lit(1e-9)
+    )
     cand = (
         pref.join(pref_b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
+        .filter(
+            F.least("sa", "sb").cast("double")
+            >= F.lit(threshold) * F.greatest("sa", "sb") - F.lit(1e-9)
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sa") - F.col("rn_a"), F.col("sb") - F.col("rn_b")
+            )
+            >= alpha
+        )
+        .groupBy(
             F.col("doc_a").alias("doc1"), F.col("doc_b").alias("doc2")
         )
-        .distinct()
+        .agg(F.first("sa").alias("s1"), F.first("sb").alias("s2"))
     )
     # --- verify: exact |A∩B| per candidate pair -----------------------
     # The expansion below shuffles one row per (pair, expanded shingle):
@@ -228,16 +293,43 @@ def ngram_jaccard_pairs_prefix(
     #      to collide: P ~ |shingles|^2 / 2^64 per pair (~1e-6 across
     #      the whole 100x corpus) — far below any measurable effect and
     #      zero in every gate corpus (values verified identical).
-    s1 = sizes.select(F.col(id_col).alias("doc1"), F.col("n_sh").alias("s1"))
-    s2 = sizes.select(F.col(id_col).alias("doc2"), F.col("n_sh").alias("s2"))
-    sized = (
-        cand.join(s1, "doc1")
-        .join(s2, "doc2")
-        .filter(
-            F.least("s1", "s2").cast("double")
-            >= F.lit(threshold) * F.greatest("s1", "s2") - F.lit(1e-9)
+    # r11 SIZE-GATED BROADCAST VERIFY (the big win below rehearsal
+    # scale, and the scale-correct plan whenever the hashed-shingle
+    # corpus fits the broadcast budget): collect each doc's 64-bit
+    # shingle hashes into ONE array row, broadcast the array table to
+    # both sides of the candidate pairs, and count the intersection
+    # map-side with array_intersect — ZERO expansion shuffle and zero
+    # verify joins on the shuffle path (guide §3.1/§2.3: replace the
+    # dominant shuffle with a broadcast of keys). Values are identical
+    # to the expansion path: both count |h(A) ∩ h(B)| over per-doc
+    # DISTINCT shingle hashes (same xxhash64 keys, same collision
+    # tolerance as refinement 3), and the Jaccard expression is the
+    # exact double division of _jaccard_from_common. The gate uses
+    # Catalyst's driver-side size estimate of the doc relation (no
+    # job): ~32 MB of raw text ~ a few hundred MB of broadcast hash
+    # arrays at the 30x rehearsal — inside the guide's "few hundred
+    # MB is fine" budget; past the gate the AllPairs expansion path
+    # below remains the proven 100x strategy (BENCH_NOTES 8q/8s).
+    if _verify_fits_broadcast(docs):
+        arrs = sh.groupBy(id_col).agg(
+            F.collect_list(F.xxhash64("shingle")).alias("hs")
         )
-        .select(
+        a1 = arrs.select(F.col(id_col).alias("doc1"), F.col("hs").alias("h1"))
+        a2 = arrs.select(F.col(id_col).alias("doc2"), F.col("hs").alias("h2"))
+        jac = F.col("n_common").cast("double") / (
+            F.col("s1") + F.col("s2") - F.col("n_common")
+        ).cast("double")
+        return (
+            cand.join(F.broadcast(a1), "doc1")
+            .join(F.broadcast(a2), "doc2")
+            .withColumn(
+                "n_common", F.size(F.array_intersect("h1", "h2"))
+            )
+            .select("doc1", "doc2", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    sized = (
+        cand.select(
             "doc1",
             "doc2",
             F.when(
@@ -676,9 +768,13 @@ def embedding_srp_near_pairs(
     threshold. The hyperplanes are md5-parity-derived, so the DuckDB
     oracle computes the identical candidate set and the entry is
     hash-gateable despite being approximate."""
-    n_parts = emb.sparkSession.sparkContext.defaultParallelism
     # NULL embeddings do not exist for vector math (operator contract).
     emb = emb.filter(vector_exact(F.col(vec_col)))
+    # Size-derived spread (operators/sizing.py): saturates at
+    # defaultParallelism on rehearsal-scale inputs, stops manufacturing
+    # near-empty tasks on compact ones (the persisted base/bands frames
+    # pin their partition count for every downstream stage).
+    n_parts = adaptive_partitions(emb)
     base = (
         # Spread the (compact, few-file) corpus BEFORE the 32-projection
         # signature expression — same explicit-count repartition as the
@@ -780,9 +876,13 @@ def embedding_srp_knn_join(
     |queries| << |corpus|."""
     from pyspark.sql import Window as W
 
-    n_parts = emb.sparkSession.sparkContext.defaultParallelism
     # NULL embeddings do not exist for vector math (operator contract).
     emb = emb.filter(vector_exact(F.col(vec_col)))
+    # Size-derived spread (operators/sizing.py): saturates at
+    # defaultParallelism on rehearsal-scale inputs, stops manufacturing
+    # near-empty tasks on compact ones (the persisted base/bands frames
+    # pin their partition count for every downstream stage).
+    n_parts = adaptive_partitions(emb)
     base = (
         emb.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("v"))
@@ -858,8 +958,9 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     one grouped agg summing +/-1 per bit, recombine. Bit b of the
     signature is 1 iff Σ_tokens (2*bit_b(h)-1) > 0."""
     # Same pre-explode spread as shingle_exploded (explicit count so AQE
-    # doesn't coalesce the small compressed input back to one partition).
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # doesn't coalesce the small compressed input back to one partition;
+    # size-derived so compact corpora don't pay near-empty tasks).
+    n_parts = adaptive_partitions(docs)
     tok = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )

@@ -1,0 +1,82 @@
+"""Size-derived partition counts for operator-level repartitions.
+
+Several operators repartition their (compact, few-file) input BEFORE a
+CPU-expanding step — shingle explode, SRP signature projection, token
+explode — because a small parquet scans as ~1 partition and AQE's
+post-shuffle coalescing (which only sees shuffle BYTES, not the CPU
+about to be spent per byte) would collapse a bare ``repartition(col)``
+right back to one core.
+
+Those sites used a constant ``defaultParallelism``. That constant is
+right once the input is large (the 10x/100x rehearsals) but at small
+input it manufactures dozens of near-empty tasks per stage — and
+because the repartitioned frame is usually *persisted*, every
+downstream stage inherits the inflated partition count with no AQE
+exchange left to coalesce it (measured: the exact-Jaccard prefix join
+at sf0.1 runs 3-4x slower at 32 map partitions than at 8; see
+OPTIMIZATION_r11.md). The scale-correct form of the same idea
+(optimization guide §2: derive partitioning from input size, never a
+constant tuned for one deployment) is
+
+    partitions = clamp(estimated_input_bytes / bytes_per_task,
+                       floor, defaultParallelism)
+
+- ``estimated_input_bytes`` is Catalyst's optimized-plan size estimate:
+  driver-side metadata, no job. Unknown/huge estimates saturate at the
+  cap, i.e. exactly the old behavior.
+- ``bytes_per_task`` encodes the operator's CPU expansion (how much
+  work one input byte fans into). 128 KiB of document text ~ tens of
+  ms of shingle/signature CPU — small enough that a task is never idle
+  scheduling overhead, large enough that a 10x corpus already saturates
+  every core.
+- ``floor`` keeps genuinely CPU-heavy-but-byte-light inputs parallel
+  (the reason these repartitions exist at all).
+
+At rehearsal scale (10x+) every call site below returns the cap — the
+identical partitioning the constant produced — so the 10x/100x receipts
+in SCALING.md / BENCH_NOTES.md remain valid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# One input byte of compact text/vector data fans into roughly 10-100x
+# of explode/hash CPU in the consumers below; 128 KiB per task keeps
+# tasks in the tens-of-ms range (measured at sf0.1) while a 6 MB (10x)
+# corpus already wants more tasks than a 32-core box has.
+CPU_EXPANDING_BYTES_PER_TASK = 128 * 1024
+
+# Task floor: cheap insurance that a tiny-but-dense input still spreads
+# (8 near-empty tasks cost ~100 ms; one overloaded task can cost
+# seconds). Never exceeds the cap.
+_DEFAULT_FLOOR = 8
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df`` (optimized logical plan
+    stats) — driver-side metadata, no Spark job. None when the estimate
+    is unavailable."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:  # noqa: BLE001 — sizing is best-effort
+        return None
+
+
+def adaptive_partitions(
+    df: DataFrame,
+    bytes_per_task: int = CPU_EXPANDING_BYTES_PER_TASK,
+    floor: int = _DEFAULT_FLOOR,
+    cap: int | None = None,
+) -> int:
+    """Partition count for a pre-explode repartition of ``df``: input
+    size over ``bytes_per_task``, clamped to [min(floor, cap), cap].
+    Unknown or saturating sizes return the cap (the old constant)."""
+    if cap is None:
+        cap = df.sparkSession.sparkContext.defaultParallelism
+    floor = min(floor, cap)
+    size = plan_size_bytes(df)
+    if size is None or size <= 0 or size >= bytes_per_task * cap:
+        return cap
+    return max(floor, min(cap, -(-size // bytes_per_task)))

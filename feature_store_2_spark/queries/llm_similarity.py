@@ -23,6 +23,7 @@ from feature_store_2_spark.functions.vector import (
     vector_exact,
 )
 from feature_store_2_spark.operators.cache import track_persist as _track_persist
+from feature_store_2_spark.operators.sizing import adaptive_partitions
 from feature_store_2_spark.operators.dedup import (
     SRP_SCORED_MAX_BAND_BITS,
     SRP_SCORED_OCCUPANCY,
@@ -1614,7 +1615,7 @@ def ann_adaptive_sizing_audit(spark, sf_dir):
     )
     n = e.count()
     n_bits, band_bits = srp_scored_params(n)
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = adaptive_partitions(e)
     bands = (
         e.repartition(n_parts, F.col("vec_id"))
         .select(

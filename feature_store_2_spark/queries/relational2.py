@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators.sizing import adaptive_partitions
 from feature_store_2_spark.functions.vector import (
     vector_exact,
     QUANT_SCALE,
@@ -327,9 +328,10 @@ LIMIT 50
 )
 def explode_top_words(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
-    n_parts = spark.sparkContext.defaultParallelism
-    # Same pre-explode spread as the dedup operators, then one partial-
-    # aggregated shuffle on word and TakeOrderedAndProject for the top-k.
+    n_parts = adaptive_partitions(docs)
+    # Same pre-explode spread as the dedup operators (size-derived),
+    # then one partial-aggregated shuffle on word and
+    # TakeOrderedAndProject for the top-k.
     return (
         docs.repartition(n_parts, F.col("doc_id"))
         .select(F.explode(F.split("text", " ")).alias("word"))
