@@ -316,6 +316,15 @@ def run_grants_pipeline(
             touched = {
                 r[0] for r in new.select(sharded_store.SHARD_COL).distinct().collect()
             }
+            # availableNow runs one extra no-data micro-batch after the
+            # backlog (the watermark-advance cycle); its grants delta is
+            # empty, so the store read / change diff / notification
+            # append / upsert are all value-identical no-ops — skip them
+            # (measured ~2 s of fixed per-batch overhead at sf0.1). The
+            # collect above already drove the batch plan end-to-end, so
+            # every stateful operator committed its state as usual.
+            if not touched:
+                return
             old = sharded_store.read_store(
                 batch_df.sparkSession, grants_path, shards=touched
             )
@@ -530,6 +539,16 @@ def run_grants_pipeline_merge(
                 r[0]
                 for r in delta.select(sharded_store.SHARD_COL).distinct().collect()
             }
+            # Same empty-tail skip as run_grants_pipeline: the final
+            # watermark-advance micro-batch of availableNow carries no
+            # deltas, so the aggstate merge, grants derivation, change
+            # diff, notification append and both upserts are no-ops.
+            # The collect above already executed the batch plan (uuid
+            # dedup state committed); skipping the tail changes no
+            # value. A replayed EMPTY batch skips identically, so the
+            # txn-stamp replay protocol is untouched.
+            if not touched:
+                return
             # foreachBatch is at-least-once: a crash after the aggstate
             # MERGE committed but before the streaming checkpoint commit
             # replays this batch_id on restart, and re-adding the deltas

@@ -242,6 +242,17 @@ def upsert(
         else old.join(new, list(key_cols), "left_anti").unionByName(new)
     )
     target = _data_dir(path, next_version)
+    # Align the write's task partitioning with the directory
+    # partitioning (optimization guide §6, small files): without this,
+    # every task holding rows of k shards opens k files, so a
+    # 16-task micro-batch writing 16 shards lands up to 256 near-empty
+    # parquet files PER VERSION — paid again by every snapshot /
+    # pre-merge read (listing + per-file open). Repartitioning by the
+    # shard column first bounds the file count by the shard count
+    # (plus hash-collision doubling), and the shuffled bytes are
+    # exactly the rows being rewritten — which the store's design
+    # already bounds to the touched shards.
+    merged = merged.repartition(F.col(SHARD_COL))
     merged.write.mode("overwrite").partitionBy(SHARD_COL).parquet(target)
 
     new_manifest = dict(manifest)
