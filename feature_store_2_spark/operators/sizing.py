@@ -80,3 +80,22 @@ def adaptive_partitions(
     if size is None or size <= 0 or size >= bytes_per_task * cap:
         return cap
     return max(floor, min(cap, -(-size // bytes_per_task)))
+
+
+def spread_scan(df: DataFrame, cap: int | None = None) -> DataFrame:
+    """Conditionally round-robin-spread a few-partition scan whose
+    consumer is a CPU-heavy map-side aggregation.
+
+    Single-row-group parquet files scan as ONE task no matter what
+    maxPartitionBytes asks for, which serializes the partial
+    aggregation onto one core (the stats_inference._spread_for_fanout
+    finding, generalized). Conditional on the plan's actual partition
+    count: a real 100 TB scan already has thousands of splits and must
+    never pay a base-wide shuffle just to aggregate. ONLY for
+    consumers whose results are row-order-independent (exact
+    decimal/integer aggregation — NOT bare double sums)."""
+    sc = df.sparkSession.sparkContext
+    cap = cap or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < cap:
+        return df.repartition(cap)
+    return df

@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators.cache import track_persist as _track_persist
 from feature_store_2_spark.operators.graph import connected_components
+from feature_store_2_spark.operators.sizing import adaptive_partitions
 from feature_store_2_spark.operators.dedup import (
     N_BANDS,
     N_MINHASHES,
@@ -267,6 +269,12 @@ WHERE lang_rank <= 50
 )
 def doc_corpus_curation(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
+    # Spread the compact scan before the four expensive per-doc text
+    # expressions (quality/lang/token-count/fingerprint) — a single-
+    # row-group file otherwise computes them all on one core. Size-
+    # derived count; downstream windows order by deterministic keys,
+    # so values are unchanged.
+    d = d.repartition(adaptive_partitions(d), F.col("doc_id"))
     stats = d.select(
         "doc_id",
         "lang",
@@ -612,8 +620,17 @@ SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rk FROM ranked WHERE rk <= 3
 )
 def doc_tfidf_top_terms(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # Spread the explode (size-derived) and persist the tf table: it
+    # feeds both the document-frequency agg and the scoring join —
+    # previously two executions of the explode+count pipeline.
+    tok = d.repartition(adaptive_partitions(d), F.col("doc_id")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .transform(_track_persist)
+    )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -2057,8 +2074,14 @@ GROUP BY doc_id
 )
 def lm_bigram_logprob(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
-    w = d.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 2
+    # Spread the compact doc scan before the bigram explode (size-
+    # derived, operators/sizing.py) and PERSIST the exploded table:
+    # it feeds THREE plan branches (bigram counts, context counts, the
+    # scoring probe side) that each re-ran the explode before.
+    w = (
+        d.repartition(adaptive_partitions(d), F.col("doc_id"))
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
     )
     bg = w.select(
         "doc_id",
@@ -2069,7 +2092,7 @@ def lm_bigram_logprob(spark, sf_dir):
                 "concat(element_at(w, i), ' ', element_at(w, i + 1)) AS b))"
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.b")
+    ).select("doc_id", "p.w1", "p.b").transform(_track_persist)
     bgc = bg.groupBy("b").agg(F.count("*").alias("cb"))
     ctx = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     voc = (
@@ -2235,15 +2258,25 @@ LIMIT {_PMI_TOP}
 )
 def doc_term_pmi_collocations(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
-    dt = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).distinct()
+    # Same spread+persist recipe as lm_bigram_logprob: dt feeds the
+    # frequency agg AND the kept-terms join; kt feeds both sides of
+    # the co-occurrence self-join. Persisting each cuts the explode /
+    # filter-join from 2 executions to 1 (values unchanged - the
+    # co-occurrence agg is max/count, row-order-independent).
+    dt = (
+        d.repartition(adaptive_partitions(d), F.col("doc_id"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+        .transform(_track_persist)
+    )
     nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     freq = dt.groupBy("term").agg(F.count("*").alias("df"))
     keep = freq.join(F.broadcast(nd)).filter(
         F.col("df") * 20 >= F.col("n_docs")
     )
-    kt = dt.join(keep.select("term", "df"), "term")
+    kt = dt.join(keep.select("term", "df"), "term").transform(
+        _track_persist
+    )
     a = kt.select(
         F.col("doc_id").alias("da"),
         F.col("term").alias("t1"),

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators.sizing import spread_scan
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
@@ -53,9 +54,14 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     # Filter + 2-column grouping: predicate and column pruning reach the
-    # parquet scan; one shuffle (partial agg map-side).
+    # parquet scan; one shuffle (partial agg map-side). The conditional
+    # spread parallelizes the decimal-heavy partial agg when the scan
+    # has fewer splits than cores (single-row-group files); every
+    # aggregate is an exact decimal sum or a count, so row order cannot
+    # change any value (measured 1.6 -> 1.1 s at sf0.1; a real
+    # many-split scan skips the shuffle entirely).
     return (
-        li.filter(F.col("l_shipdate") <= "2003-09-02")
+        spread_scan(li.filter(F.col("l_shipdate") <= "2003-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),

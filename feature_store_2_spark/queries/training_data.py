@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators.cache import track_persist as _track_persist
+from feature_store_2_spark.operators.sizing import adaptive_partitions
 from feature_store_2_spark.queries import register
 from feature_store_2_spark.sources.tables import load_table
 
@@ -761,13 +763,19 @@ WHERE rank <= 5
 )
 def search_bm25_topk(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
-    tok = d.select(
+    # Spread the explode (size-derived), persist the inverted tf table
+    # (it feeds the df agg, the doc-length derivation AND the scoring
+    # join), and derive dl FROM tf — per-doc token count == sum of its
+    # term frequencies, exactly — instead of a second explode pass.
+    tok = d.repartition(adaptive_partitions(d), F.col("doc_id")).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count("*").cast("long").alias("tf")
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .transform(_track_persist)
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scal = dl.agg(
         F.sum("dl").cast("long").alias("l_total"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators.sizing import spread_scan
 from feature_store_2_spark.operators.global_window import (
     bucketed_row_number,
     ntile_from_row_number,
@@ -251,7 +252,11 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 )
 def agg_rollup_lineitem(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    # ROLLUP triples the partial-agg work per input row (one copy per
+    # grouping set); the conditional spread keeps that off a single
+    # core when the scan is one row group. count + exact decimal sum
+    # are row-order-independent.
+    return spread_scan(li).rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("long").alias("g_flag"),
         F.grouping("l_linestatus").cast("long").alias("g_status"),
         F.count("*").alias("n"),
