@@ -38,6 +38,7 @@ from feature_store_2_spark.functions.vector import (
     quantize,
 )
 from feature_store_2_spark.operators.sizing import (
+    CPU_EXPANDING_BYTES_PER_TASK,
     adaptive_partitions,
     plan_size_bytes,
 )
@@ -74,7 +75,13 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def shingle_exploded(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def shingle_exploded(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
     # Repartition by doc id BEFORE the explode: a compact documents
     # parquet often scans as few partitions, which would serialize the
     # shingle/hash work onto a handful of cores; hashing the narrow doc
@@ -87,7 +94,14 @@ def shingle_exploded(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     # persisted shingle frame pins its partition count for every
     # consumer), large corpora saturate at defaultParallelism exactly
     # as before.
-    n_parts = adaptive_partitions(docs)
+    # bytes_per_task: consumers with denser per-shingle CPU (minhash's
+    # md5 + 16 modular minima) pass a smaller target so the same input
+    # spreads wider — measured 1.74 -> 1.26 s on dedup_minhash_lsh at
+    # sf0.1 going 128K -> 32K, while the jaccard-verify consumers
+    # measured best at the 128K default (interleaved min-of-3 A/B).
+    n_parts = adaptive_partitions(
+        docs, bytes_per_task or CPU_EXPANDING_BYTES_PER_TASK
+    )
     return docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
@@ -402,7 +416,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     the construction) and prefix filtering where exact completeness is
     required (ngram_jaccard_pairs_prefix).
     """
-    sh = shingle_exploded(docs, text_col, id_col)
+    sh = shingle_exploded(docs, text_col, id_col, bytes_per_task=32 * 1024)
     m = F.md5(F.col("shingle").cast("binary"))
     halves = sh.select(
         F.col(id_col),
