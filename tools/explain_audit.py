@@ -294,6 +294,14 @@ BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/windows_setops.py", "b"): "equi-depth bucket bounds (k rows)",
     ("queries/setops_misc.py", "b"): "mktsegment domain distinct (~5 rows)",
     ("queries/sketches.py", "counters"): "Count-Min d x w counter table",
+    ("operators/dedup.py", "a1"): (
+        "per-doc shingle-hash arrays, entered ONLY under the"
+        " _verify_fits_broadcast size gate (<= 32 MB docs estimate;"
+        " past the gate the AllPairs expansion path runs instead)"
+    ),
+    ("operators/dedup.py", "a2"): (
+        "same gated shingle-hash array table as a1 (doc2 side)"
+    ),
     ("queries/sketches.py", "words"): "Bloom word table (m/32 rows, bytes-sized)",
     ("queries/storage.py", "dim"): "day dimension (bounded calendar)",
     ("queries/storage.py", "mx"): "1-row max-date split scalar",
