@@ -505,7 +505,24 @@ def crafted_docs_dir(spark, tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", _docs_only_entries())
+# Entries whose DUCKDB oracle is super-linear in document length and
+# therefore intractable on the 1M-char doc 28 (mm_audio_window_energy's
+# per-byte substring unroll over the 2M-char hex string costs 15-25 min
+# — the r11 verify-budget blocker; the Spark side finishes in seconds).
+# Marked slow (deselected by default, see pytest.ini); each keeps
+# tractable-size oracle coverage via
+# test_crafted_docs_capped_matches_oracle below, and the 1M-char doc
+# still flows through every OTHER entry's oracle comparison unchanged.
+_SLOW_ORACLE = {"mm_audio_window_energy"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+        for n in _docs_only_entries()
+    ],
+)
 def test_crafted_docs_fixture_matches_oracle(spark, crafted_docs_dir, name):
     q = _BY[name]
     got = _canon(q.fn(spark, crafted_docs_dir).toPandas())
@@ -513,6 +530,47 @@ def test_crafted_docs_fixture_matches_oracle(spark, crafted_docs_dir, name):
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{crafted_docs_dir}/documents.parquet')"
+    )
+    exp = _canon(con.execute(q.oracle).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.fixture(scope="module")
+def crafted_docs_capped_dir(spark, tmp_path_factory):
+    """The crafted corpus with the 1M-char single-token doc capped to
+    64k chars: every property doc 28 pins (single whitespace token,
+    zero 3-gram shingles, length-band pruning, huge-value survival)
+    holds identically at 64k, while the quadratic oracle unrolls in
+    seconds instead of tens of minutes."""
+    d = tmp_path_factory.mktemp("adversarial_docs_capped")
+    docs = _crafted_documents()
+    capped = docs["text"].where(
+        docs["text"].str.len().fillna(0) <= 65_536,
+        docs["text"].str.slice(0, 65_536),
+    )
+    docs = docs.assign(
+        text=capped,
+        n_chars=capped.str.len().astype("Int64"),
+    )
+    docs.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(_SLOW_ORACLE))
+def test_crafted_docs_capped_matches_oracle(
+    spark, crafted_docs_capped_dir, name
+):
+    """Tractable-size oracle coverage for the slow-marked entries: the
+    identical comparison on the capped corpus runs in the default
+    budget, so no entry loses its crafted-fixture oracle gate."""
+    q = _BY[name]
+    got = _canon(q.fn(spark, crafted_docs_capped_dir).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{crafted_docs_capped_dir}/documents.parquet')"
     )
     exp = _canon(con.execute(q.oracle).fetchdf())
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
