@@ -82,6 +82,38 @@ def adaptive_partitions(
     return max(floor, min(cap, -(-size // bytes_per_task)))
 
 
+# Input-size ceiling under which a driver-driven iteration (BFS rounds,
+# label propagation) cuts lineage LAZILY (persist) instead of EAGERLY
+# (localCheckpoint): below it the whole loop's data is KB-scale and the
+# per-round checkpoint is a pure barrier-job tax (~0.1-0.2 s each at
+# sf0.1); above it eager truncation is the right trade (bounded plan
+# depth, no deep recompute on executor loss). 64 MiB of source bytes ~
+# the 10x-100x rehearsal band where the eager path was measured and
+# kept.
+ITER_LAZY_MAX_INPUT_BYTES = 64 << 20
+
+
+def compact_for_lazy_iteration(df: DataFrame) -> bool:
+    """True when ``df``'s Catalyst size estimate says an iterative
+    operator over it can cut per-round lineage with ``persist()``
+    instead of ``localCheckpoint()`` (see ITER_LAZY_MAX_INPUT_BYTES).
+    Unknown sizes are treated as big — eager checkpointing stays the
+    at-scale default."""
+    size = plan_size_bytes(df)
+    return size is not None and 0 < size <= ITER_LAZY_MAX_INPUT_BYTES
+
+
+def _max_partition_bytes(df: DataFrame) -> int:
+    """``spark.sql.files.maxPartitionBytes`` in bytes (the scan split
+    size); default 128 MiB when unreadable."""
+    try:
+        raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+        jvm = df.sparkSession.sparkContext._jvm
+        return int(jvm.org.apache.spark.util.Utils.byteStringAsBytes(raw))
+    except Exception:  # noqa: BLE001 — sizing is best-effort
+        return 128 * 1024 * 1024
+
+
 def spread_scan(df: DataFrame, cap: int | None = None) -> DataFrame:
     """Conditionally round-robin-spread a few-partition scan whose
     consumer is a CPU-heavy map-side aggregation.
@@ -89,13 +121,26 @@ def spread_scan(df: DataFrame, cap: int | None = None) -> DataFrame:
     Single-row-group parquet files scan as ONE task no matter what
     maxPartitionBytes asks for, which serializes the partial
     aggregation onto one core (the stats_inference._spread_for_fanout
-    finding, generalized). Conditional on the plan's actual partition
-    count: a real 100 TB scan already has thousands of splits and must
-    never pay a base-wide shuffle just to aggregate. ONLY for
+    finding, generalized). Conditional on the scan's ESTIMATED split
+    count — Catalyst's size estimate over the split size, the same
+    driver-side metadata ``adaptive_partitions`` reads — so a real
+    100 TB scan (thousands of splits) never pays a base-wide shuffle
+    just to aggregate. The r11 form probed
+    ``df.rdd.getNumPartitions()``, which compiles a SECOND physical
+    plan for the scan subtree per call (and on arbitrary frames under
+    AQE could trigger partial stage execution — ADVICE r11); the
+    estimate answers the same "fewer splits than cores?" question from
+    plan stats alone, with no extra plan compilation. ONLY for
     consumers whose results are row-order-independent (exact
     decimal/integer aggregation — NOT bare double sums)."""
     sc = df.sparkSession.sparkContext
     cap = cap or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < cap:
+    size = plan_size_bytes(df)
+    if size is None or size <= 0:
+        # No estimate (non-file relation): assume it is big — never
+        # inject a base-wide shuffle on a guess.
+        return df
+    est_splits = -(-size // _max_partition_bytes(df))
+    if est_splits < cap:
         return df.repartition(cap)
     return df

@@ -1193,7 +1193,24 @@ FROM embeddings d LEFT JOIN lv USING (vec_id)
     "themselves are linear in E.",
 )
 def graph_bfs_distance(spark, sf_dir):
+    from feature_store_2_spark.operators.sizing import (
+        compact_for_lazy_iteration,
+    )
+
     vecs = load_table(spark, "embeddings", sf_dir)
+    # r12 size gate (guide §5 — lineage truncation is only worth it
+    # past a threshold): on a compact source the three per-hop
+    # localCheckpoints were pure barrier-job tax — each frontier is a
+    # KB-scale frame, yet every hop paid an eager job + block
+    # materialization. Below the gate the hop frames are persist()ed
+    # instead: the single terminal action computes each frontier once
+    # and reuses it everywhere it appears (next hop's join, the visited
+    # union, the anti-joins), with zero per-hop jobs; plan depth stays
+    # bounded because the checkpointed edge list is the only leaf the
+    # hops stack on. Past the gate (the 10x-100x rehearsal band and
+    # up) the eager localCheckpoint path is unchanged.
+    lazy = compact_for_lazy_iteration(vecs)
+    barrier = _track_persist if lazy else (lambda d: d.localCheckpoint())
     knn = embedding_srp_knn_join_scored(vecs, k=5).select(
         "query_id", "neighbor_id"
     )
@@ -1215,12 +1232,11 @@ def graph_bfs_distance(spark, sf_dir):
     visited = seeds
     frontier = seeds.select("vec_id")
     for hop in (1, 2, 3):
-        nxt = (
+        nxt = barrier(
             edges.join(frontier.withColumnRenamed("vec_id", "a"), "a", "inner")
             .select(F.col("b").alias("vec_id"))
             .distinct()
             .join(visited.select("vec_id"), "vec_id", "left_anti")
-            .localCheckpoint()
         )
         visited = visited.unionAll(nxt.withColumn("dist", F.lit(hop)))
         frontier = nxt
