@@ -146,6 +146,37 @@ def route_notifications(
     )
 
 
+def ensure_notifications_log(
+    path: str,
+    subscribers: dict[str, tuple[str, ...]] | None = DEFAULT_SUBSCRIBERS,
+) -> None:
+    """Initialize an EMPTY notifications log at ``path`` if absent —
+    one schema-bearing zero-row parquet file, written driver-side via
+    pyarrow (no Spark job). Called at pipeline start so a run whose
+    every micro-batch is empty (possible since the r11 empty-tail skip
+    stopped appending zero-row frames) still leaves the same readable
+    first-run layout the pre-skip pipeline created: external readers
+    of the path see an empty dataset, never a missing directory
+    (ADVICE r11)."""
+    if os.path.isdir(path):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = [
+        pa.field("user_id", pa.int64()),
+        pa.field("feature", pa.string()),
+        pa.field("notification", pa.string()),
+    ]
+    if subscribers is not None:
+        fields.append(pa.field("subscriber", pa.string()))
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table({f.name: pa.array([], f.type) for f in fields}),
+        os.path.join(path, "part-00000-init.parquet"),
+    )
+
+
 def append_notifications(
     notifications: DataFrame,
     path: str,

@@ -54,6 +54,7 @@ from feature_store_2_spark.streaming.grants_store import (
     DEFAULT_SUBSCRIBERS,
     GRANT_KEYS,
     append_notifications,
+    ensure_notifications_log,
     grant_changes,
 )
 
@@ -117,13 +118,23 @@ def _state_fields(config: EngineConfig) -> list[tuple[str, T.DataType]]:
     to the batch pipeline's decimal accumulation) plus DISTINCT_COUNT
     field-value sets. Uuid dedup lives in the upstream
     ``dropDuplicatesWithinWatermark`` operator's own evicted state, NOT
-    here — no per-user seen-id set, so state never grows with volume."""
+    here — no per-user seen-id set, so state never grows with volume.
+
+    DISTINCT_COUNT sets store the extracted DOUBLE values themselves
+    (r12; previously their Python ``str()`` renderings): the field
+    columns are already cast to double at the scan projection, distinct
+    doubles <-> distinct shortest-repr strings bijectively (repr round-
+    trips), and only the SET SIZE ever leaves state — so counts are
+    identical while the Arrow state serde ships 8-byte doubles instead
+    of rendered strings and the per-batch str() loop disappears (guide
+    §4: shrink what crosses the boundary). This also aligns the layout
+    with the all-JVM merge strategy's array<double> aggregate store."""
     fields: list[tuple[str, T.DataType]] = []
     for spec in config.aggregates:
         if spec.type is AggregateType.COUNT:
             fields.append((spec.name, T.LongType()))
         elif spec.type is AggregateType.DISTINCT_COUNT:
-            fields.append((spec.name, T.ArrayType(T.StringType())))
+            fields.append((spec.name, T.ArrayType(T.DoubleType())))
         else:  # SUM, integer cents
             fields.append((spec.name, T.LongType()))
     return fields
@@ -155,10 +166,31 @@ def streaming_user_aggregates(
     one arriving after its original has aged out of the watermark would
     double-count — the explicit, sized trade every at-least-once source
     forces. Dedup state is evicted as the watermark advances."""
+    from feature_store_2_spark.plans.feature_pipeline import _SUM_DECIMAL
+
     field_names: dict[str, str] = {}
     for spec in config.aggregates:
         if spec.field and spec.field not in field_names:
             field_names[spec.field] = f"__f{len(field_names)}"
+    # r12 (guide §4.2 — do the per-row decimal work in the JVM, not in
+    # the Python worker): each SUM field additionally crosses the
+    # boundary as EXACT INTEGER CENTS computed by the same
+    # double -> try_cast(DECIMAL(18,2)) * 100 -> long expression as the
+    # batch plan and the all-JVM merge strategy (_delta_aggregates) —
+    # the conversion _cents_sum was built to mirror, pinned three-ways
+    # by test_cents_mirror_agrees_three_ways. NULL/NaN/Inf/overflow all
+    # try_cast to NULL exactly like the old Python-side envelope filter;
+    # the coalesce to 0 makes the column null-free so Arrow hands pandas
+    # a true int64 column (a nullable int64 would arrive as float64 and
+    # lose ulps past 2^53 cents — the magnitude band
+    # test_streaming_sum_cents_slicing_independent pins). A dropped
+    # value contributing 0 to a SUM is identity, so values are
+    # unchanged; the Python worker is left with a plain integer
+    # summation instead of a per-value Decimal(repr(v)).quantize loop.
+    sum_cents: dict[str, str] = {}
+    for spec in config.aggregates:
+        if spec.type is AggregateType.SUM and spec.field not in sum_cents:
+            sum_cents[spec.field] = f"__c{len(sum_cents)}"
 
     # Project BEFORE the dedup shuffle: field extraction happens at scan
     # (same order as the batch pipeline) and the wide ``props`` payload
@@ -176,6 +208,18 @@ def streaming_user_aggregates(
         .dropDuplicatesWithinWatermark(["user_id", "event_id"])
         .drop("ts")
     )
+    projected = projected.select(
+        "*",
+        *[
+            F.coalesce(
+                (F.col(field_names[f]).try_cast(_SUM_DECIMAL) * 100).cast(
+                    "long"
+                ),
+                F.lit(0).cast("long"),
+            ).alias(n)
+            for f, n in sum_cents.items()
+        ],
+    )
 
     state_fields = _state_fields(config)
     state_schema = T.StructType(
@@ -184,6 +228,46 @@ def streaming_user_aggregates(
     out_schema = _output_schema(config)
     specs = config.aggregates
     fnames = dict(field_names)
+    cnames = dict(sum_cents)
+
+    def _apply_legacy(pdf: pd.DataFrame, accs: list, distinct_sets: list):
+        """Exact legacy path for a batch slice that DOES contain
+        duplicate event_ids (corrupt input: one uuid, conflicting
+        payloads — upstream dropDuplicatesWithinWatermark makes this
+        unreachable in a healthy stream, the fast path below asserts
+        it per batch). Reduces duplicates DETERMINISTICALLY — per-
+        column min over the DOUBLE fields, mirroring the batch
+        pipeline's min() tie-break — then converts the surviving
+        values with the pinned per-value Decimal rendering
+        (_cents_sum), because min-before-convert over nullable
+        doubles is not expressible on the 0-coalesced cents column."""
+        pdf = pdf.groupby("event_id", as_index=False).min()
+        for i, spec in enumerate(specs):
+            rows = pdf[pdf["event_type"] == spec.event_name]
+            if rows.empty:
+                continue
+            if spec.type is AggregateType.COUNT:
+                accs[i] += len(rows)
+            elif spec.type is AggregateType.DISTINCT_COUNT:
+                vals = rows[fnames[spec.field]].dropna()
+                distinct_sets[i].update(float(v) for v in vals)
+            else:  # SUM in exact integer cents
+                # dropna AND drop non-finite AND drop magnitudes
+                # beyond the intake envelope: the batch path's
+                # double->decimal try_cast nulls NaN/Inf (r9
+                # non-finite contract) and overflow (r10
+                # hostile-magnitude contract — a measurement that
+                # can't be represented is MISSING). 1e16 = the
+                # DECIMAL(18,2) intake envelope shared with the batch
+                # plan and the JVM merge strategy (cents < 1e18 always
+                # fit the int64 state; an accumulated |sum| past
+                # ~9.2e18 cents still fails LOUDLY at the state write
+                # — the streaming twin of ANSI decimal-agg overflow,
+                # never a wrap).
+                vals = rows[fnames[spec.field]].dropna()
+                fv = vals.astype(float).to_numpy()
+                fv = fv[np.isfinite(fv) & (np.abs(fv) < 1e16)]
+                accs[i] += _cents_sum(fv)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -203,41 +287,34 @@ def streaming_user_aggregates(
             if pdf.empty:
                 continue
             # Cross-batch uuid dedup already happened upstream
-            # (dropDuplicatesWithinWatermark). Reduce any residual
-            # within-batch duplicates DETERMINISTICALLY — per-column
-            # min, mirroring the batch pipeline's min() tie-break — so
-            # corrupt input (one uuid, conflicting payloads) cannot
-            # make the result depend on pandas arrival order.
-            pdf = pdf.groupby("event_id", as_index=False).min()
+            # (dropDuplicatesWithinWatermark), and it also guarantees
+            # within-batch uniqueness (the first copy's state entry
+            # drops the second copy in the same batch). The residual
+            # duplicate-uuid reduction is therefore a defensive branch:
+            # one vectorized uniqueness probe keeps the healthy path
+            # free of the per-batch pandas groupby (guide §4.2).
+            if not pdf["event_id"].is_unique:
+                _apply_legacy(pdf, accs, distinct_sets)
+                continue
+            et = pdf["event_type"].to_numpy()
             for i, spec in enumerate(specs):
-                rows = pdf[pdf["event_type"] == spec.event_name]
-                if rows.empty:
+                mask = et == spec.event_name
+                if not mask.any():
                     continue
                 if spec.type is AggregateType.COUNT:
-                    accs[i] += len(rows)
+                    accs[i] += int(mask.sum())
                 elif spec.type is AggregateType.DISTINCT_COUNT:
-                    vals = rows[fnames[spec.field]].dropna()
-                    distinct_sets[i].update(str(v) for v in vals)
-                else:  # SUM in exact integer cents
-                    # dropna AND drop non-finite AND drop magnitudes
-                    # beyond the intake envelope: the batch path's
-                    # double->decimal try_cast nulls NaN/Inf (r9
-                    # non-finite contract) and overflow (r10
-                    # hostile-magnitude contract — a measurement that
-                    # can't be represented is MISSING); int(round(nan))
-                    # or an out-of-envelope int64 cents write here
-                    # would kill the whole stream on one corrupted row
-                    # instead. 1e16 = the DECIMAL(18,2) intake envelope
-                    # shared with the batch plan and the JVM merge
-                    # strategy (cents < 1e18 always fit the int64
-                    # state; an accumulated |sum| past ~9.2e18 cents
-                    # still fails LOUDLY at the state write — the
-                    # streaming twin of ANSI decimal-agg overflow,
-                    # never a wrap.)
-                    vals = rows[fnames[spec.field]].dropna()
-                    fv = vals.astype(float).to_numpy()
-                    fv = fv[np.isfinite(fv) & (np.abs(fv) < 1e16)]
-                    accs[i] += _cents_sum(fv)
+                    vals = pdf[fnames[spec.field]].to_numpy()[mask]
+                    distinct_sets[i].update(
+                        vals[~np.isnan(vals)].tolist()
+                    )
+                else:  # SUM — exact JVM-converted integer cents.
+                    # tolist -> Python-int sum keeps the accumulation
+                    # arbitrary-precision (a numpy int64 sum would wrap
+                    # silently; overflow must fail LOUDLY at the state
+                    # write, exactly as before).
+                    cents = pdf[cnames[spec.field]].to_numpy()[mask]
+                    accs[i] += sum(cents.tolist())
         new_state = []
         for i, spec in enumerate(specs):
             if spec.type is AggregateType.DISTINCT_COUNT:
@@ -300,6 +377,10 @@ def run_grants_pipeline(
     if shuffle_partitions is not None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # First-run layout guarantee: the empty-tail skip below means an
+    # all-empty run appends nothing — initialize the notifications log
+    # (driver-side, no job) so its path always reads as a dataset.
+    ensure_notifications_log(notifications_path, subscribers)
     aggs = streaming_user_aggregates(
         read_event_stream(spark, events_path, max_files_per_trigger), config
     )
@@ -511,6 +592,9 @@ def run_grants_pipeline_merge(
     if shuffle_partitions is not None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # Same first-run layout guarantee as run_grants_pipeline (the
+    # empty-tail skip appends nothing on an all-empty run).
+    ensure_notifications_log(notifications_path, subscribers)
     field_names = _field_name_map(config)
     projected = (
         read_event_stream(spark, events_path, max_files_per_trigger)
