@@ -252,6 +252,50 @@ def test_prefix_jaccard_equals_exact_on_random_docs(spark, docs, threshold):
     assert prefix == exact
 
 
+def test_prefix_jaccard_expansion_verify_equals_exact(spark, monkeypatch):
+    """Both verify strategies of ngram_jaccard_pairs_prefix stay
+    covered (ADVICE r11): every test/gate corpus is far below the 32 MB
+    broadcast gate, so the AllPairs EXPANSION verify — the at-scale
+    path — would otherwise never execute in CI. Force the gate off
+    (VERIFY_BROADCAST_MAX_DOC_BYTES = 0 makes _verify_fits_broadcast
+    False for every estimate) and pin prefix == exact on a corpus with
+    exact dups, near-dups, containment prefixes, hot shingles and
+    sub-shingle-length docs, at three thresholds."""
+    from feature_store_2_spark.operators import dedup
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("sigma", "sigmoid")
+    docs = [
+        base,
+        base,                                  # exact dup
+        near,                                  # near-dup
+        " ".join(base.split()[:8]),            # containment prefix
+        " ".join(["alpha beta gamma"] * 5),    # hot shingles
+        "one two",                             # sub-shingle-length
+        "",                                    # empty
+        "alpha beta gamma delta unrelated tail words here now",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(dedup, "VERIFY_BROADCAST_MAX_DOC_BYTES", 0)
+    assert not dedup._verify_fits_broadcast(df)
+    for threshold in (0.3, 0.5, 0.8):
+        exact = {
+            (r["doc1"], r["doc2"], round(r["jaccard"], 12))
+            for r in dedup.ngram_jaccard_pairs(df, threshold).collect()
+        }
+        prefix = {
+            (r["doc1"], r["doc2"], round(r["jaccard"], 12))
+            for r in dedup.ngram_jaccard_pairs_prefix(df, threshold).collect()
+        }
+        assert prefix == exact
+        assert any(j >= threshold for _, _, j in exact)  # non-vacuous
+
+
 @settings(
     max_examples=12,
     deadline=None,
