@@ -52,6 +52,14 @@ SELECT user_id, 'message' AS feature, message_grant AS has_grant FROM wide
 )
 
 
+def _stream_parts(n: int = 16) -> int:
+    """Stateful-operator partition count for a streaming entry, with an
+    env override (SPARK_GRAFT_STREAM_PARTS_OVERRIDE) so the state-commit
+    cost can be A/B-measured without editing entries
+    (tools/stream_tail_profile.py). Default unchanged."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_PARTS_OVERRIDE", n))
+
+
 @contextmanager
 def _stream_shuffle(spark, n: int = 16):
     """Right-size stateful-operator partitions for the duration of a
@@ -61,7 +69,7 @@ def _stream_shuffle(spark, n: int = 16):
     commits (measured 3x wall-clock at 100k events from 64 -> 16). The
     count bakes into the checkpoint on first batch; restored after."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.shuffle.partitions", str(_stream_parts(n)))
     try:
         yield
     finally:
@@ -116,7 +124,7 @@ def stream_feature_grants(spark, sf_dir):
         # Two stateful ops over ~100k events/batch: 16 state partitions
         # (~6k keys each) — per-partition state-store commit overhead
         # dominates past that on one box (see run_grants_pipeline doc).
-        shuffle_partitions=16,
+        shuffle_partitions=_stream_parts(),
     )
     return grants_snapshot(spark, os.path.join(root, "grants"))
 
@@ -139,7 +147,7 @@ def stream_grants_incremental_merge(spark, sf_dir):
         grants_path=os.path.join(root, "grants"),
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
-        shuffle_partitions=16,
+        shuffle_partitions=_stream_parts(),
     )
     return grants_snapshot(spark, os.path.join(root, "grants"))
 
@@ -210,7 +218,7 @@ def stream_grant_notifications(spark, sf_dir):
         grants_path=os.path.join(root, "grants"),
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
-        shuffle_partitions=16,
+        shuffle_partitions=_stream_parts(),
     )
     return read_notifications(spark, os.path.join(root, "notifications"))
 
@@ -637,7 +645,7 @@ def stream_grants_multibatch(spark, sf_dir):
         grants_path=os.path.join(root, "grants"),
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
-        shuffle_partitions=16,
+        shuffle_partitions=_stream_parts(),
         max_files_per_trigger=1,
     )
     n_batches = len(os.listdir(os.path.join(root, "checkpoint", "offsets")))
@@ -697,7 +705,7 @@ def fs_grants_version_diff(spark, sf_dir):
         grants_path=grants_path,
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
-        shuffle_partitions=16,
+        shuffle_partitions=_stream_parts(),
         retain_versions=8,
     )
     run_grants_pipeline_merge(spark, **kwargs)
@@ -761,7 +769,7 @@ def fs_grants_forget_users(spark, sf_dir):
         grants_path=grants_path,
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
-        shuffle_partitions=16,
+        shuffle_partitions=_stream_parts(),
     )
     stored = sharded_store.snapshot(spark, grants_path)
     forget = stored.filter(F.col("user_id") % 37 == 0).select("user_id", "feature")
