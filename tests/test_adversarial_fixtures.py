@@ -824,12 +824,19 @@ def crafted_rel_dir(spark, tmp_path_factory, crafted_dir, crafted_docs_dir, craf
     return str(d)
 
 
-@pytest.mark.parametrize("name", _relational_entries())
-def test_crafted_relational_fixture_matches_oracle(
-    spark, crafted_rel_dir, name
-):
+# Entries whose SPARK side is super-linear in the fixture's DATE SPAN:
+# sql_recursive_month_spine recurses one driver-side micro-plan per
+# month between min and max o_orderdate, and the calendar-pathology
+# rows (1777 / 2262) make that ~5,820 levels ~ 11 minutes — a verify-
+# budget monster for a property (gap-filling over a deep spine) that
+# ~385 levels pin identically. Slow-marked here; tractable-size oracle
+# coverage via test_crafted_rel_capped_matches_oracle below.
+_SLOW_REL_ORACLE = {"sql_recursive_month_spine"}
+
+
+def _run_rel_oracle_comparison(spark, rel_dir, name):
     q = _BY[name]
-    got = _canon(q.fn(spark, crafted_rel_dir).toPandas())
+    got = _canon(q.fn(spark, rel_dir).toPandas())
     con = duckdb.connect()
     for t in (
         "region", "nation", "customer", "supplier", "part", "orders",
@@ -837,12 +844,56 @@ def test_crafted_relational_fixture_matches_oracle(
     ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{crafted_rel_dir}/{t}.parquet')"
+            f"read_parquet('{rel_dir}/{t}.parquet')"
         )
     exp = _canon(con.execute(q.oracle).fetchdf())
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), (len(got), len(exp))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_REL_ORACLE else n
+        for n in _relational_entries()
+    ],
+)
+def test_crafted_relational_fixture_matches_oracle(
+    spark, crafted_rel_dir, name
+):
+    _run_rel_oracle_comparison(spark, crafted_rel_dir, name)
+
+
+@pytest.fixture(scope="module")
+def crafted_rel_capped_dir(spark, tmp_path_factory, crafted_rel_dir):
+    """The crafted relational micro-database with the two extreme-date
+    orders (1777, 2262) and their lineitems dropped: the order-date
+    span becomes 1969-07..2001-08 (~385 monthly recursion levels —
+    pre-epoch month starts, a 26-year gap to fill with zero rows, and
+    the min/max truncation edges all still present), so the recursive
+    spine unrolls in seconds instead of 11 minutes."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("adversarial_rel_capped")
+    for f in os.listdir(crafted_rel_dir):
+        shutil.copy(os.path.join(crafted_rel_dir, f), d / f)
+    orders = pd.read_parquet(d / "orders.parquet")
+    keep = orders["o_orderdate"].dt.year.between(1900, 2100)
+    dropped = set(orders.loc[~keep, "o_orderkey"])
+    orders[keep].to_parquet(d / "orders.parquet", coerce_timestamps="us")
+    li = pd.read_parquet(d / "lineitem.parquet")
+    li[~li["l_orderkey"].isin(dropped)].to_parquet(
+        d / "lineitem.parquet", coerce_timestamps="us"
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(_SLOW_REL_ORACLE))
+def test_crafted_rel_capped_matches_oracle(
+    spark, crafted_rel_capped_dir, name
+):
+    _run_rel_oracle_comparison(spark, crafted_rel_capped_dir, name)
 
 
 # ---------------------------------------------------------------------------
