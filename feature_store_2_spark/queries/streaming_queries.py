@@ -52,24 +52,62 @@ SELECT user_id, 'message' AS feature, message_grant AS has_grant FROM wide
 )
 
 
-def _stream_parts(n: int = 16) -> int:
-    """Stateful-operator partition count for a streaming entry, with an
-    env override (SPARK_GRAFT_STREAM_PARTS_OVERRIDE) so the state-commit
-    cost can be A/B-measured without editing entries
-    (tools/stream_tail_profile.py). Default unchanged."""
-    return int(os.environ.get("SPARK_GRAFT_STREAM_PARTS_OVERRIDE", n))
+# Bytes of staged source per state partition: with AQE off in
+# streaming, EVERY micro-batch (including availableNow's no-data
+# watermark-advance tail) pays one state-store commit per partition per
+# stateful operator whether the partition holds 60 keys or 60k —
+# profiled at ~200-300 ms summed commit time per partition on empty
+# deltas (tools/stream_tail_profile.py receipts in OPTIMIZATION_r12.md).
+# 256 KiB/partition puts the sf0.1 backlog (2 MB) at 8 partitions —
+# measured best of {16, 8, 4} on 3 of the 4 stateful bench entries
+# (interleaved min-of-3; the 4th is flat) — and saturates at the
+# r7-measured 16-partition cap by ~4 MB of backlog, i.e. every
+# rehearsal-scale run keeps the exact prior behavior. A real deployment
+# sizes this to events-per-batch / executor count instead (the
+# run_grants_pipeline doc), which the explicit parameter still allows.
+_STREAM_STATE_BYTES_PER_PART = 256 * 1024
+_STREAM_PARTS_CAP = 16
+
+
+def _stream_parts(events_path: str | None = None, cap: int = _STREAM_PARTS_CAP) -> int:
+    """Stateful-operator partition count for a streaming entry: derived
+    from the staged source's on-disk size (driver-side listing, no
+    job), clamped to [4, cap]; unknown sizes return the cap (the old
+    constant). Partitioning steers state-commit parallelism only —
+    values are key-hashed and identical at any count. The env override
+    (SPARK_GRAFT_STREAM_PARTS_OVERRIDE) lets the commit cost be
+    A/B-measured without editing entries (tools/stream_tail_profile.py)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTS_OVERRIDE")
+    if env:
+        return int(env)
+    if events_path is None:
+        return cap
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(events_path, followlinks=True)
+            for f in fs
+        )
+    except OSError:
+        return cap
+    if total <= 0:
+        return cap
+    return max(4, min(cap, -(-total // _STREAM_STATE_BYTES_PER_PART)))
 
 
 @contextmanager
-def _stream_shuffle(spark, n: int = 16):
+def _stream_shuffle(spark, n: int | str = 16):
     """Right-size stateful-operator partitions for the duration of a
     streaming run: AQE is off in streaming, so each state partition pays
     a per-batch state-store commit regardless of size — a driver session
     at the 200-partition default turns a 10k-event micro-batch into 200
     commits (measured 3x wall-clock at 100k events from 64 -> 16). The
-    count bakes into the checkpoint on first batch; restored after."""
+    count bakes into the checkpoint on first batch; restored after.
+    ``n``: an explicit count, or a staged-source path to derive one
+    from its size (_stream_parts)."""
+    parts = _stream_parts(n) if isinstance(n, str) else _stream_parts(None, cap=n)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_stream_parts(n)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         yield
     finally:
@@ -121,10 +159,12 @@ def stream_feature_grants(spark, sf_dir):
         grants_path=os.path.join(root, "grants"),
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
-        # Two stateful ops over ~100k events/batch: 16 state partitions
-        # (~6k keys each) — per-partition state-store commit overhead
-        # dominates past that on one box (see run_grants_pipeline doc).
-        shuffle_partitions=_stream_parts(),
+        # Two stateful ops over ~100k events/batch: per-partition
+        # state-store commit overhead dominates once partitions are
+        # thin (see run_grants_pipeline doc and _stream_parts) — count
+        # derived from the staged backlog size, capped at the
+        # r7-measured 16.
+        shuffle_partitions=_stream_parts(os.path.join(root, "events")),
     )
     return grants_snapshot(spark, os.path.join(root, "grants"))
 
@@ -147,7 +187,7 @@ def stream_grants_incremental_merge(spark, sf_dir):
         grants_path=os.path.join(root, "grants"),
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
-        shuffle_partitions=_stream_parts(),
+        shuffle_partitions=_stream_parts(os.path.join(root, "events")),
     )
     return grants_snapshot(spark, os.path.join(root, "grants"))
 
@@ -218,7 +258,7 @@ def stream_grant_notifications(spark, sf_dir):
         grants_path=os.path.join(root, "grants"),
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
-        shuffle_partitions=_stream_parts(),
+        shuffle_partitions=_stream_parts(os.path.join(root, "events")),
     )
     return read_notifications(spark, os.path.join(root, "notifications"))
 
@@ -318,7 +358,7 @@ def stream_sessionize(spark, sf_dir):
         )
     )
     name = "fs2_stream_sessionize"
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, os.path.join(root, "events")):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -645,7 +685,7 @@ def stream_grants_multibatch(spark, sf_dir):
         grants_path=os.path.join(root, "grants"),
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
-        shuffle_partitions=_stream_parts(),
+        shuffle_partitions=_stream_parts(events_dir),
         max_files_per_trigger=1,
     )
     n_batches = len(os.listdir(os.path.join(root, "checkpoint", "offsets")))
@@ -705,7 +745,7 @@ def fs_grants_version_diff(spark, sf_dir):
         grants_path=grants_path,
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
-        shuffle_partitions=_stream_parts(),
+        shuffle_partitions=_stream_parts(events_dir),
         retain_versions=8,
     )
     run_grants_pipeline_merge(spark, **kwargs)
@@ -769,7 +809,7 @@ def fs_grants_forget_users(spark, sf_dir):
         grants_path=grants_path,
         notifications_path=os.path.join(root, "notifications"),
         checkpoint_path=os.path.join(root, "checkpoint"),
-        shuffle_partitions=_stream_parts(),
+        shuffle_partitions=_stream_parts(os.path.join(root, "events")),
     )
     stored = sharded_store.snapshot(spark, grants_path)
     forget = stored.filter(F.col("user_id") % 37 == 0).select("user_id", "feature")
