@@ -31,6 +31,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def symmetrize(
+    df: DataFrame,
+    c1: str,
+    c2: str,
+    out1: str = "a",
+    out2: str = "b",
+) -> DataFrame:
+    """Both orientations of an edge list in ONE pass over ``df``.
+
+    The idiomatic ``df.select(c1,c2).unionAll(df.select(c2,c1))`` runs
+    the upstream subtree TWICE — Spark shares no common subexpressions
+    across union branches, so an edge list derived from an expensive
+    pair-mining join (Jaccard prefix, SRP kNN) pays the whole engine
+    once per branch (r12 profile: two identical ~20 CPU-s candidate
+    stages inside graph_bfs_distance). Exploding a two-struct array
+    emits the same row MULTISET from a single execution: guide §2.4,
+    remove duplicated subtrees. Row order differs from the union form,
+    which is immaterial to every consumer (groupBy / distinct / join).
+    """
+    return df.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(c1).alias(out1), F.col(c2).alias(out2)),
+                F.struct(F.col(c2).alias(out1), F.col(c1).alias(out2)),
+            )
+        ).alias("_sym")
+    ).select(f"_sym.{out1}", f"_sym.{out2}")
+
+
+def edge_endpoints(df: DataFrame, c1: str, c2: str, out: str = "v") -> DataFrame:
+    """Every edge endpoint (both columns stacked) in ONE pass — the
+    degree-count precursor. Same single-execution rationale as
+    :func:`symmetrize`; replaces ``select(c1).unionAll(select(c2))``."""
+    return df.select(F.explode(F.array(F.col(c1), F.col(c2))).alias(out))
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -47,12 +83,13 @@ def connected_components(
     ``nodes`` must contain every id referenced by ``edges``.
     """
     sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        # Both the propagation join (per iteration) and nothing else read
-        # this; at 100 TB the symmetric edge list is a materialized table
-        # partitioned by "b" so every round's join is co-located.
-        .persist()
+        # One-pass symmetrization: the union form computed the (often
+        # expensive, un-materialized) caller edge subtree once per
+        # branch while BUILDING this cache. Both the propagation join
+        # (per iteration) and nothing else read this; at 100 TB the
+        # symmetric edge list is a materialized table partitioned by
+        # "b" so every round's join is co-located.
+        symmetrize(edges, src_col, dst_col).persist()
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
@@ -117,7 +154,7 @@ def connected_components_star(
         rounds += 1
         # Large-star: every neighbor LARGER than u links to the minimum
         # of u's closed neighborhood. Output edges are (big, small).
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym = symmetrize(e, "u", "v", out1="u", out2="v")
         m_lg = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
         large = (
             sym.withColumn("m", m_lg)
@@ -128,13 +165,29 @@ def connected_components_star(
         # Small-star on the (big, small)-oriented edges: u and all its
         # smaller neighbors link to the neighborhood minimum.
         sm = large.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+        # One-pass emit of both star edges (u->m always, v->m unless
+        # v == m): the union form executed the un-materialized window
+        # frame ``sm`` once per branch. Same row multiset -> same
+        # distinct set.
         new_e = (
-            sm.select("u", F.col("m").alias("v"))
-            .union(
-                sm.filter(F.col("v") != F.col("m")).select(
-                    F.col("v").alias("u"), F.col("m").alias("v")
-                )
+            sm.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("u"),
+                            F.col("m").alias("v"),
+                            F.lit(True).alias("k"),
+                        ),
+                        F.struct(
+                            F.col("v").alias("u"),
+                            F.col("m").alias("v"),
+                            (F.col("v") != F.col("m")).alias("k"),
+                        ),
+                    )
+                ).alias("_e")
             )
+            .filter(F.col("_e.k"))
+            .select("_e.u", "_e.v")
             .distinct()
             .localCheckpoint()
         )

@@ -23,6 +23,7 @@ from feature_store_2_spark.functions.vector import (
     vector_exact,
 )
 from feature_store_2_spark.operators.cache import track_persist as _track_persist
+from feature_store_2_spark.operators.graph import symmetrize
 from feature_store_2_spark.operators.sizing import adaptive_partitions
 from feature_store_2_spark.operators.dedup import (
     SRP_SCORED_MAX_BAND_BITS,
@@ -1214,13 +1215,13 @@ def graph_bfs_distance(spark, sf_dir):
     knn = embedding_srp_knn_join_scored(vecs, k=5).select(
         "query_id", "neighbor_id"
     )
+    # One-pass symmetrization (operators/graph.symmetrize): the former
+    # unionAll form ran the whole kNN candidate engine once per branch
+    # while building this checkpoint (r12 profile: two identical
+    # ~20 CPU-s band-join stages). Same row multiset -> same distinct
+    # edge set.
     edges = (
-        knn.select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"))
-        .unionAll(
-            knn.select(
-                F.col("neighbor_id").alias("a"), F.col("query_id").alias("b")
-            )
-        )
+        symmetrize(knn, "query_id", "neighbor_id")
         .distinct()
         .localCheckpoint()
     )
@@ -1305,13 +1306,10 @@ def graph_modularity_labels(spark, sf_dir):
     knn = embedding_srp_knn_join_scored(vecs, k=5).select(
         "query_id", "neighbor_id"
     )
+    # One-pass symmetrization — see graph_bfs_distance: the unionAll
+    # form ran the kNN engine once per branch. Same distinct edge set.
     edges = (
-        knn.select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"))
-        .unionAll(
-            knn.select(
-                F.col("neighbor_id").alias("a"), F.col("query_id").alias("b")
-            )
-        )
+        symmetrize(knn, "query_id", "neighbor_id")
         .distinct()
         .localCheckpoint()
     )

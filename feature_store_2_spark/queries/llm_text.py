@@ -13,7 +13,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from feature_store_2_spark.operators.cache import track_persist as _track_persist
-from feature_store_2_spark.operators.graph import connected_components
+from feature_store_2_spark.operators.graph import (
+    connected_components,
+    edge_endpoints,
+    symmetrize,
+)
 from feature_store_2_spark.operators.sizing import adaptive_partitions
 from feature_store_2_spark.operators.dedup import (
     N_BANDS,
@@ -2168,13 +2172,10 @@ def graph_kcore_membership(spark, sf_dir):
     pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select(
         "doc1", "doc2"
     )
-    edges = (
-        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
-        .unionAll(
-            pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
-        )
-        .localCheckpoint()
-    )
+    # One-pass symmetrization (operators/graph.symmetrize): the former
+    # unionAll ran the whole Jaccard pair engine once per branch while
+    # building this checkpoint. Same row multiset.
+    edges = symmetrize(pairs, "doc1", "doc2").localCheckpoint()
     for _ in range(3):
         alive = (
             edges.groupBy("a")
@@ -2367,13 +2368,9 @@ def graph_label_propagation(spark, sf_dir):
     pairs = ngram_jaccard_pairs_prefix(
         load_table(spark, "documents", sf_dir), threshold=0.5
     ).select("doc1", "doc2")
-    edges = (
-        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
-        .unionAll(
-            pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
-        )
-        .localCheckpoint()
-    )
+    # One-pass symmetrization — the unionAll form ran the Jaccard pair
+    # engine once per branch while building this checkpoint.
+    edges = symmetrize(pairs, "doc1", "doc2").localCheckpoint()
     lab = docs.select("doc_id", F.col("doc_id").alias("lbl"))
     for _ in range(2):
         nb = (
@@ -2565,11 +2562,9 @@ def graph_link_prediction(spark, sf_dir):
         .agg(F.count("*").alias("sh"))
     )
     e = pair.filter(F.col("sh") >= 8).select("u1", "u2")
-    es = (
-        e.select(F.col("u1").alias("a"), F.col("u2").alias("b"))
-        .unionAll(e.select(F.col("u2").alias("a"), F.col("u1").alias("b")))
-        .localCheckpoint()
-    )
+    # One-pass symmetrization — the unionAll form ran the co-visitation
+    # self-join + agg once per branch while building this checkpoint.
+    es = symmetrize(e, "u1", "u2").localCheckpoint()
     deg = es.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("dg"))
     wedge = (
         es.select(F.col("a").alias("u"), F.col("b").alias("mid"))
@@ -2854,9 +2849,10 @@ FROM deg GROUP BY degree
 def graph_degree_distribution(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     e = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select("doc1", "doc2")
+    # edge_endpoints: one pass over the (un-materialized) Jaccard pair
+    # engine instead of one per unionAll branch.
     deg = (
-        e.select(F.col("doc1").alias("v"))
-        .unionAll(e.select(F.col("doc2").alias("v")))
+        edge_endpoints(e, "doc1", "doc2")
         .groupBy("v")
         .agg(F.count("*").alias("degree"))
     )

@@ -877,9 +877,13 @@ def graph_pagerank_bipartite(spark, sf_dir):
         (F.col("l_partkey") * 2).alias("a"),
         (F.col("l_suppkey") * 2 + 1).alias("b"),
     ).distinct()
-    edges = e0.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    # One-pass symmetrization + checkpoint: the unionAll form ran the
+    # lineitem distinct once per branch, and the un-materialized edges
+    # frame was re-derived by deg AND by every PageRank round's join
+    # (the docstring's "edges dedup once" promise, now actually kept).
+    from feature_store_2_spark.operators.graph import symmetrize
+
+    edges = symmetrize(e0, "a", "b", out1="src", out2="dst").localCheckpoint()
     deg = edges.groupBy(F.col("src").alias("v")).agg(
         F.count("*").cast("long").alias("deg")
     )
