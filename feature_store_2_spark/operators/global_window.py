@@ -114,13 +114,26 @@ def range_bucket(
     qs = [q for q in (qrow["qs"] or []) if q is not None]
     # Dedup + sort: approxQuantile can repeat a boundary on tied keys.
     bounds = sorted(set(qs))
-    bucket: Column = F.lit(0)
-    for b in bounds:
-        # NULL keys: (NULL > b) is NULL -> otherwise-0 keeps them in
-        # bucket 0, matching ASC NULLS FIRST.
-        bucket = bucket + F.when(
-            F.col(range_key).cast("double") > F.lit(b), 1
-        ).otherwise(0)
+    # Bucket id = |{boundaries strictly below the key}| as ONE
+    # higher-order expression over a boundary-array literal, not a
+    # 31-deep chain of when(cast > lit, 1).otherwise(0) adds. The
+    # chain form cost ~0.4 s of codegen compilation per consuming
+    # plan (each bucketed_* consumer compiles it into 2-3 plans) and
+    # ~2x the per-row time of the HOF form (r12 measured: warm-cache
+    # pass 0.18 s chain vs 0.10 s HOF on a 49k-row hist; first-pass
+    # 0.61 vs 0.35). Value-identical, including NULL keys: the
+    # filter predicate (NULL > b) is NULL, so every element drops
+    # and size() = 0 — bucket 0, exactly the otherwise-0 of the old
+    # chain (ASC NULLS FIRST), and tests/test_global_window.py pins
+    # equality against the plain window either way.
+    bucket: Column
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(
+            F.filter(barr, lambda x: F.col(range_key).cast("double") > x)
+        )
+    else:
+        bucket = F.lit(0)
     if nulls == "last":
         # ASC NULLS LAST (the DESC-via-negation case: DESC defaults to
         # NULLS LAST in both engines): nulls get their own final
