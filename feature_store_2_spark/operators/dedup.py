@@ -39,6 +39,7 @@ from feature_store_2_spark.functions.vector import (
 )
 from feature_store_2_spark.operators.sizing import (
     CPU_EXPANDING_BYTES_PER_TASK,
+    SRP_BYTES_PER_TASK,
     adaptive_partitions,
     plan_size_bytes,
 )
@@ -788,7 +789,10 @@ def embedding_srp_near_pairs(
     # defaultParallelism on rehearsal-scale inputs, stops manufacturing
     # near-empty tasks on compact ones (the persisted base/bands frames
     # pin their partition count for every downstream stage).
-    n_parts = adaptive_partitions(emb)
+    # SRP_BYTES_PER_TASK (64 KiB): the band-signature + candidate
+    # self-join engine is denser per input byte than the 128 KiB text
+    # default — r12 {8,16,32} A/B receipts in sizing.py.
+    n_parts = adaptive_partitions(emb, bytes_per_task=SRP_BYTES_PER_TASK)
     base = (
         # Spread the (compact, few-file) corpus BEFORE the 32-projection
         # signature expression — same explicit-count repartition as the
@@ -896,7 +900,9 @@ def embedding_srp_knn_join(
     # defaultParallelism on rehearsal-scale inputs, stops manufacturing
     # near-empty tasks on compact ones (the persisted base/bands frames
     # pin their partition count for every downstream stage).
-    n_parts = adaptive_partitions(emb)
+    # SRP_BYTES_PER_TASK: same denser-engine sizing as near_pairs —
+    # r12 {8,16,32} A/B receipts in sizing.py.
+    n_parts = adaptive_partitions(emb, bytes_per_task=SRP_BYTES_PER_TASK)
     base = (
         emb.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("v"))

@@ -52,6 +52,17 @@ CPU_EXPANDING_BYTES_PER_TASK = 128 * 1024
 # seconds). Never exceeds the cap.
 _DEFAULT_FLOOR = 8
 
+# SRP embedding engines (band signature matmul + bucket self-join +
+# exact re-rank) are denser per input byte than the text shinglers:
+# after the r12 one-pass symmetrization removed the duplicated kNN
+# subtree, the single candidate stage carried ~15 CPU-s over 8 tasks
+# at sf0.1 (only a quarter of the box busy). Same per-site move as
+# minhash's 32 KiB (dedup.py, r11): halve the per-task byte budget so
+# the spread saturates at defaultParallelism twice as early. Measured
+# {8, 16, 32}-partition A/B at sf0.1: graph_bfs_distance 4.79 / 4.10 /
+# 4.16, dedup_embedding_ann_pairs 1.82 / 1.60 / 2.08 — 16 wins both.
+SRP_BYTES_PER_TASK = 64 * 1024
+
 
 def plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's size estimate for ``df`` (optimized logical plan
