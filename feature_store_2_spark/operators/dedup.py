@@ -634,6 +634,55 @@ def srp_scored_lookup_rows() -> str:
 # — 3.4x per-candidate degradation vs the linear candidate census.
 SRP_ATTACH_BROADCAST_MAX = 1_000_000
 
+# Matrix re-rank bound: below this corpus size the exact re-rank of
+# candidate pairs runs as ONE numpy gather + integer einsum per Arrow
+# batch against a broadcast (vid-sorted) quantized matrix, with only
+# the two candidate ids crossing the exchange — the guide §8 move
+# (decide/score on lightweight proxies; never move the payload). The
+# JVM higher-order form (aggregate over zip_with) is interpreted per
+# element and allocates a 64-long array per pair: measured at sf0.1 on
+# the 1.8M-pair scored candidate set, 1.53 s JVM vs 0.61 s matrix,
+# bit-identical (int64 dot is exact under the VEC_NORM2_BOUND
+# envelope; r12 equality check: 0 differing rows). 2^17 vectors keeps
+# the matrix at 64 MB (x one copy per reused Python worker); past the
+# bound the existing broadcast/partitioned vector attach is unchanged.
+SRP_MATRIX_RERANK_MAX = 131_072
+
+
+def _matrix_dot_udf(base: DataFrame, dim: int = 64):
+    """Pandas UDF ``(query_vid, neighbor_vid) -> exact int64 dot`` over
+    a driver-collected, vid-sorted quantized matrix broadcast to the
+    Python workers. ``base`` must carry (vid, v) with every id the
+    candidate pairs can reference. The collect is a bounded action at
+    plan-construction time (same class as the _scored wrappers'
+    count()), sized by SRP_MATRIX_RERANK_MAX."""
+    from pyspark.sql.types import LongType
+
+    rows = base.select("vid", "v").collect()
+    vids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    order = np.argsort(vids)
+    vids = vids[order]
+    mat = (
+        np.array([r["v"] for r in rows], dtype=np.int64).reshape(
+            len(rows), dim
+        )[order]
+        if rows
+        else np.zeros((0, dim), dtype=np.int64)
+    )
+    sc = base.sparkSession.sparkContext
+    b_vids, b_mat = sc.broadcast(vids), sc.broadcast(mat)
+
+    @F.pandas_udf(LongType())
+    def dot_ids(q: pd.Series, nb: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series([], dtype="int64")
+        vv, m = b_vids.value, b_mat.value
+        qi = np.searchsorted(vv, q.to_numpy())
+        ni = np.searchsorted(vv, nb.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", m[qi], m[ni]))
+
+    return dot_ids
+
 
 def embedding_srp_near_pairs_scored(
     emb: DataFrame, threshold: float = SRP_SCORED_THRESHOLD, **kw
@@ -644,6 +693,7 @@ def embedding_srp_near_pairs_scored(
     n = emb.count()
     n_bits, band_bits = srp_scored_params(n)
     kw.setdefault("broadcast_attach", n <= SRP_ATTACH_BROADCAST_MAX)
+    kw.setdefault("matrix_rerank", n <= SRP_MATRIX_RERANK_MAX)
     return embedding_srp_near_pairs(
         emb, threshold=threshold, n_bits=n_bits, band_bits=band_bits, **kw
     )
@@ -654,6 +704,7 @@ def embedding_srp_knn_join_scored(emb: DataFrame, k: int = 5, **kw) -> DataFrame
     n = emb.count()
     n_bits, band_bits = srp_scored_params(n)
     kw.setdefault("broadcast_attach", n <= SRP_ATTACH_BROADCAST_MAX)
+    kw.setdefault("matrix_rerank", n <= SRP_MATRIX_RERANK_MAX)
     return embedding_srp_knn_join(
         emb, k=k, n_bits=n_bits, band_bits=band_bits, **kw
     )
@@ -674,6 +725,7 @@ def embedding_srp_query_topk_scored(
     n = emb.count()
     n_bits, band_bits = srp_scored_params(n)
     kw.setdefault("broadcast_attach", n <= SRP_ATTACH_BROADCAST_MAX)
+    kw.setdefault("matrix_rerank", n <= SRP_MATRIX_RERANK_MAX)
     return embedding_srp_knn_join(
         emb,
         k=k,
@@ -770,6 +822,7 @@ def embedding_srp_near_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     broadcast_attach: bool = False,
+    matrix_rerank: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs at corpus scale: SRP-LSH band buckets
     generate candidates (equi-join on (band, band_key) — never an
@@ -832,6 +885,28 @@ def embedding_srp_near_pairs(
         .repartition(n_parts, "vec1", "vec2")
         .distinct()
     )
+    if matrix_rerank:
+        # Guide §8: score on ids, never move the vector payload — the
+        # exact int64 dot runs as one numpy gather + einsum per Arrow
+        # batch against the broadcast matrix (bit-identical to qdot,
+        # see SRP_MATRIX_RERANK_MAX), and the attach joins carry only
+        # the 8-byte norms.
+        dot_ids = _matrix_dot_udf(base, dim)
+        va_n = F.broadcast(
+            base.select(F.col("vid").alias("vec1"), F.col("n2").alias("na"))
+        )
+        vb_n = F.broadcast(
+            base.select(F.col("vid").alias("vec2"), F.col("n2").alias("nb"))
+        )
+        cos = cosine_from_parts(
+            dot_ids(F.col("vec1"), F.col("vec2")), F.col("na"), F.col("nb")
+        )
+        return (
+            cand.join(va_n, "vec1")
+            .join(vb_n, "vec2")
+            .select("vec1", "vec2", cos.alias("cosine"))
+            .filter(F.col("cosine") >= F.lit(threshold))
+        )
     va = base.select(
         F.col("vid").alias("vec1"), F.col("v").alias("va"), F.col("n2").alias("na")
     )
@@ -864,6 +939,7 @@ def embedding_srp_knn_join(
     vec_col: str = "embedding",
     dim: int = 64,
     broadcast_attach: bool = False,
+    matrix_rerank: bool = False,
     query_filter: Column | None = None,
     broadcast_queries: bool = False,
 ) -> DataFrame:
@@ -939,24 +1015,53 @@ def embedding_srp_knn_join(
         .repartition(n_parts, "query_id", "neighbor_id")
         .distinct()
     )
-    va = base.select(
-        F.col("vid").alias("query_id"), F.col("v").alias("va"), F.col("n2").alias("na")
-    )
-    vb = base.select(
-        F.col("vid").alias("neighbor_id"),
-        F.col("v").alias("vb"),
-        F.col("n2").alias("nb"),
-    )
-    if broadcast_attach:
-        # See embedding_srp_near_pairs: keeps the candidate pairs from
-        # reshuffling twice with vector payloads attached.
-        va, vb = F.broadcast(va), F.broadcast(vb)
-    cos = cosine_from_parts(qdot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
-    scored = (
-        cand.join(va, "query_id")
-        .join(vb, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
+    if matrix_rerank:
+        # Guide §8 id-only re-rank — see embedding_srp_near_pairs.
+        dot_ids = _matrix_dot_udf(base, dim)
+        va_n = F.broadcast(
+            base.select(F.col("vid").alias("query_id"), F.col("n2").alias("na"))
+        )
+        vb_n = F.broadcast(
+            base.select(
+                F.col("vid").alias("neighbor_id"), F.col("n2").alias("nb")
+            )
+        )
+        scored = (
+            cand.join(va_n, "query_id")
+            .join(vb_n, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_from_parts(
+                    dot_ids(F.col("query_id"), F.col("neighbor_id")),
+                    F.col("na"),
+                    F.col("nb"),
+                ).alias("cosine"),
+            )
+        )
+    else:
+        va = base.select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("va"),
+            F.col("n2").alias("na"),
+        )
+        vb = base.select(
+            F.col("vid").alias("neighbor_id"),
+            F.col("v").alias("vb"),
+            F.col("n2").alias("nb"),
+        )
+        if broadcast_attach:
+            # See embedding_srp_near_pairs: keeps the candidate pairs
+            # from reshuffling twice with vector payloads attached.
+            va, vb = F.broadcast(va), F.broadcast(vb)
+        cos = cosine_from_parts(
+            qdot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+        )
+        scored = (
+            cand.join(va, "query_id")
+            .join(vb, "neighbor_id")
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

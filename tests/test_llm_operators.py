@@ -196,6 +196,45 @@ def test_srp_broadcast_attach_plan_and_value_parity(spark, sf_dir):
     assert smj == bhj and smj
 
 
+def test_srp_matrix_rerank_value_parity(spark, sf_dir):
+    """matrix_rerank (r12) scores candidates via a broadcast numpy
+    matrix gather + int64 einsum instead of the JVM aggregate/zip_with
+    dot — a physical re-rank strategy only. The int64 dot is exact
+    under the VEC_NORM2_BOUND envelope on both paths, so every
+    (pair, cosine) must be BIT-identical; the scored wrappers enable
+    it below SRP_MATRIX_RERANK_MAX."""
+    from feature_store_2_spark.operators.dedup import (
+        SRP_MATRIX_RERANK_MAX,
+        embedding_srp_knn_join,
+        embedding_srp_near_pairs,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    assert e.count() <= SRP_MATRIX_RERANK_MAX
+
+    pk = lambda r: (r["vec1"], r["vec2"])  # noqa: E731
+    jvm_pairs = {
+        pk(r): r["cosine"]
+        for r in embedding_srp_near_pairs(e, matrix_rerank=False).collect()
+    }
+    mat_pairs = {
+        pk(r): r["cosine"]
+        for r in embedding_srp_near_pairs(e, matrix_rerank=True).collect()
+    }
+    assert jvm_pairs == mat_pairs and jvm_pairs
+
+    kk = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    jvm_knn = {
+        kk(r): (r["neighbor_id"], r["cosine"])
+        for r in embedding_srp_knn_join(e, k=3, matrix_rerank=False).collect()
+    }
+    mat_knn = {
+        kk(r): (r["neighbor_id"], r["cosine"])
+        for r in embedding_srp_knn_join(e, k=3, matrix_rerank=True).collect()
+    }
+    assert jvm_knn == mat_knn and jvm_knn
+
+
 def test_brute_force_topk_ranks_identical_vector_first(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
