@@ -425,6 +425,12 @@ def stats_ks_test(spark, sf_dir):
     cum = bucketed_running_sums(
         hist, "v", ["v"], [(F.col("ca"), "cuma"), (F.col("cb"), "cumb")]
     ).select("cuma", "cumb")
+    # NOTE (r12, measured rejection): deriving (na, nb) as sum(ca),
+    # sum(cb) over the persisted hist is value-identical and avoids a
+    # second fact scan — but interleaved A/B read it SLOWER at sf0.1
+    # (1.63 vs 1.49 min-of-5, 4/5 pairs): the hist-cache read
+    # serializes behind the cache build, while this independent
+    # parquet-scan agg overlaps other jobs as a broadcast future.
     n = sides.agg(
         F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("nb"),
