@@ -64,6 +64,27 @@ from feature_store_2_spark.operators.cache import (  # noqa: E402
     release_tracked_caches as release_gw_caches,
     track_persist as _track_persist,
 )
+from feature_store_2_spark.operators.sizing import plan_size_bytes  # noqa: E402
+
+# Compact-input fast path (r12): below this Catalyst estimate of the
+# input, the plain window IS the operator — value-identical by this
+# module's defining property (any boundary set assembles the same
+# values as the single-task window; the bucketed machinery exists only
+# to avoid the one-task sort at scale) — and it skips the boundary
+# sketch job, the bucket projection, the offsets agg and the
+# broadcast join: measured ~2 s of fixed machinery per consumer at
+# sf0.1 where the plain window costs 0.6 s. The estimate tracks scan
+# bytes (sf0.1 consumers ~1 MB, 10x ~11 MB — both comfortably under),
+# so rehearsal scales ride the fast path while anything estimated past
+# 32 MiB (and any UNKNOWN estimate) takes the range-partitioned plan;
+# at the crossover a one-task sort of a ~32 MB-scan histogram is
+# low-single-digit seconds, inside the gate's error budget. Same
+# derive-from-size discipline as compact_for_lazy_iteration and
+# adaptive_partitions. tests/test_global_window.py pins both paths:
+# the equality suite forces the bucketed path (gate monkeypatched to
+# 0) against the plain reference, and the gate test asserts
+# gate-on == gate-off on the adversarial keysets.
+GW_PLAIN_WINDOW_MAX_BYTES = 32 << 20
 
 
 def range_bucket(
@@ -170,6 +191,27 @@ def bucketed_running_sums(
     assert items, "at least one (value, out_col) pair"
     assert nulls in ("first", "last")
     pc = list(partition_cols)
+    est = plan_size_bytes(df)
+    if est is not None and 0 < est <= GW_PLAIN_WINDOW_MAX_BYTES:
+        # Compact input: the plain window (this operator's pinned
+        # reference semantics) — see GW_PLAIN_WINDOW_MAX_BYTES. The
+        # persist keeps the operator's multi-branch caching side-effect
+        # for consumers that read df again (no boundary job, so it
+        # materializes lazily with the first action).
+        out = _track_persist(df)
+        lead = (
+            F.col(order_cols[0]).asc_nulls_last()
+            if nulls == "last"
+            else F.col(order_cols[0]).asc()
+        )
+        w = (
+            W.partitionBy(*pc)
+            .orderBy(lead, *order_cols[1:])
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        for value, out_col in items:
+            out = out.withColumn(out_col, F.sum(value).over(w))
+        return out
     tagged, _ = range_bucket(df, range_key, n_buckets, nulls=nulls)
     vcols = [f"_gw_v{i}" for i in range(len(items))]
     for vc, (value, _o) in zip(vcols, items):

@@ -18,11 +18,21 @@ import pytest
 from pyspark.sql import Row, Window as W
 from pyspark.sql import functions as F
 
+from feature_store_2_spark.operators import global_window as gw
 from feature_store_2_spark.operators.global_window import (
     bucketed_row_number,
     bucketed_running_sum,
     ntile_from_row_number,
 )
+
+
+@pytest.fixture(autouse=True)
+def _force_bucketed_path(monkeypatch):
+    """The r12 compact-input gate routes small inputs to the plain
+    window — which is this suite's REFERENCE side. Force the bucketed
+    machinery so the equality assertions keep pinning it; the gate
+    itself is covered by test_compact_gate_matches_bucketed."""
+    monkeypatch.setattr(gw, "GW_PLAIN_WINDOW_MAX_BYTES", 0)
 
 
 def _mkdf(spark, keys):
@@ -156,6 +166,37 @@ def test_nulls_last_matches_desc_window(spark):
     g = {r["uid"]: r["rn"] for r in got.select("uid", "rn").collect()}
     e = {r["uid"]: r["rn"] for r in want.collect()}
     assert g == e
+
+
+def test_compact_gate_matches_bucketed(spark, monkeypatch):
+    """GW_PLAIN_WINDOW_MAX_BYTES routes compact inputs to the plain
+    window; both routes must emit identical values on the adversarial
+    keysets (incl. nulls and partition columns)."""
+    rng = random.Random(17)
+    rows = [
+        Row(
+            g=rng.choice(["a", "b", None]),
+            k=(None if i % 11 == 0 else rng.randint(-50, 50)),
+            uid=i,
+            v=rng.randint(-5, 5),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, uid int, v int")
+    for nulls in ("first", "last"):
+        monkeypatch.setattr(gw, "GW_PLAIN_WINDOW_MAX_BYTES", 1 << 40)
+        plain = gw.bucketed_running_sums(
+            df, "k", ["k", "uid"], [(F.col("v").cast("long"), "run")],
+            partition_cols=["g"], n_buckets=6, nulls=nulls,
+        )
+        p = {r["uid"]: r["run"] for r in plain.select("uid", "run").collect()}
+        monkeypatch.setattr(gw, "GW_PLAIN_WINDOW_MAX_BYTES", 0)
+        bucketed = gw.bucketed_running_sums(
+            df, "k", ["k", "uid"], [(F.col("v").cast("long"), "run")],
+            partition_cols=["g"], n_buckets=6, nulls=nulls,
+        )
+        b = {r["uid"]: r["run"] for r in bucketed.select("uid", "run").collect()}
+        assert p == b and len(p) == 500
 
 
 def test_ntile_closed_form_all_small_n(spark):
