@@ -80,13 +80,22 @@ def test_corpus_curation_topk_is_two_phase(spark, sf_dir):
     assert 2 in spec_sizes, spec_sizes
 
 
-def test_catalog_has_no_unlisted_global_window(spark, sf_dir):
+def test_catalog_has_no_unlisted_global_window(spark, sf_dir, monkeypatch):
     """Full-catalog sweep: no batch entry may compile to a physical plan
     with a non-partitioned Window unless it is on the documented
     allowlist. This is the check that would have caught the r3
-    doc_pack_token_budget / kmeans_fit weak spots at commit time."""
+    doc_pack_token_budget / kmeans_fit weak spots at commit time.
+
+    The r12 compact-input gate DELIBERATELY emits a single-task window
+    below GW_PLAIN_WINDOW_MAX_BYTES (test corpora qualify) — that is a
+    bounded, size-gated choice, not the accidental cliff this lint
+    hunts. Force the gate off so the sweep keeps auditing the plan
+    that runs AT SCALE, where an unlisted global window is still a
+    bug."""
+    from feature_store_2_spark.operators import global_window as gw
     from feature_store_2_spark.queries import CATALOG
 
+    monkeypatch.setattr(gw, "GW_PLAIN_WINDOW_MAX_BYTES", 0)
     offenders = []
     for q in CATALOG:
         if q.name.startswith("stream") or q.name in GLOBAL_WINDOW_OK:
